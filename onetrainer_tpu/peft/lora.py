@@ -1,0 +1,301 @@
+"""Functional PEFT: LoRA / DoRA / LoHa as weight-space pytree transforms.
+
+TPU-first redesign of the reference's forward-hook PEFT
+(reference: modules/module/LoRAModule.py:17-587). Instead of monkey-
+patching module forwards, adapters live in their own pytree keyed by the
+base-module path; `apply_peft` produces merged weights
+
+    W_eff = W + BA · α/r          (LoRA; reference :294-331)
+    W_eff = m · (W + BA·α/r)/‖·‖  (DoRA, norm detached; reference :334-419)
+    W_eff = W + (B1A1 ⊙ B2A2)·α/r (LoHa; reference :209-280)
+
+inside the jitted step — XLA fuses the tiny rank-r matmuls into the
+consumer, gradients flow to adapter params only, and merge-to-base /
+extract are trivial pytree ops.
+
+Adapter tensors are stored in torch layout (down [r, in], up [out, r])
+so kohya-format safetensors save/load is layout-identity.
+
+Dropout: the reference applies activation dropout between down and up.
+A weight-space merge cannot express per-sample activation dropout, so we
+implement rank dropout (drop columns of `down` per step), a standard
+LoRA-dropout variant with the same regularization intent.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from onetrainer_tpu.util.enums import PeftType
+
+SEP = "/"
+
+
+@dataclass(frozen=True)
+class PeftConfig:
+    peft_type: PeftType = PeftType.LORA
+    rank: int = 16
+    alpha: float = 1.0
+    dropout: float = 0.0
+    decompose: bool = False               # DoRA
+    decompose_output_axis: bool = False
+    decompose_norm_epsilon: bool = True
+    layer_filter: tuple[str, ...] = ()    # substrings; empty = all layers
+    weight_dtype: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def from_train_config(config) -> "PeftConfig":
+        layer_filter = tuple(
+            t.strip() for t in (config.lora_layers or "").split(",") if t.strip())
+        return PeftConfig(
+            peft_type=config.peft_type,
+            rank=config.lora_rank,
+            alpha=config.lora_alpha,
+            dropout=config.dropout_probability,
+            decompose=config.lora_decompose,
+            decompose_output_axis=config.lora_decompose_output_axis,
+            decompose_norm_epsilon=config.lora_decompose_norm_epsilon,
+            layer_filter=layer_filter,
+            weight_dtype=config.weight_dtypes().lora.to_jnp_dtype() or jnp.float32,
+        )
+
+
+def _flatten(tree: dict, prefix: tuple[str, ...] = ()):
+    for key, value in tree.items():
+        path = prefix + (key,)
+        if isinstance(value, dict):
+            yield from _flatten(value, path)
+        else:
+            yield path, value
+
+
+def _kernel_paths(params: dict, layer_filter: tuple[str, ...]):
+    """All (module path, kernel) pairs eligible for adaptation."""
+    for path, value in _flatten(params):
+        if path[-1] != "kernel":
+            continue
+        if value.ndim not in (2, 4):
+            continue
+        module_path = path[:-1]
+        key = SEP.join(module_path)
+        if layer_filter and not any(f in key for f in layer_filter):
+            continue
+        yield module_path, value
+
+
+def _fans(kernel: jnp.ndarray) -> tuple[int, int, tuple[int, ...]]:
+    """(fan_in, fan_out, spatial) for a flax kernel."""
+    if kernel.ndim == 2:          # [in, out]
+        return kernel.shape[0], kernel.shape[1], ()
+    kh, kw, cin, cout = kernel.shape
+    return cin * kh * kw, cout, (kh, kw)
+
+
+def peft_module_keys(base_params: dict, cfg: PeftConfig) -> list[str]:
+    """Module keys that init_peft_params would adapt for this model."""
+    return [SEP.join(p) for p, _ in _kernel_paths(base_params, cfg.layer_filter)]
+
+
+def init_peft_params(
+        rng: jax.Array,
+        base_params: dict,
+        cfg: PeftConfig,
+) -> dict:
+    """Create the adapter pytree: {module_key: {tensor_name: array}}."""
+    adapters: dict[str, dict[str, jnp.ndarray]] = {}
+    keys = list(_kernel_paths(base_params, cfg.layer_filter))
+    rngs = jax.random.split(rng, max(len(keys), 1))
+    for (module_path, kernel), krng in zip(keys, rngs):
+        fan_in, fan_out, spatial = _fans(kernel)
+        r = cfg.rank
+        dt = cfg.weight_dtype
+        if spatial:
+            kh, kw = spatial
+            down_shape = (r, kernel.shape[2], kh, kw)   # torch conv layout [r,in,kh,kw]
+        else:
+            down_shape = (r, fan_in)
+        entry: dict[str, jnp.ndarray] = {}
+        if cfg.peft_type == PeftType.LORA:
+            # kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+            bound = 1.0 / math.sqrt(fan_in)
+            entry["lora_down"] = jax.random.uniform(
+                krng, down_shape, dtype=dt, minval=-bound, maxval=bound)
+            entry["lora_up"] = jnp.zeros((fan_out, r), dtype=dt)
+            if cfg.decompose:
+                w2d = _kernel_to_2d(kernel)  # [out, fan_in] torch-style
+                if cfg.decompose_output_axis:
+                    entry["dora_scale"] = jnp.linalg.norm(
+                        w2d, axis=1, keepdims=True).astype(dt)       # [out, 1]
+                else:
+                    entry["dora_scale"] = jnp.linalg.norm(
+                        w2d, axis=0, keepdims=True).astype(dt)       # [1, fan_in]
+        elif cfg.peft_type == PeftType.LOHA:
+            k1, k2, k3 = jax.random.split(krng, 3)
+            entry["hada_w1_a"] = 0.1 * jax.random.normal(k1, (fan_out, r), dtype=dt)
+            entry["hada_w1_b"] = jax.random.normal(k2, down_shape, dtype=dt)
+            entry["hada_w2_a"] = jnp.zeros((fan_out, r), dtype=dt)
+            entry["hada_w2_b"] = jax.random.normal(k3, down_shape, dtype=dt)
+        else:
+            raise ValueError(cfg.peft_type)
+        adapters[SEP.join(module_path)] = entry
+    return adapters
+
+
+def _kernel_to_2d(kernel: jnp.ndarray) -> jnp.ndarray:
+    """flax kernel -> torch-style 2D [out, fan_in]."""
+    if kernel.ndim == 2:
+        return kernel.T
+    # HWIO -> OIHW -> [out, in*kh*kw]
+    oihw = kernel.transpose(3, 2, 0, 1)
+    return oihw.reshape(oihw.shape[0], -1)
+
+
+def _delta_2d(entry: dict, cfg: PeftConfig, rng: jax.Array | None) -> jnp.ndarray:
+    """Adapter delta in torch-style 2D [out, fan_in], fp32."""
+    scale = cfg.alpha / cfg.rank
+    if cfg.peft_type == PeftType.LOHA:
+        w1 = entry["hada_w1_a"].astype(jnp.float32) @ _down_2d(entry["hada_w1_b"])
+        w2 = entry["hada_w2_a"].astype(jnp.float32) @ _down_2d(entry["hada_w2_b"])
+        return (w1 * w2) * scale
+    down = _down_2d(entry["lora_down"])      # [r, fan_in]
+    up = entry["lora_up"].astype(jnp.float32)  # [out, r]
+    if cfg.dropout > 0 and rng is not None:
+        keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, (down.shape[0], 1))
+        down = down * keep / (1.0 - cfg.dropout)
+    return (up @ down) * scale
+
+
+def _down_2d(down: jnp.ndarray) -> jnp.ndarray:
+    if down.ndim == 2:
+        return down.astype(jnp.float32)
+    return down.astype(jnp.float32).reshape(down.shape[0], -1)
+
+
+def _merged_kernel(kernel: jnp.ndarray, entry: dict, cfg: PeftConfig,
+                   rng: jax.Array | None) -> jnp.ndarray:
+    w2d = _kernel_to_2d(kernel).astype(jnp.float32)
+    wp = w2d + _delta_2d(entry, cfg, rng)
+    if cfg.decompose and "dora_scale" in entry:
+        eps = jnp.finfo(jnp.float32).eps if cfg.decompose_norm_epsilon else 0.0
+        axis = 1 if cfg.decompose_output_axis else 0
+        norm = jax.lax.stop_gradient(
+            jnp.linalg.norm(wp, axis=axis, keepdims=True)) + eps
+        wp = entry["dora_scale"].astype(jnp.float32) * wp / norm
+    # back to flax layout
+    if kernel.ndim == 2:
+        return wp.T.astype(kernel.dtype)
+    out_ch, fan_in = wp.shape
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    oihw = wp.reshape(out_ch, kernel.shape[2], kh, kw)
+    return oihw.transpose(2, 3, 1, 0).astype(kernel.dtype)
+
+
+def apply_peft(
+        base_params: dict,
+        adapters: dict,
+        cfg: PeftConfig,
+        rng: jax.Array | None = None,
+) -> dict:
+    """Merge adapters into a copy of the base param tree (pure function,
+    differentiable w.r.t. the adapter pytree)."""
+    def visit(tree: dict, prefix: tuple[str, ...]) -> dict:
+        out = {}
+        for key, value in tree.items():
+            path = prefix + (key,)
+            if isinstance(value, dict):
+                out[key] = visit(value, path)
+            elif key == "kernel" and SEP.join(prefix) in adapters:
+                out[key] = _merged_kernel(value, adapters[SEP.join(prefix)], cfg, rng)
+            else:
+                out[key] = value
+        return out
+
+    return visit(base_params, ())
+
+
+def merge_peft_into_base(base_params: dict, adapters: dict, cfg: PeftConfig) -> dict:
+    """Permanently bake adapters into base weights (for merged export)."""
+    return apply_peft(base_params, adapters, cfg, rng=None)
+
+
+# -- kohya-format safetensors interop ---------------------------------------------
+
+def _module_key_to_kohya(prefix: str, module_key: str) -> str:
+    # 'down_blocks_0/attentions_0/.../to_q' -> prefix + '_down_blocks_0_...'
+    return prefix + "_" + module_key.replace(SEP, "_")
+
+
+def peft_to_kohya_state_dict(
+        adapters: dict,
+        cfg: PeftConfig,
+        prefix: str,
+        conv_shapes: dict[str, tuple[int, ...]] | None = None,
+) -> dict:
+    """Adapter pytree -> kohya-style flat tensors.
+
+    lora_down.weight [r, in(,kh,kw)], lora_up.weight [out, r(,1,1)], alpha.
+    (reference output contract: modules/modelSaver/mixin/LoRASaverMixin
+    via omi/kohya key sets)
+    """
+    import numpy as np
+    out: dict[str, "np.ndarray"] = {}
+    for module_key, entry in adapters.items():
+        kkey = _module_key_to_kohya(prefix, module_key)
+        is_conv = entry.get("lora_down", entry.get("hada_w1_b")).ndim == 4
+        if cfg.peft_type == PeftType.LOHA:
+            out[f"{kkey}.hada_w1_a"] = np.asarray(entry["hada_w1_a"])
+            out[f"{kkey}.hada_w1_b"] = np.asarray(entry["hada_w1_b"])
+            out[f"{kkey}.hada_w2_a"] = np.asarray(entry["hada_w2_a"])
+            out[f"{kkey}.hada_w2_b"] = np.asarray(entry["hada_w2_b"])
+        else:
+            down = np.asarray(entry["lora_down"])
+            up = np.asarray(entry["lora_up"])
+            if is_conv:
+                up = up.reshape(up.shape[0], up.shape[1], 1, 1)
+            out[f"{kkey}.lora_down.weight"] = down
+            out[f"{kkey}.lora_up.weight"] = up
+            if "dora_scale" in entry:
+                out[f"{kkey}.dora_scale"] = np.asarray(entry["dora_scale"])
+        out[f"{kkey}.alpha"] = np.asarray(cfg.alpha, dtype=np.float32)
+    return out
+
+
+def kohya_state_dict_to_peft(
+        state_dict: dict,
+        prefix: str,
+        module_keys: list[str],
+) -> tuple[dict, float | None]:
+    """kohya tensors (one prefix) -> adapter pytree (+alpha if present).
+
+    The kohya flattening ('down_blocks_0_..._to_q') is ambiguous to invert
+    textually, so `module_keys` (the adapter keys valid for the target
+    model, e.g. from init_peft_params) provides the reverse lookup."""
+    reverse = {_module_key_to_kohya(prefix, mk): mk for mk in module_keys}
+    adapters: dict[str, dict] = {}
+    alpha = None
+    for key, tensor in state_dict.items():
+        if not key.startswith(prefix + "_"):
+            continue
+        module_part, _, leaf = key.partition(".")
+        if module_part not in reverse:
+            continue
+        module_key = reverse[module_part]
+        entry = adapters.setdefault(module_key, {})
+        if leaf == "lora_down.weight":
+            entry["lora_down"] = jnp.asarray(tensor)
+        elif leaf == "lora_up.weight":
+            t = jnp.asarray(tensor)
+            if t.ndim == 4:
+                t = t.reshape(t.shape[0], t.shape[1])
+            entry["lora_up"] = t
+        elif leaf == "dora_scale":
+            entry["dora_scale"] = jnp.asarray(tensor)
+        elif leaf in ("hada_w1_a", "hada_w1_b", "hada_w2_a", "hada_w2_b"):
+            entry[leaf] = jnp.asarray(tensor)
+        elif leaf == "alpha":
+            alpha = float(jnp.asarray(tensor))
+    return adapters, alpha

@@ -1,0 +1,150 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onetrainer_tpu.peft.lora import (
+    PeftConfig, apply_peft, init_peft_params, kohya_state_dict_to_peft,
+    peft_module_keys, peft_to_kohya_state_dict,
+)
+from onetrainer_tpu.util.enums import PeftType
+
+
+def _base_params():
+    rng = np.random.default_rng(0)
+    return {
+        "block": {
+            "attn": {"to_q": {"kernel": jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32)),
+                              "bias": jnp.zeros((16,))}},
+            "conv1": {"kernel": jnp.asarray(rng.normal(size=(3, 3, 4, 8)).astype(np.float32)),
+                      "bias": jnp.zeros((8,))},
+            "norm": {"scale": jnp.ones((8,)), "bias": jnp.zeros((8,))},
+        }
+    }
+
+
+def test_init_targets_kernels_only():
+    cfg = PeftConfig(rank=4)
+    adapters = init_peft_params(jax.random.PRNGKey(0), _base_params(), cfg)
+    assert set(adapters) == {"block/attn/to_q", "block/conv1"}
+    assert adapters["block/attn/to_q"]["lora_down"].shape == (4, 8)
+    assert adapters["block/attn/to_q"]["lora_up"].shape == (16, 4)
+    assert adapters["block/conv1"]["lora_down"].shape == (4, 4, 3, 3)
+    assert adapters["block/conv1"]["lora_up"].shape == (8, 4)
+
+
+def test_layer_filter():
+    cfg = PeftConfig(rank=4, layer_filter=("attn",))
+    adapters = init_peft_params(jax.random.PRNGKey(0), _base_params(), cfg)
+    assert set(adapters) == {"block/attn/to_q"}
+
+
+def test_zero_up_is_identity():
+    base = _base_params()
+    cfg = PeftConfig(rank=4)
+    adapters = init_peft_params(jax.random.PRNGKey(0), base, cfg)
+    merged = apply_peft(base, adapters, cfg)
+    np.testing.assert_allclose(
+        np.asarray(merged["block"]["attn"]["to_q"]["kernel"]),
+        np.asarray(base["block"]["attn"]["to_q"]["kernel"]), atol=1e-7)
+
+
+def test_lora_linear_matches_activation_form():
+    """Weight-space merge == activation-space LoRA: x@(W + a/r * (up@down).T)"""
+    base = _base_params()
+    cfg = PeftConfig(rank=4, alpha=2.0)
+    adapters = init_peft_params(jax.random.PRNGKey(0), base, cfg)
+    adapters["block/attn/to_q"]["lora_up"] = jax.random.normal(
+        jax.random.PRNGKey(1), (16, 4))
+    merged = apply_peft(base, adapters, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, 8))
+    got = x @ merged["block"]["attn"]["to_q"]["kernel"]
+    down = np.asarray(adapters["block/attn/to_q"]["lora_down"])  # [r, in]
+    up = np.asarray(adapters["block/attn/to_q"]["lora_up"])      # [out, r]
+    want = np.asarray(x) @ np.asarray(base["block"]["attn"]["to_q"]["kernel"]) \
+        + (np.asarray(x) @ down.T) @ up.T * (2.0 / 4.0)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_lora_conv_matches_explicit_composition():
+    """Conv delta == composing down-conv (3x3) then up-conv (1x1)."""
+    base = _base_params()
+    cfg = PeftConfig(rank=4, alpha=4.0)
+    adapters = init_peft_params(jax.random.PRNGKey(0), base, cfg)
+    adapters["block/conv1"]["lora_up"] = jax.random.normal(jax.random.PRNGKey(1), (8, 4))
+    merged = apply_peft(base, adapters, cfg)
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4))
+    dn = lambda k, inp: jax.lax.conv_general_dilated(
+        inp, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = dn(merged["block"]["conv1"]["kernel"], x)
+
+    down_t = np.asarray(adapters["block/conv1"]["lora_down"])  # [r, in, kh, kw]
+    down_flax = jnp.asarray(down_t.transpose(2, 3, 1, 0))      # HWIR
+    up_flax = jnp.asarray(np.asarray(adapters["block/conv1"]["lora_up"]).T)[None, None]  # 11RO
+    want = dn(base["block"]["conv1"]["kernel"], x) + dn(up_flax, dn(down_flax, x)) * (4.0 / 4.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_dora_norm_semantics():
+    base = _base_params()
+    cfg = PeftConfig(rank=4, alpha=1.0, decompose=True)
+    adapters = init_peft_params(jax.random.PRNGKey(0), base, cfg)
+    assert adapters["block/attn/to_q"]["dora_scale"].shape == (1, 8)
+    # with up=0, WP == W and dora_scale == per-input-column norms, so
+    # merged == W exactly
+    merged = apply_peft(base, adapters, cfg)
+    np.testing.assert_allclose(
+        np.asarray(merged["block"]["attn"]["to_q"]["kernel"]),
+        np.asarray(base["block"]["attn"]["to_q"]["kernel"]), atol=1e-5)
+
+
+def test_dora_output_axis_shape():
+    cfg = PeftConfig(rank=4, decompose=True, decompose_output_axis=True)
+    adapters = init_peft_params(jax.random.PRNGKey(0), _base_params(), cfg)
+    assert adapters["block/attn/to_q"]["dora_scale"].shape == (16, 1)
+
+
+def test_loha_init_and_identity():
+    base = _base_params()
+    cfg = PeftConfig(rank=4, peft_type=PeftType.LOHA)
+    adapters = init_peft_params(jax.random.PRNGKey(0), base, cfg)
+    e = adapters["block/attn/to_q"]
+    assert e["hada_w1_a"].shape == (16, 4) and e["hada_w1_b"].shape == (4, 8)
+    # w2_a is zero-init -> W2 = 0 -> delta = 0
+    merged = apply_peft(base, adapters, cfg)
+    np.testing.assert_allclose(
+        np.asarray(merged["block"]["attn"]["to_q"]["kernel"]),
+        np.asarray(base["block"]["attn"]["to_q"]["kernel"]), atol=1e-6)
+
+
+def test_kohya_roundtrip():
+    base = _base_params()
+    cfg = PeftConfig(rank=4, alpha=2.0)
+    adapters = init_peft_params(jax.random.PRNGKey(0), base, cfg)
+    sd = peft_to_kohya_state_dict(adapters, cfg, "lora_unet")
+    assert "lora_unet_block_attn_to_q.lora_down.weight" in sd
+    assert sd["lora_unet_block_conv1.lora_up.weight"].shape == (8, 4, 1, 1)
+    assert float(sd["lora_unet_block_attn_to_q.alpha"]) == 2.0
+    keys = peft_module_keys(base, cfg)
+    back, alpha = kohya_state_dict_to_peft(sd, "lora_unet", keys)
+    assert alpha == 2.0
+    assert set(back) == set(adapters)
+    for mk in adapters:
+        for leaf in ("lora_down", "lora_up"):
+            np.testing.assert_array_equal(
+                np.asarray(back[mk][leaf]), np.asarray(adapters[mk][leaf]))
+
+
+def test_gradients_flow_to_adapters_only():
+    base = _base_params()
+    cfg = PeftConfig(rank=4)
+    adapters = init_peft_params(jax.random.PRNGKey(0), base, cfg)
+
+    def loss_fn(adapters):
+        merged = apply_peft(base, adapters, cfg)
+        x = jnp.ones((2, 8))
+        return jnp.sum(x @ merged["block"]["attn"]["to_q"]["kernel"]) ** 2
+
+    grads = jax.grad(loss_fn)(adapters)
+    # up receives gradient even though it's zero-init (down != 0)
+    assert float(jnp.abs(grads["block/attn/to_q"]["lora_up"]).max()) > 0
