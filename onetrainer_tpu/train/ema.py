@@ -1,0 +1,57 @@
+"""EMA of trainable params as a pure pytree transform
+(reference: modules/module/EMAModule.py:6-86).
+
+Decay warmup: min((1+s)/(10+s), decay) with s counted in EMA updates;
+updates gated on a step interval. On TPU the EMA lives in HBM next to
+the params (EMAMode.GPU) or on the host (EMAMode.CPU) via device_put.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class EMAState(NamedTuple):
+    params: dict
+    step: jnp.ndarray  # number of EMA updates so far
+
+
+def init_ema(params: dict) -> EMAState:
+    return EMAState(
+        params=jax.tree.map(lambda p: p.astype(jnp.float32), params),
+        step=jnp.zeros([], jnp.int32),
+    )
+
+
+def ema_decay(state_step: jnp.ndarray, max_decay: float) -> jnp.ndarray:
+    step = state_step.astype(jnp.float32)
+    return jnp.minimum((1.0 + step) / (10.0 + step), max_decay)
+
+
+def update_ema(state: EMAState, params: dict, max_decay: float) -> EMAState:
+    decay = ema_decay(state.step, max_decay)
+    new_params = jax.tree.map(
+        lambda e, p: e * decay + p.astype(jnp.float32) * (1.0 - decay),
+        state.params, params)
+    return EMAState(params=new_params, step=state.step + 1)
+
+
+def maybe_update_ema(
+        state: EMAState,
+        params: dict,
+        max_decay: float,
+        global_step: jnp.ndarray,
+        update_interval: int,
+) -> EMAState:
+    """Interval-gated EMA update, usable inside jit (lax.cond)."""
+    if update_interval <= 1:
+        return update_ema(state, params, max_decay)
+    return jax.lax.cond(
+        (global_step % update_interval) == 0,
+        lambda s: update_ema(s, params, max_decay),
+        lambda s: s,
+        state,
+    )

@@ -1,0 +1,151 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onetrainer_tpu.config.train_config import TrainOptimizerConfig
+from onetrainer_tpu.ops.stochastic import apply_updates_stochastic, stochastic_round_to_bf16
+from onetrainer_tpu.train.ema import ema_decay, init_ema, maybe_update_ema, update_ema
+from onetrainer_tpu.train.lr_schedules import make_lr_lambda, make_schedule, with_warmup
+from onetrainer_tpu.train.optimizers import create_group_optimizer, create_optimizer
+from onetrainer_tpu.util.enums import LearningRateScheduler, Optimizer
+
+IMPLEMENTED = [
+    Optimizer.ADAMW, Optimizer.ADAMW_8BIT, Optimizer.ADAM, Optimizer.SGD,
+    Optimizer.ADAGRAD, Optimizer.RMSPROP, Optimizer.LION, Optimizer.LARS,
+    Optimizer.LAMB, Optimizer.ADEMAMIX, Optimizer.ADOPT, Optimizer.ADABELIEF,
+    Optimizer.YOGI, Optimizer.TIGER, Optimizer.ADAFACTOR, Optimizer.CAME,
+    Optimizer.SCHEDULE_FREE_ADAMW, Optimizer.SCHEDULE_FREE_SGD,
+    Optimizer.DADAPT_ADAM, Optimizer.PRODIGY,
+]
+
+
+def _params():
+    rng = np.random.default_rng(0)
+    return {
+        "w": jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32)),
+        "b": jnp.zeros((16,)),
+    }
+
+
+@pytest.mark.parametrize("opt", IMPLEMENTED, ids=lambda o: o.value)
+def test_optimizer_runs_and_reduces_loss(opt):
+    params = _params()
+    tx = create_optimizer(opt, TrainOptimizerConfig.default_values(), 1e-2)
+    state = tx.init(params)
+    target = jnp.ones((8, 16))
+
+    @jax.jit
+    def step(params, state):
+        loss, grads = jax.value_and_grad(
+            lambda p: jnp.mean((p["w"] + p["b"] - target) ** 2))(params)
+        updates, state = tx.update(grads, state, params)
+        import optax
+        return optax.apply_updates(params, updates), state, loss
+
+    loss0 = None
+    for i in range(10):
+        params, state, loss = step(params, state)
+        if loss0 is None:
+            loss0 = float(loss)
+    assert float(loss) < loss0
+
+
+def test_unimplemented_raises():
+    with pytest.raises(NotImplementedError):
+        create_optimizer(Optimizer.AIDA, TrainOptimizerConfig.default_values(), 1e-3)
+
+
+def test_group_optimizer_different_lrs():
+    params = {"unet": _params(), "te": _params()}
+    labels = {"unet": {"w": "unet", "b": "unet"}, "te": {"w": "te", "b": "te"}}
+    tx = create_group_optimizer(
+        {"unet": 1e-2, "te": 0.0}, Optimizer.SGD,
+        TrainOptimizerConfig.default_values(), labels)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["unet"]["w"]).max()) > 0
+    assert float(jnp.abs(updates["te"]["w"]).max()) == 0
+
+
+def test_lr_schedules_shapes():
+    for sched in [LearningRateScheduler.CONSTANT, LearningRateScheduler.LINEAR,
+                  LearningRateScheduler.COSINE, LearningRateScheduler.COSINE_WITH_RESTARTS,
+                  LearningRateScheduler.COSINE_WITH_HARD_RESTARTS, LearningRateScheduler.REX]:
+        fn = make_lr_lambda(sched, 100, num_cycles=2.0, min_factor=0.1)
+        v0 = float(fn(jnp.asarray(0.0)))
+        v_end = float(fn(jnp.asarray(99.0)))
+        assert 0.0 <= v_end <= v0 + 1e-6 or sched in (
+            LearningRateScheduler.COSINE_WITH_RESTARTS,
+            LearningRateScheduler.COSINE_WITH_HARD_RESTARTS)
+        assert v0 == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cosine_matches_reference_formula():
+    import math
+    fn = make_lr_lambda(LearningRateScheduler.COSINE, 100, min_factor=0.0)
+    for step in [0, 25, 50, 99]:
+        want = max(0.0, 0.5 * (1 + math.cos(step / 100 * math.pi)))
+        assert float(fn(jnp.asarray(float(step)))) == pytest.approx(want, abs=1e-6)
+
+
+def test_rex_matches_reference_formula():
+    fn = make_lr_lambda(LearningRateScheduler.REX, 100, min_factor=0.0)
+    for step in [0, 30, 70]:
+        p = step / 100
+        want = (1 - p) / ((1 - 0.9) + 0.9 * (1 - p))
+        assert float(fn(jnp.asarray(float(step)))) == pytest.approx(want, abs=1e-5)
+
+
+def test_warmup():
+    fn = with_warmup(lambda s: jnp.ones_like(s), 10)
+    assert float(fn(jnp.asarray(0.0))) == 0.0
+    assert float(fn(jnp.asarray(5.0))) == 0.5
+    assert float(fn(jnp.asarray(15.0))) == 1.0
+
+
+def test_make_schedule_absolute():
+    sched = make_schedule(LearningRateScheduler.CONSTANT, 100, 10, 1.0, 0.0, 3e-4)
+    assert float(sched(jnp.asarray(50))) == pytest.approx(3e-4)
+    assert float(sched(jnp.asarray(5))) == pytest.approx(1.5e-4)
+
+
+def test_ema_decay_warmup():
+    assert float(ema_decay(jnp.asarray(0), 0.999)) == pytest.approx(0.1)
+    assert float(ema_decay(jnp.asarray(90), 0.999)) == pytest.approx(0.91)
+    assert float(ema_decay(jnp.asarray(10_000_000), 0.999)) == pytest.approx(0.999)
+
+
+def test_ema_update_and_interval():
+    params = {"w": jnp.zeros((4,))}
+    state = init_ema(params)
+    new_params = {"w": jnp.ones((4,))}
+    state = update_ema(state, new_params, max_decay=0.5)
+    # decay at step 0 is 0.1 -> ema = 0*0.1 + 1*0.9
+    np.testing.assert_allclose(np.asarray(state.params["w"]), 0.9)
+    # interval gating: step not divisible -> unchanged
+    state2 = maybe_update_ema(state, params, 0.5, jnp.asarray(3), 5)
+    np.testing.assert_allclose(np.asarray(state2.params["w"]), 0.9)
+    state3 = maybe_update_ema(state, params, 0.5, jnp.asarray(5), 5)
+    assert float(state3.params["w"][0]) != pytest.approx(0.9)
+
+
+def test_stochastic_rounding_unbiased():
+    x = jnp.full((20000,), 1.0 + 1.0 / 512.0, dtype=jnp.float32)  # between bf16 steps
+    rounded = stochastic_round_to_bf16(x, jax.random.PRNGKey(0))
+    mean = float(rounded.astype(jnp.float32).mean())
+    assert mean == pytest.approx(1.0 + 1.0 / 512.0, rel=1e-3)
+    # exact values round exactly
+    y = jnp.full((100,), 1.5, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(stochastic_round_to_bf16(y, jax.random.PRNGKey(1)).astype(jnp.float32)), 1.5)
+
+
+def test_apply_updates_stochastic_mixed_tree():
+    params = {"a": jnp.ones((8,), jnp.bfloat16), "b": jnp.ones((8,), jnp.float32)}
+    updates = {"a": jnp.full((8,), 1e-4, jnp.float32), "b": jnp.full((8,), 1e-4, jnp.float32)}
+    out = apply_updates_stochastic(params, updates, jax.random.PRNGKey(0))
+    assert out["a"].dtype == jnp.bfloat16
+    assert out["b"].dtype == jnp.float32
+    assert float(out["b"][0]) == pytest.approx(1.0001)
