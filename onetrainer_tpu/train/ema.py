@@ -20,8 +20,10 @@ class EMAState(NamedTuple):
 
 
 def init_ema(params: dict) -> EMAState:
+    # jnp.copy (not astype): fp32 astype aliases the input buffer, and an
+    # aliased params/ema pair breaks buffer donation of the train state
     return EMAState(
-        params=jax.tree.map(lambda p: p.astype(jnp.float32), params),
+        params=jax.tree.map(lambda p: jnp.copy(p).astype(jnp.float32), params),
         step=jnp.zeros([], jnp.int32),
     )
 

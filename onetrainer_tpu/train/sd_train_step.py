@@ -1,0 +1,226 @@
+"""The jitted SD-family training step.
+
+One XLA program per configuration: timestep sampling → noising → text
+conditioning (cached or live) → UNet forward → loss stack → backward →
+clip → optimizer → (stochastic-rounded) param update → EMA. Replaces the
+reference's python hot loop + device shuffling + fused-back-pass
+machinery (reference: modules/trainer/GenericTrainer.py:568-764,
+modules/modelSetup/BaseStableDiffusionSetup.py:135-310).
+
+Sharding: state/frozen params carry FSDP NamedShardings, batches carry
+("data","fsdp") shardings; compute follows data under jit and XLA places
+the collectives.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from onetrainer_tpu.math.losses import LossConfig, diffusion_losses
+from onetrainer_tpu.math.noise import add_noise_discrete, create_noise
+from onetrainer_tpu.math.schedules import DiffusionScheduleCoefficients
+from onetrainer_tpu.math.timesteps import TimestepConfig, sample_timesteps_discrete
+from onetrainer_tpu.models.clip import encode_clip_text
+from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
+from onetrainer_tpu.peft.lora import PeftConfig, apply_peft
+from onetrainer_tpu.train.ema import maybe_update_ema
+from onetrainer_tpu.train.train_state import TrainState
+from onetrainer_tpu.util.enums import TrainingMethod
+
+
+@dataclass(frozen=True)
+class SDStepConfig:
+    """Static configuration baked into the compiled step."""
+    training_method: TrainingMethod
+    timestep: TimestepConfig
+    loss: LossConfig
+    offset_noise_weight: float = 0.0
+    perturbation_noise_weight: float = 0.0
+    vae_scaling_factor: float = 0.18215
+    prediction_type: str = "epsilon"
+    text_encoder_layer_skip: int = 0
+    train_text_encoder: bool = False
+    stochastic_rounding: bool = True
+    ema_decay: float = 0.0              # 0 = EMA off
+    ema_update_interval: int = 1
+    num_train_timesteps: int = 1000
+
+    @staticmethod
+    def from_train_config(config, prediction_type: str = "epsilon",
+                          layer_skip: int = 0) -> "SDStepConfig":
+        return SDStepConfig(
+            training_method=config.training_method,
+            timestep=TimestepConfig.from_train_config(config),
+            loss=LossConfig.from_train_config(
+                config, v_prediction=prediction_type == "v_prediction"),
+            offset_noise_weight=config.offset_noise_weight,
+            perturbation_noise_weight=config.perturbation_noise_weight,
+            prediction_type=prediction_type,
+            text_encoder_layer_skip=layer_skip,
+            train_text_encoder=config.train_text_encoder_or_embedding(),
+            stochastic_rounding=config.optimizer.stochastic_rounding,
+            ema_decay=config.ema_decay if config.ema.value != "OFF" else 0.0,
+            ema_update_interval=config.ema_update_step_interval,
+        )
+
+
+def sd_predict(
+        unet_apply,
+        te_apply,
+        unet_params: dict,
+        te_params: dict | None,
+        batch: dict,
+        rng: jax.Array,
+        cfg: SDStepConfig,
+        coefficients: DiffusionScheduleCoefficients,
+        deterministic: bool = False,
+) -> tuple[dict, dict]:
+    """The SD1.x/2.x predict: returns (data, batch-extras) like the
+    reference's setup.predict (reference: BaseStableDiffusionSetup.py:135-310).
+    `batch['latent_image']` is the *unscaled* VAE latent (NHWC)."""
+    rng_t, rng_noise, rng_sample = jax.random.split(rng, 3)
+
+    latent = batch["latent_image"]
+    if "latent_logvar" in batch:
+        # sample from the cached VAE distribution per step
+        std = jnp.exp(0.5 * jnp.clip(batch["latent_logvar"], -30.0, 20.0))
+        latent = latent + std * jax.random.normal(rng_sample, latent.shape, latent.dtype)
+    scaled_latent = latent * cfg.vae_scaling_factor
+
+    batch_size = scaled_latent.shape[0]
+    timestep = sample_timesteps_discrete(
+        rng_t, batch_size, cfg.timestep,
+        num_train_timesteps=cfg.num_train_timesteps,
+        deterministic=deterministic)
+
+    noise = create_noise(
+        rng_noise, scaled_latent.shape, scaled_latent.dtype,
+        cfg.offset_noise_weight, cfg.perturbation_noise_weight)
+
+    noisy = add_noise_discrete(
+        scaled_latent, noise, timestep,
+        coefficients.sqrt_alphas_cumprod,
+        coefficients.sqrt_one_minus_alphas_cumprod)
+
+    # text conditioning: cached hidden state or live encode
+    if "text_encoder_hidden_state" in batch and not cfg.train_text_encoder:
+        context = batch["text_encoder_hidden_state"]
+    else:
+        extra = batch.get("extra_embeddings")
+        out = te_apply({"params": te_params}, batch["tokens"],
+                       None, extra)
+        context = encode_clip_text(out, cfg.text_encoder_layer_skip)
+
+    unet_in = noisy
+    if "latent_conditioning_image" in batch:
+        # inpainting: concat [noisy, mask, conditioning latent] on channels
+        unet_in = jnp.concatenate([
+            noisy,
+            batch["latent_mask"].astype(noisy.dtype),
+            batch["latent_conditioning_image"] * cfg.vae_scaling_factor,
+        ], axis=-1)
+    elif "latent_depth" in batch:
+        unet_in = jnp.concatenate(
+            [noisy, batch["latent_depth"].astype(noisy.dtype)], axis=-1)
+
+    predicted = unet_apply({"params": unet_params}, unet_in, timestep, context)
+
+    if cfg.prediction_type == "v_prediction":
+        sac = coefficients.sqrt_alphas_cumprod[timestep].reshape(-1, 1, 1, 1)
+        somac = coefficients.sqrt_one_minus_alphas_cumprod[timestep].reshape(-1, 1, 1, 1)
+        target = sac * noise.astype(jnp.float32) - somac * scaled_latent.astype(jnp.float32)
+    else:
+        target = noise.astype(jnp.float32)
+
+    data = {
+        "loss_type": "target",
+        "predicted": predicted,
+        "target": target,
+        "timestep": timestep,
+        "scaled_latent_image": scaled_latent,
+        "noisy_latent_image": noisy,
+        "prediction_type": cfg.prediction_type,
+    }
+    return data, {}
+
+
+def make_sd_train_step(
+        model,                      # StableDiffusionModel (module defs + betas)
+        cfg: SDStepConfig,
+        tx: optax.GradientTransformation,
+        peft_cfg: PeftConfig | None = None,
+):
+    """Build the jitted train step.
+
+    Signature of the returned fn:
+        train_step(state: TrainState, frozen: dict, batch: dict, rng)
+            -> (TrainState, metrics dict)
+
+    `frozen` holds the non-trained param trees ('unet', 'text_encoder' as
+    applicable); `state.params` holds the trainable tree:
+      FINE_TUNE: {'unet': ..., ['text_encoder': ...]}
+      LORA:      {'unet_lora': adapters, ['te_lora': adapters]}
+      EMBEDDING: {'embeddings': [n_tokens, hidden]}
+    """
+    unet_apply = model.unet.apply
+    te_apply = model.text_encoder.apply
+    coefficients = model.coefficients()
+
+    def resolve_params(trainable: dict, frozen: dict, rng):
+        """Merge trainable + frozen into concrete unet/te params."""
+        method = cfg.training_method
+        if method == TrainingMethod.LORA:
+            unet_params = apply_peft(frozen["unet"], trainable["unet_lora"],
+                                     peft_cfg, rng)
+            te_params = frozen.get("text_encoder")
+            if "te_lora" in trainable and te_params is not None:
+                te_params = apply_peft(te_params, trainable["te_lora"], peft_cfg, rng)
+            extra = trainable.get("embeddings")
+            return unet_params, te_params, extra
+        if method == TrainingMethod.EMBEDDING:
+            return frozen["unet"], frozen["text_encoder"], trainable["embeddings"]
+        # FINE_TUNE
+        unet_params = trainable.get("unet", frozen.get("unet"))
+        te_params = trainable.get("text_encoder", frozen.get("text_encoder"))
+        return unet_params, te_params, trainable.get("embeddings")
+
+    def loss_fn(trainable, frozen, batch, rng):
+        rng_peft, rng_predict = jax.random.split(rng)
+        unet_params, te_params, extra = resolve_params(trainable, frozen, rng_peft)
+        if extra is not None:
+            batch = dict(batch, extra_embeddings=extra)
+        data, _ = sd_predict(
+            unet_apply, te_apply, unet_params, te_params, batch,
+            rng_predict, cfg, coefficients)
+        losses = diffusion_losses(batch, data, cfg.loss, coefficients)
+        return losses.mean(), {"timestep_mean": data["timestep"].mean()}
+
+    def train_step(state: TrainState, frozen: dict, batch: dict, rng: jax.Array):
+        rng_loss, rng_round = jax.random.split(jax.random.fold_in(rng, state.step))
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, frozen, batch, rng_loss)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if cfg.stochastic_rounding:
+            params = apply_updates_stochastic(state.params, updates, rng_round)
+        else:
+            params = optax.apply_updates(state.params, updates)
+
+        ema = state.ema
+        if ema is not None and cfg.ema_decay > 0:
+            ema = maybe_update_ema(ema, params, cfg.ema_decay,
+                                   state.step, cfg.ema_update_interval)
+
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, ema=ema)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
