@@ -18,7 +18,11 @@ A100_BASELINE_IMGS_PER_SEC = 2.9
 
 
 def main():
+    import os
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import optax
 

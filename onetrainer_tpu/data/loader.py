@@ -83,7 +83,9 @@ class Text2ImageDataLoader:
             include_validation: bool = False,
             encode_batch_size: int = 8,
             model_tag: str = "sd",
+            latent_scale: int = 8,
     ):
+        self.latent_scale = latent_scale
         self.config = config
         self.encode_images = encode_images
         self.encode_text = encode_text
@@ -241,11 +243,11 @@ class Text2ImageDataLoader:
                 if on_progress:
                     on_progress(done, total)
 
-    @staticmethod
-    def _latent_mask(mask: np.ndarray) -> np.ndarray:
+    def _latent_mask(self, mask: np.ndarray) -> np.ndarray:
         h, w = mask.shape[:2]
+        s = self.latent_scale
         pil = Image.fromarray((mask[..., 0] * 255).astype(np.uint8))
-        pil = pil.resize((w // 8, h // 8), Image.NEAREST)
+        pil = pil.resize((w // s, h // s), Image.NEAREST)
         return (np.asarray(pil, np.float32) / 255.0)[..., None]
 
     # -- batch materialization ------------------------------------------------------

@@ -28,6 +28,11 @@ class VAEConfig:
     shift_factor: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
 
+    @property
+    def spatial_scale(self) -> int:
+        """pixels per latent cell (8 for the SD VAE: 3 downsamples)."""
+        return 2 ** (len(self.block_out_channels) - 1)
+
 
 def sd15_vae_config(**overrides) -> VAEConfig:
     return VAEConfig(**overrides)

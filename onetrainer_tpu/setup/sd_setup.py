@@ -1,0 +1,263 @@
+"""SD-family model setup: bind (model, TrainConfig) into trainable/frozen
+param trees, the optimizer, encode fns for the data loader, and the jitted
+train step.
+
+Functional replacement for the reference's setup classes
+(reference: modules/modelSetup/StableDiffusionFineTuneSetup.py,
+StableDiffusionLoRASetup.py, StableDiffusionEmbeddingSetup.py,
+BaseStableDiffusionSetup.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.math.timesteps import TimestepConfig
+from onetrainer_tpu.models.clip import encode_clip_text
+from onetrainer_tpu.models.sd import StableDiffusionModel
+from onetrainer_tpu.peft.lora import PeftConfig, apply_peft, init_peft_params
+from onetrainer_tpu.setup.tokenizer import SDTokenizer
+from onetrainer_tpu.train.lr_schedules import make_schedule
+from onetrainer_tpu.train.optimizers import create_group_optimizer
+from onetrainer_tpu.train.sd_train_step import SDStepConfig, make_sd_train_step
+from onetrainer_tpu.train.train_state import create_train_state
+from onetrainer_tpu.util.enums import EMAMode, LearningRateScaler, TrainingMethod
+
+
+@dataclass
+class SDSetup:
+    model: StableDiffusionModel
+    config: TrainConfig
+    tokenizer: SDTokenizer
+    peft_cfg: PeftConfig | None
+    step_cfg: SDStepConfig
+    trainable: dict
+    frozen: dict
+    tx: object
+    train_step: object
+    state: object = None
+    embedding_ids: dict = field(default_factory=dict)   # uuid -> (start, count)
+
+    def merged_inference_params(self, params=None):
+        """(unet, te, extra_embeddings) with adapters applied, for
+        sampling/saving."""
+        params = params if params is not None else self.state.params
+        method = self.config.training_method
+        if method == TrainingMethod.LORA:
+            unet = apply_peft(self.frozen["unet"], params["unet_lora"], self.peft_cfg)
+            te = self.frozen.get("text_encoder")
+            if "te_lora" in params and te is not None:
+                te = apply_peft(te, params["te_lora"], self.peft_cfg)
+            return unet, te, params.get("embeddings")
+        if method == TrainingMethod.EMBEDDING:
+            return self.frozen["unet"], self.frozen["text_encoder"], params["embeddings"]
+        unet = params.get("unet", self.frozen.get("unet"))
+        te = params.get("text_encoder", self.frozen.get("text_encoder"))
+        return unet, te, params.get("embeddings")
+
+
+def _lr_scale(config: TrainConfig) -> float:
+    """sqrt batch/accum LR scaling (reference:
+    modules/util/NamedParameterGroup.py parameters_for_optimizer)."""
+    scaler = config.learning_rate_scaler
+    scale = 1.0
+    if scaler in (LearningRateScaler.BATCH, LearningRateScaler.BOTH):
+        scale *= config.batch_size ** 0.5
+    if scaler in (LearningRateScaler.GRADIENT_ACCUMULATION, LearningRateScaler.BOTH):
+        scale *= config.gradient_accumulation_steps ** 0.5
+    return scale
+
+
+def _group_schedule(config: TrainConfig, group_lr: float | None, total_steps: int):
+    base_lr = (group_lr if group_lr is not None else config.learning_rate)
+    base_lr *= _lr_scale(config)
+    return make_schedule(
+        config.learning_rate_scheduler,
+        total_steps,
+        config.learning_rate_warmup_steps,
+        config.learning_rate_cycles,
+        config.learning_rate_min_factor,
+        base_lr,
+    )
+
+
+def _init_embedding_vectors(model, te_params, tokenizer: SDTokenizer,
+                            config: TrainConfig) -> tuple[jnp.ndarray | None, dict]:
+    """Create trained-embedding vectors from initial text token embeddings
+    (reference: ModelSetupEmbeddingMixin.py:37-80)."""
+    embedding_configs = config.all_embedding_configs()
+    if not embedding_configs:
+        return None, {}
+    table = np.asarray(te_params["token_embedding"])
+    vectors = []
+    ids_map = {}
+    offset = 0
+    for e in embedding_configs:
+        count = e.token_count or 1
+        init_ids = tokenizer._encode_words(e.initial_embedding_text)
+        if not init_ids:
+            init_ids = [0]
+        init = np.stack([table[init_ids[i % len(init_ids)]] for i in range(count)])
+        vectors.append(init)
+        tokenizer.register_placeholder(e.placeholder, count)
+        ids_map[e.uuid] = (offset, count)
+        offset += count
+    return jnp.asarray(np.concatenate(vectors, 0), jnp.float32), ids_map
+
+
+def create_sd_setup(
+        model: StableDiffusionModel,
+        config: TrainConfig,
+        total_steps: int = 10_000,
+) -> SDSetup:
+    method = config.training_method
+
+    # prediction forcing (reference: StableDiffusionFineTuneSetup.py:80-86)
+    if config.rescale_noise_scheduler_to_zero_terminal_snr:
+        model.rescale_noise_scheduler_to_zero_terminal_snr()
+        model.force_v_prediction()
+    if config.force_v_prediction:
+        model.force_v_prediction()
+    if config.force_epsilon_prediction:
+        model.force_epsilon_prediction()
+
+    if isinstance(model.tokenizer, SDTokenizer):
+        tokenizer = model.tokenizer
+    else:
+        tc = model.te_config
+        tokenizer = SDTokenizer(
+            model.tokenizer, max_length=tc.max_position_embeddings,
+            vocab_size=tc.vocab_size, bos=max(tc.eos_token_id - 1, 0),
+            eos=tc.eos_token_id)
+        model.tokenizer = tokenizer
+
+    peft_cfg = None
+    trainable: dict = {}
+    frozen: dict = {}
+    group_schedules: dict = {}
+    labels: dict = {}
+    embedding_ids: dict = {}
+
+    train_te = config.train_text_encoder_or_embedding()
+
+    if method == TrainingMethod.LORA:
+        peft_cfg = PeftConfig.from_train_config(config)
+        rng = jax.random.PRNGKey(0)
+        if config.unet.train:
+            trainable["unet_lora"] = init_peft_params(rng, model.unet_params, peft_cfg)
+            group_schedules["unet_lora"] = _group_schedule(
+                config, config.unet.learning_rate, total_steps)
+            labels["unet_lora"] = jax.tree.map(lambda _: "unet_lora",
+                                               trainable["unet_lora"])
+        if config.text_encoder.train and model.te_params is not None:
+            trainable["te_lora"] = init_peft_params(
+                jax.random.PRNGKey(1), model.te_params, peft_cfg)
+            group_schedules["te_lora"] = _group_schedule(
+                config, config.text_encoder.learning_rate, total_steps)
+            labels["te_lora"] = jax.tree.map(lambda _: "te_lora", trainable["te_lora"])
+        frozen["unet"] = model.unet_params
+        frozen["text_encoder"] = model.te_params
+    elif method == TrainingMethod.EMBEDDING:
+        vectors, embedding_ids = _init_embedding_vectors(
+            model, model.te_params, tokenizer, config)
+        trainable["embeddings"] = vectors
+        lr = config.embedding_learning_rate or config.learning_rate
+        group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
+        labels["embeddings"] = "embeddings"
+        frozen["unet"] = model.unet_params
+        frozen["text_encoder"] = model.te_params
+    else:  # FINE_TUNE (and FINE_TUNE_VAE handled by vae setup)
+        if config.unet.train:
+            trainable["unet"] = model.unet_params
+            group_schedules["unet"] = _group_schedule(
+                config, config.unet.learning_rate, total_steps)
+            labels["unet"] = jax.tree.map(lambda _: "unet", trainable["unet"])
+        else:
+            frozen["unet"] = model.unet_params
+        if config.text_encoder.train:
+            trainable["text_encoder"] = model.te_params
+            group_schedules["text_encoder"] = _group_schedule(
+                config, config.text_encoder.learning_rate, total_steps)
+            labels["text_encoder"] = jax.tree.map(
+                lambda _: "text_encoder", trainable["text_encoder"])
+        else:
+            frozen["text_encoder"] = model.te_params
+        # trained additional embeddings alongside fine tune
+        if config.train_any_embedding():
+            vectors, embedding_ids = _init_embedding_vectors(
+                model, model.te_params, tokenizer, config)
+            if vectors is not None:
+                trainable["embeddings"] = vectors
+                lr = config.embedding_learning_rate or config.learning_rate
+                group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
+                labels["embeddings"] = "embeddings"
+
+    tx = create_group_optimizer(
+        group_schedules, config.optimizer.optimizer, config.optimizer, labels)
+    if config.clip_grad_norm is not None and config.clip_grad_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(config.clip_grad_norm), tx)
+    if config.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=config.gradient_accumulation_steps)
+
+    step_cfg_base = SDStepConfig.from_train_config(
+        config, model.prediction_type, model.text_encoder_layer_skip)
+    step_cfg = step_cfg_base
+    if method == TrainingMethod.EMBEDDING or embedding_ids:
+        # live TE encode required when embeddings train
+        step_cfg = SDStepConfig(**{**step_cfg.__dict__, "train_text_encoder": True})
+
+    train_step = make_sd_train_step(model, step_cfg, tx, peft_cfg)
+    state = create_train_state(trainable, tx,
+                               ema_enabled=config.ema != EMAMode.OFF)
+
+    return SDSetup(
+        model=model, config=config, tokenizer=tokenizer, peft_cfg=peft_cfg,
+        step_cfg=step_cfg, trainable=trainable, frozen=frozen, tx=tx,
+        train_step=train_step, state=state, embedding_ids=embedding_ids)
+
+
+def make_encode_fns(setup: SDSetup):
+    """Data-loader encode fns: jitted VAE encode + tokenization (+ TE
+    encode when the TE is frozen — cached hidden states, the reference's
+    text-embedding caching path)."""
+    model = setup.model
+    config = setup.config
+    vae_params = model.vae_params
+
+    @jax.jit
+    def _vae_encode(pixels):
+        mean, logvar = model.vae.apply(
+            {"params": vae_params}, pixels, method=model.vae.encode)
+        return mean, logvar
+
+    def encode_images(images: np.ndarray) -> dict:
+        mean, logvar = _vae_encode(jnp.asarray(images))
+        return {"latent_image": np.asarray(mean, np.float32),
+                "latent_logvar": np.asarray(logvar, np.float32)}
+
+    cache_te = not setup.step_cfg.train_text_encoder and model.te_params is not None
+
+    if cache_te:
+        te_params = model.te_params
+
+        @jax.jit
+        def _te_encode(tokens):
+            out = model.text_encoder.apply({"params": te_params}, tokens[None])
+            return encode_clip_text(out, setup.step_cfg.text_encoder_layer_skip)[0]
+
+        def encode_text(prompt: str) -> dict:
+            tokens = setup.tokenizer(prompt)
+            hidden = _te_encode(jnp.asarray(tokens))
+            return {"tokens": tokens,
+                    "text_encoder_hidden_state": np.asarray(hidden, np.float32)}
+    else:
+        def encode_text(prompt: str) -> dict:
+            return {"tokens": setup.tokenizer(prompt)}
+
+    return encode_images, encode_text

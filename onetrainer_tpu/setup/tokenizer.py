@@ -1,0 +1,77 @@
+"""Tokenizer wrapper with trained-embedding placeholder support.
+
+(reference: modules/modelSetup/mixin/ModelSetupEmbeddingMixin.py:25-88 —
+placeholder -> N unique tokens added to the tokenizer; here placeholders
+splice ids >= vocab_size which index the extra_embeddings table in
+models.clip.CLIPTextModel.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class SDTokenizer:
+    """CLIP tokenizer + placeholder splicing. Wraps a transformers
+    tokenizer when available; otherwise a deterministic hash fallback so
+    pipelines stay testable offline."""
+
+    def __init__(self, tokenizer_dir: str | None = None, max_length: int = 77,
+                 vocab_size: int = 49408, bos: int = 49406, eos: int = 49407):
+        self.max_length = max_length
+        self.vocab_size = vocab_size
+        self.bos = bos
+        self.eos = eos
+        self._tokenizer = None
+        if tokenizer_dir:
+            try:
+                from transformers import CLIPTokenizer
+                self._tokenizer = CLIPTokenizer.from_pretrained(tokenizer_dir)
+                self.vocab_size = self._tokenizer.vocab_size
+                self.bos = self._tokenizer.bos_token_id
+                self.eos = self._tokenizer.eos_token_id
+            except Exception as e:
+                print(f"tokenizer load failed ({e}); using hash fallback")
+        # placeholder -> list of extra ids (>= vocab_size)
+        self.placeholders: dict[str, list[int]] = {}
+        self._next_extra = 0
+
+    def register_placeholder(self, placeholder: str, token_count: int) -> list[int]:
+        ids = list(range(self.vocab_size + self._next_extra,
+                         self.vocab_size + self._next_extra + token_count))
+        self._next_extra += token_count
+        self.placeholders[placeholder] = ids
+        return ids
+
+    def _encode_words(self, text: str) -> list[int]:
+        if self._tokenizer is not None:
+            return self._tokenizer(text, add_special_tokens=False)["input_ids"]
+        # offline fallback: deterministic word hash into the vocab
+        return [abs(hash(w)) % (self.vocab_size - 2) + 1
+                for w in text.lower().split()]
+
+    def __call__(self, text: str) -> np.ndarray:
+        """-> int32 [max_length] with BOS/EOS + eos-padding (CLIP style)."""
+        pieces: list[int] = []
+        rest = text
+        # splice placeholders
+        spans = []
+        for ph, ids in self.placeholders.items():
+            start = 0
+            while True:
+                i = rest.find(ph, start)
+                if i < 0:
+                    break
+                spans.append((i, i + len(ph), ids))
+                start = i + len(ph)
+        spans.sort()
+        cursor = 0
+        for start, end, ids in spans:
+            pieces.extend(self._encode_words(rest[cursor:start]))
+            pieces.extend(ids)
+            cursor = end
+        pieces.extend(self._encode_words(rest[cursor:]))
+
+        ids = [self.bos] + pieces[: self.max_length - 2] + [self.eos]
+        ids = ids + [self.eos] * (self.max_length - len(ids))
+        return np.asarray(ids, np.int32)

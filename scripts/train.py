@@ -1,0 +1,77 @@
+"""CLI training entry point (reference: scripts/train.py).
+
+    python scripts/train.py --config-path training_presets/my_run.json
+
+Config JSON is the reference's v6 schema (older versions migrate on load).
+"""
+
+import argparse
+import json
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from onetrainer_tpu.config.concept_config import ConceptConfig
+from onetrainer_tpu.config.sample_config import SampleConfig
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.util.callbacks import TrainCallbacks
+from onetrainer_tpu.util.commands import TrainCommands
+from onetrainer_tpu.util.create import create_trainer
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Train a model")
+    parser.add_argument("--config-path", required=True,
+                        help="path to the train config json")
+    parser.add_argument("--secrets-path", default=None,
+                        help="path to a secrets json")
+    return parser.parse_args()
+
+
+def load_config(args) -> TrainConfig:
+    config = TrainConfig.default_values()
+    with open(args.config_path) as f:
+        config.from_dict(json.load(f))
+    if args.secrets_path and os.path.exists(args.secrets_path):
+        with open(args.secrets_path) as f:
+            config.secrets.from_dict(json.load(f))
+
+    if config.concepts is None and os.path.exists(config.concept_file_name):
+        with open(config.concept_file_name) as f:
+            config.concepts = [ConceptConfig.default_values().from_dict(c)
+                               for c in json.load(f)]
+    if config.samples is None and os.path.exists(config.sample_definition_file_name):
+        with open(config.sample_definition_file_name) as f:
+            config.samples = [SampleConfig.default_values().from_dict(s)
+                              for s in json.load(f)]
+    return config
+
+
+def main():
+    args = parse_args()
+    config = load_config(args)
+
+    callbacks = TrainCallbacks(
+        on_update_status=lambda s: print(f"status: {s}"),
+    )
+    commands = TrainCommands()
+    trainer = create_trainer(config, callbacks, commands)
+
+    trainer.start()
+    canceled = False
+    try:
+        trainer.train()
+    except KeyboardInterrupt:
+        canceled = True
+    except Exception:
+        traceback.print_exc()
+        canceled = True
+
+    if not canceled or config.backup_before_save:
+        trainer.end()
+
+
+if __name__ == "__main__":
+    main()
