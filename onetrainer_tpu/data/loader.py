@@ -227,21 +227,33 @@ class Text2ImageDataLoader:
         for bucket, group in by_bucket.items():
             for i in range(0, len(group), self.encode_batch_size):
                 chunk = group[i:i + self.encode_batch_size]
-                pixels, masks = [], []
+                pixels, masks, infos = [], [], []
                 for s in chunk:
-                    img, mask, _ = self._load_pixels(s)
+                    img, mask, info = self._load_pixels(s)
                     pixels.append(img)
                     masks.append(mask)
+                    infos.append(info)
                 encoded = self.encode_images(np.stack(pixels))
                 for j, s in enumerate(chunk):
                     tensors = {k: np.asarray(v[j]) for k, v in encoded.items()}
                     tensors["latent_mask"] = self._latent_mask(masks[j])
+                    tensors.update(self._crop_metadata(s, infos[j]))
                     text = self.encode_text(self._prompt(s))
                     tensors.update({k: np.asarray(v) for k, v in text.items()})
                     self.cache.save(s.cache_key, tensors)
                 done += len(chunk)
                 if on_progress:
                     on_progress(done, total)
+
+    def _crop_metadata(self, sample: PreparedSample, info) -> dict:
+        """SDXL micro-conditioning inputs (original size, crop offset,
+        target size — reference: BaseStableDiffusionXLSetup.py:241-267)."""
+        h, w = self._sizes[sample.entry_index]
+        return {
+            "original_resolution": np.asarray([h, w], np.int32),
+            "crop_offset": np.asarray(info.crop_offset, np.int32),
+            "crop_resolution": np.asarray(info.bucket, np.int32),
+        }
 
     def _latent_mask(self, mask: np.ndarray) -> np.ndarray:
         h, w = mask.shape[:2]
@@ -262,10 +274,11 @@ class Text2ImageDataLoader:
                         e.image_path, s.image_variation, self._cache_extra(s))
                 row = self.cache.load(s.cache_key)
             else:
-                img, mask, _ = self._load_pixels(s)
+                img, mask, info = self._load_pixels(s)
                 row = dict(self.encode_images(img[None]))
                 row = {k: np.asarray(v[0]) for k, v in row.items()}
                 row["latent_mask"] = self._latent_mask(mask)
+                row.update(self._crop_metadata(s, info))
                 row.update({k: np.asarray(v)
                             for k, v in self.encode_text(self._prompt(s)).items()})
             row["loss_weight"] = np.asarray(e.concept.loss_weight, np.float32)

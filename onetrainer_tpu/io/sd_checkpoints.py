@@ -161,6 +161,29 @@ def load_sd_diffusers(base_dir: str, weight_dtype=np.float32,
     }
 
 
+def load_sdxl_diffusers(base_dir: str, weight_dtype=np.float32,
+                        compute_dtype=jnp.bfloat16,
+                        gradient_checkpointing=False):
+    """Load a diffusers SDXL checkpoint directory (adds text_encoder_2 /
+    tokenizer_2)."""
+    out = load_sd_diffusers(base_dir, weight_dtype, compute_dtype,
+                            gradient_checkpointing)
+    import ml_dtypes
+    np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16}.get(weight_dtype, weight_dtype)
+    te2_cfg_json, te2_params = load_component(
+        base_dir, "text_encoder_2", clip_state_dict_to_flax, np_dtype)
+    te2_cfg = clip_config_from_transformers(te2_cfg_json or {}, compute_dtype)
+    if te2_cfg_json and te2_cfg.projection_dim is None:
+        # SDXL TE2 always projects; some config.jsons omit architectures
+        from dataclasses import replace
+        te2_cfg = replace(te2_cfg,
+                          projection_dim=te2_cfg_json.get("projection_dim", 1280))
+    out["te2_config"] = te2_cfg
+    out["te2_params"] = te2_params
+    out["tokenizer_2_dir"] = os.path.join(base_dir, "tokenizer_2")
+    return out
+
+
 # -- saving ----------------------------------------------------------------------
 
 def _to_numpy_tree(params, dtype):
@@ -223,3 +246,26 @@ def save_sd_diffusers(
     save_safetensors(
         os.path.join(base_dir, "text_encoder", "model.safetensors"),
         clip_flax_to_state_dict(_to_numpy_tree(te_params, save_dtype)), meta)
+
+
+def save_sdxl_diffusers(base_dir, model, unet_params, vae_params, te_params,
+                        te2_params, save_dtype=np.float32,
+                        metadata: dict | None = None, source_dir: str | None = None):
+    save_sd_diffusers(base_dir, model, unet_params, vae_params, te_params,
+                      save_dtype, metadata, source_dir)
+    if source_dir:
+        for name in ("text_encoder_2", "tokenizer_2"):
+            src = os.path.join(source_dir, name)
+            dst = os.path.join(base_dir, name)
+            if os.path.isdir(src):
+                os.makedirs(dst, exist_ok=True)
+                for f in os.listdir(src):
+                    s = os.path.join(src, f)
+                    if os.path.isfile(s) and not f.endswith((".safetensors", ".bin")):
+                        shutil.copy2(s, os.path.join(dst, f))
+    meta = {"format": "pt"}
+    if metadata:
+        meta.update(metadata)
+    save_safetensors(
+        os.path.join(base_dir, "text_encoder_2", "model.safetensors"),
+        clip_flax_to_state_dict(_to_numpy_tree(te2_params, save_dtype)), meta)

@@ -1,0 +1,169 @@
+"""Model-family registry: one adapter per family wiring loader, setup,
+encode fns, sampler, and save paths for the GenericTrainer
+(functional equivalent of the reference's create.py dispatch —
+reference: modules/util/create.py:149-433)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from collections.abc import Callable
+
+import jax
+import numpy as np
+
+from onetrainer_tpu.io.safetensors_io import save_safetensors
+from onetrainer_tpu.peft.lora import peft_to_kohya_state_dict
+from onetrainer_tpu.util.enums import ModelType, TrainingMethod
+
+
+@dataclass
+class ModelFamily:
+    name: str
+    quantization: int
+    load: Callable          # (base_dir, config) -> model
+    create_setup: Callable  # (model, config, total_steps) -> setup
+    make_encode_fns: Callable
+    sample: Callable        # (setup, sample_config, on_progress) -> SamplerOutput
+    save_model: Callable    # (setup, dir, source_dir) -> None (diffusers layout)
+    lora_prefixes: dict     # trainable key -> kohya prefix
+
+
+# -- SD 1.5 / 2.x -------------------------------------------------------------------
+
+def _sd_load(base_dir, config):
+    import jax.numpy as jnp
+    from onetrainer_tpu.io.sd_checkpoints import load_sd_diffusers
+    from onetrainer_tpu.models.sd import StableDiffusionModel
+    loaded = load_sd_diffusers(
+        base_dir,
+        weight_dtype=config.weight_dtypes().unet.to_compute_dtype() or np.float32,
+        compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
+        gradient_checkpointing=config.gradient_checkpointing.enabled(),
+    )
+    return StableDiffusionModel(
+        model_type=config.model_type,
+        unet_config=loaded["unet_config"],
+        vae_config=loaded["vae_config"],
+        te_config=loaded["te_config"],
+        unet_params=loaded["unet_params"],
+        vae_params=loaded["vae_params"],
+        te_params=loaded["te_params"],
+        prediction_type=loaded["prediction_type"],
+        text_encoder_layer_skip=1 if config.model_type.is_sd_v2() else 0,
+        tokenizer=loaded["tokenizer_dir"],
+    )
+
+
+def _sd_create_setup(model, config, total_steps):
+    from onetrainer_tpu.setup.sd_setup import create_sd_setup
+    return create_sd_setup(model, config, total_steps)
+
+
+def _sd_encode_fns(setup):
+    from onetrainer_tpu.setup.sd_setup import make_encode_fns
+    return make_encode_fns(setup)
+
+
+def _sd_sample(setup, sample_config, on_progress):
+    from onetrainer_tpu.sampling.sd_sampler import sample_stable_diffusion
+    unet, te, extra = setup.merged_inference_params()
+    return sample_stable_diffusion(
+        setup.model, unet, te, setup.model.vae_params, setup.tokenizer,
+        sample_config, extra_embeddings=extra, on_update_progress=on_progress)
+
+
+def _sd_save_model(setup, out_dir, source_dir):
+    from onetrainer_tpu.io.sd_checkpoints import save_sd_diffusers
+    unet, te, _ = setup.merged_inference_params()
+    save_sd_diffusers(out_dir, setup.model, unet, setup.model.vae_params, te,
+                      source_dir=source_dir)
+
+
+# -- SDXL -----------------------------------------------------------------------------
+
+def _sdxl_load(base_dir, config):
+    import jax.numpy as jnp
+    from onetrainer_tpu.io.sd_checkpoints import load_sdxl_diffusers
+    from onetrainer_tpu.models.sdxl import StableDiffusionXLModel
+    loaded = load_sdxl_diffusers(
+        base_dir,
+        weight_dtype=config.weight_dtypes().unet.to_compute_dtype() or np.float32,
+        compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
+        gradient_checkpointing=config.gradient_checkpointing.enabled(),
+    )
+    return StableDiffusionXLModel(
+        model_type=config.model_type,
+        unet_config=loaded["unet_config"],
+        vae_config=loaded["vae_config"],
+        te_config=loaded["te_config"],
+        te2_config=loaded["te2_config"],
+        unet_params=loaded["unet_params"],
+        vae_params=loaded["vae_params"],
+        te_params=loaded["te_params"],
+        te2_params=loaded["te2_params"],
+        prediction_type=loaded["prediction_type"],
+        tokenizer=loaded["tokenizer_dir"],
+        tokenizer_2=loaded["tokenizer_2_dir"],
+    )
+
+
+def _sdxl_create_setup(model, config, total_steps):
+    from onetrainer_tpu.setup.sdxl_setup import create_sdxl_setup
+    return create_sdxl_setup(model, config, total_steps)
+
+
+def _sdxl_encode_fns(setup):
+    from onetrainer_tpu.setup.sdxl_setup import make_sdxl_encode_fns
+    return make_sdxl_encode_fns(setup)
+
+
+def _sdxl_sample(setup, sample_config, on_progress):
+    from onetrainer_tpu.sampling.sdxl_sampler import sample_stable_diffusion_xl
+    unet, te, te2, extra = setup.merged_inference_params()
+    return sample_stable_diffusion_xl(
+        setup.model, unet, te, te2, setup.model.vae_params,
+        setup.tokenizer, setup.tokenizer_2, sample_config,
+        extra_embeddings=extra, on_update_progress=on_progress)
+
+
+def _sdxl_save_model(setup, out_dir, source_dir):
+    from onetrainer_tpu.io.sd_checkpoints import save_sdxl_diffusers
+    unet, te, te2, _ = setup.merged_inference_params()
+    save_sdxl_diffusers(out_dir, setup.model, unet, setup.model.vae_params,
+                        te, te2, source_dir=source_dir)
+
+
+def get_family(model_type: ModelType) -> ModelFamily:
+    if model_type.is_stable_diffusion():
+        return ModelFamily(
+            name="sd", quantization=8,
+            load=_sd_load, create_setup=_sd_create_setup,
+            make_encode_fns=_sd_encode_fns, sample=_sd_sample,
+            save_model=_sd_save_model,
+            lora_prefixes={"unet_lora": "lora_unet", "te_lora": "lora_te"},
+        )
+    if model_type.is_stable_diffusion_xl():
+        return ModelFamily(
+            name="sdxl", quantization=64,
+            load=_sdxl_load, create_setup=_sdxl_create_setup,
+            make_encode_fns=_sdxl_encode_fns, sample=_sdxl_sample,
+            save_model=_sdxl_save_model,
+            lora_prefixes={"unet_lora": "lora_unet", "te_lora": "lora_te1",
+                           "te2_lora": "lora_te2"},
+        )
+    raise NotImplementedError(
+        f"model family {model_type} is not wired up yet")
+
+
+def save_lora_output(setup, destination: str, lora_prefixes: dict):
+    """kohya-format LoRA safetensors across all adapter groups."""
+    tensors = {}
+    params = setup.state.params
+    for key, prefix in lora_prefixes.items():
+        if key in params:
+            tensors.update(peft_to_kohya_state_dict(
+                jax.device_get(params[key]), setup.peft_cfg, prefix))
+    if not destination.endswith(".safetensors"):
+        destination += ".safetensors"
+    save_safetensors(destination, tensors, metadata={"format": "pt"})

@@ -1,0 +1,156 @@
+"""The jitted SDXL training step.
+
+Like sd_train_step but with SDXL conditioning: concat(TE1 penultimate,
+TE2 penultimate) [B,77,2048] context, TE2 pooled text embeds, and
+add_time_ids built from the batch crop metadata
+(reference: modules/modelSetup/BaseStableDiffusionXLSetup.py:241-330).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from onetrainer_tpu.math.losses import diffusion_losses
+from onetrainer_tpu.math.noise import add_noise_discrete, create_noise
+from onetrainer_tpu.math.timesteps import sample_timesteps_discrete
+from onetrainer_tpu.models.clip import encode_clip_text
+from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
+from onetrainer_tpu.peft.lora import PeftConfig, apply_peft
+from onetrainer_tpu.train.ema import maybe_update_ema
+from onetrainer_tpu.train.sd_train_step import SDStepConfig
+from onetrainer_tpu.train.train_state import TrainState
+from onetrainer_tpu.util.enums import TrainingMethod
+
+
+def sdxl_text_conditioning(model, te_params, te2_params, batch, layer_skip: int,
+                           extra_embeddings=None):
+    """-> (context [B,S,2048], pooled [B,1280])."""
+    if "text_encoder_hidden_state" in batch and "text_encoder_2_hidden_state" in batch:
+        context = jnp.concatenate([
+            batch["text_encoder_hidden_state"],
+            batch["text_encoder_2_hidden_state"],
+        ], axis=-1)
+        pooled = batch["text_encoder_2_pooled_state"]
+        return context, pooled
+    out1 = model.text_encoder.apply(
+        {"params": te_params}, batch["tokens"], None, extra_embeddings)
+    out2 = model.text_encoder_2.apply(
+        {"params": te2_params}, batch["tokens_2"], None, extra_embeddings)
+    h1 = encode_clip_text(out1, layer_skip)
+    h2 = encode_clip_text(out2, layer_skip)
+    context = jnp.concatenate([h1, h2], axis=-1)
+    return context, out2["pooled_output"]
+
+
+def sdxl_predict(model, unet_params, te_params, te2_params, batch, rng,
+                 cfg: SDStepConfig, coefficients, extra_embeddings=None,
+                 deterministic: bool = False):
+    rng_t, rng_noise, rng_sample = jax.random.split(rng, 3)
+
+    latent = batch["latent_image"]
+    if "latent_logvar" in batch:
+        std = jnp.exp(0.5 * jnp.clip(batch["latent_logvar"], -30.0, 20.0))
+        latent = latent + std * jax.random.normal(rng_sample, latent.shape, latent.dtype)
+    scaled_latent = latent * cfg.vae_scaling_factor
+
+    batch_size = scaled_latent.shape[0]
+    timestep = sample_timesteps_discrete(
+        rng_t, batch_size, cfg.timestep,
+        num_train_timesteps=cfg.num_train_timesteps, deterministic=deterministic)
+    noise = create_noise(rng_noise, scaled_latent.shape, scaled_latent.dtype,
+                         cfg.offset_noise_weight, cfg.perturbation_noise_weight)
+    noisy = add_noise_discrete(
+        scaled_latent, noise, timestep,
+        coefficients.sqrt_alphas_cumprod, coefficients.sqrt_one_minus_alphas_cumprod)
+
+    context, pooled = sdxl_text_conditioning(
+        model, te_params, te2_params, batch, cfg.text_encoder_layer_skip,
+        extra_embeddings)
+
+    # add_time_ids: original size + crop offset + target size
+    add_time_ids = jnp.concatenate([
+        batch["original_resolution"].astype(jnp.float32),
+        batch["crop_offset"].astype(jnp.float32),
+        batch["crop_resolution"].astype(jnp.float32),
+    ], axis=-1)
+
+    unet_in = noisy
+    if "latent_conditioning_image" in batch:
+        unet_in = jnp.concatenate([
+            noisy, batch["latent_mask"].astype(noisy.dtype),
+            batch["latent_conditioning_image"] * cfg.vae_scaling_factor,
+        ], axis=-1)
+
+    predicted = model.unet.apply(
+        {"params": unet_params}, unet_in, timestep, context,
+        pooled, add_time_ids)
+
+    if cfg.prediction_type == "v_prediction":
+        sac = coefficients.sqrt_alphas_cumprod[timestep].reshape(-1, 1, 1, 1)
+        somac = coefficients.sqrt_one_minus_alphas_cumprod[timestep].reshape(-1, 1, 1, 1)
+        target = sac * noise.astype(jnp.float32) - somac * scaled_latent.astype(jnp.float32)
+    else:
+        target = noise.astype(jnp.float32)
+
+    return {
+        "loss_type": "target",
+        "predicted": predicted,
+        "target": target,
+        "timestep": timestep,
+        "scaled_latent_image": scaled_latent,
+        "noisy_latent_image": noisy,
+        "prediction_type": cfg.prediction_type,
+    }
+
+
+def make_sdxl_train_step(model, cfg: SDStepConfig, tx, peft_cfg: PeftConfig | None = None):
+    coefficients = model.coefficients()
+
+    def resolve_params(trainable, frozen, rng):
+        method = cfg.training_method
+        if method == TrainingMethod.LORA:
+            unet = apply_peft(frozen["unet"], trainable["unet_lora"], peft_cfg, rng) \
+                if "unet_lora" in trainable else frozen["unet"]
+            te = frozen.get("text_encoder")
+            te2 = frozen.get("text_encoder_2")
+            if "te_lora" in trainable and te is not None:
+                te = apply_peft(te, trainable["te_lora"], peft_cfg, rng)
+            if "te2_lora" in trainable and te2 is not None:
+                te2 = apply_peft(te2, trainable["te2_lora"], peft_cfg, rng)
+            return unet, te, te2, trainable.get("embeddings")
+        if method == TrainingMethod.EMBEDDING:
+            return (frozen["unet"], frozen["text_encoder"],
+                    frozen["text_encoder_2"], trainable["embeddings"])
+        return (trainable.get("unet", frozen.get("unet")),
+                trainable.get("text_encoder", frozen.get("text_encoder")),
+                trainable.get("text_encoder_2", frozen.get("text_encoder_2")),
+                trainable.get("embeddings"))
+
+    def loss_fn(trainable, frozen, batch, rng):
+        rng_peft, rng_predict = jax.random.split(rng)
+        unet_params, te, te2, extra = resolve_params(trainable, frozen, rng_peft)
+        data = sdxl_predict(model, unet_params, te, te2, batch, rng_predict,
+                            cfg, coefficients, extra)
+        losses = diffusion_losses(batch, data, cfg.loss, coefficients)
+        return losses.mean(), {}
+
+    def train_step(state: TrainState, frozen: dict, batch: dict, rng):
+        rng_loss, rng_round = jax.random.split(jax.random.fold_in(rng, state.step))
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, frozen, batch, rng_loss)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if cfg.stochastic_rounding:
+            params = apply_updates_stochastic(state.params, updates, rng_round)
+        else:
+            params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if ema is not None and cfg.ema_decay > 0:
+            ema = maybe_update_ema(ema, params, cfg.ema_decay, state.step,
+                                   cfg.ema_update_interval)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, ema=ema)
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return jax.jit(train_step, donate_argnums=(0,))

@@ -26,11 +26,7 @@ from onetrainer_tpu.config.train_config import TrainConfig
 from onetrainer_tpu.data.loader import Text2ImageDataLoader
 from onetrainer_tpu.io.pytree_io import load_pytree, save_pytree
 from onetrainer_tpu.io.safetensors_io import save_safetensors
-from onetrainer_tpu.io.sd_checkpoints import load_sd_diffusers, save_sd_diffusers
-from onetrainer_tpu.models.sd import StableDiffusionModel
-from onetrainer_tpu.peft.lora import peft_to_kohya_state_dict
-from onetrainer_tpu.sampling.sd_sampler import sample_stable_diffusion
-from onetrainer_tpu.setup.sd_setup import SDSetup, create_sd_setup, make_encode_fns
+from onetrainer_tpu.setup.families import get_family, save_lora_output
 from onetrainer_tpu.trainer.base_trainer import BaseTrainer
 from onetrainer_tpu.train.train_state import TrainState
 from onetrainer_tpu.util.callbacks import TrainCallbacks
@@ -47,8 +43,9 @@ class GenericTrainer(BaseTrainer):
                  commands: TrainCommands | None = None):
         super().__init__(config, callbacks or TrainCallbacks(),
                          commands or TrainCommands())
-        self.model: StableDiffusionModel | None = None
-        self.setup: SDSetup | None = None
+        self.model = None
+        self.setup = None
+        self.family = None
         self.data_loader: Text2ImageDataLoader | None = None
         self.train_progress = TrainProgress()
         self.grad_hash = None
@@ -68,34 +65,18 @@ class GenericTrainer(BaseTrainer):
                 print(f"resuming from backup {last_backup}")
                 self._restore_backup_meta(last_backup)
 
-        loaded = load_sd_diffusers(
-            base_model_name,
-            weight_dtype=config.weight_dtypes().unet.to_jnp_dtype() or np.float32,
-            compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
-            gradient_checkpointing=config.gradient_checkpointing.enabled(),
-        )
-        self.model = StableDiffusionModel(
-            model_type=config.model_type,
-            unet_config=loaded["unet_config"],
-            vae_config=loaded["vae_config"],
-            te_config=loaded["te_config"],
-            unet_params=loaded["unet_params"],
-            vae_params=loaded["vae_params"],
-            te_params=loaded["te_params"],
-            prediction_type=loaded["prediction_type"],
-            text_encoder_layer_skip=1 if config.model_type.is_sd_v2() else 0,
-            tokenizer=loaded["tokenizer_dir"],
-        )
+        self.family = get_family(config.model_type)
+        self.model = self.family.load(base_model_name, config)
         self._source_dir = base_model_name
 
         self.callbacks.on_update_status("creating the data loader")
         # steps-per-epoch estimate for LR schedules
-        self.setup = create_sd_setup(self.model, config, total_steps=max(
-            config.epochs * 100, 1000))
-        encode_images, encode_text = make_encode_fns(self.setup)
-        quantization = 64 if config.model_type.is_stable_diffusion_xl() else 8
+        self.setup = self.family.create_setup(
+            self.model, config, max(config.epochs * 100, 1000))
+        encode_images, encode_text = self.family.make_encode_fns(self.setup)
         self.data_loader = Text2ImageDataLoader(
-            config, encode_images, encode_text, quantization=quantization,
+            config, encode_images, encode_text,
+            quantization=self.family.quantization,
             model_tag=str(config.model_type),
             latent_scale=self.model.vae_config.spatial_scale)
 
@@ -103,7 +84,7 @@ class GenericTrainer(BaseTrainer):
         steps_per_epoch = max(len(self.data_loader), 1)
         total = config.epochs * steps_per_epoch // max(
             config.gradient_accumulation_steps, 1)
-        self.setup = create_sd_setup(self.model, config, total_steps=max(total, 1))
+        self.setup = self.family.create_setup(self.model, config, max(total, 1))
 
         if config.continue_last_backup and config.get_last_backup_path():
             self._restore_internal_state(config.get_last_backup_path())
@@ -164,11 +145,8 @@ class GenericTrainer(BaseTrainer):
 
     def _save_internal(self, backup_dir: str, progress: TrainProgress):
         os.makedirs(backup_dir, exist_ok=True)
-        unet, te, extra = self.setup.merged_inference_params()
-        save_sd_diffusers(
-            os.path.join(backup_dir, "model"), self.model,
-            unet, te, self.model.vae_params,
-            source_dir=self._source_dir)
+        self.family.save_model(self.setup, os.path.join(backup_dir, "model"),
+                               self._source_dir)
         state = self.setup.state
         save_pytree(os.path.join(backup_dir, "optimizer.safetensors"), {
             "params": jax.device_get(state.params),
@@ -212,21 +190,8 @@ class GenericTrainer(BaseTrainer):
 
     def _save_output(self, destination: str):
         config = self.config
-        unet, te, extra = self.setup.merged_inference_params()
         if config.training_method == TrainingMethod.LORA:
-            tensors = {}
-            params = self.setup.state.params
-            if "unet_lora" in params:
-                tensors.update(peft_to_kohya_state_dict(
-                    jax.device_get(params["unet_lora"]), self.setup.peft_cfg,
-                    "lora_unet"))
-            if "te_lora" in params:
-                tensors.update(peft_to_kohya_state_dict(
-                    jax.device_get(params["te_lora"]), self.setup.peft_cfg,
-                    "lora_te"))
-            if not destination.endswith(".safetensors"):
-                destination = destination + ".safetensors"
-            save_safetensors(destination, tensors, metadata={"format": "pt"})
+            save_lora_output(self.setup, destination, self.family.lora_prefixes)
         elif config.training_method == TrainingMethod.EMBEDDING:
             vectors = np.asarray(jax.device_get(
                 self.setup.state.params["embeddings"]))
@@ -235,8 +200,7 @@ class GenericTrainer(BaseTrainer):
             save_safetensors(destination, {"emp_params": vectors},
                              metadata={"format": "pt"})
         else:
-            save_sd_diffusers(destination, self.model, unet, te,
-                              self.model.vae_params, source_dir=self._source_dir)
+            self.family.save_model(self.setup, destination, self._source_dir)
 
     # -- sampling during training ------------------------------------------------------
 
@@ -246,21 +210,16 @@ class GenericTrainer(BaseTrainer):
         if not samples:
             return
         self.callbacks.on_update_status("sampling")
-        unet, te, extra = self.setup.merged_inference_params()
         sample_dir = os.path.join(config.workspace_dir, "samples")
         os.makedirs(sample_dir, exist_ok=True)
         for i, sample_config in enumerate(samples):
             if not sample_config.enabled:
                 continue
             try:
-                out = sample_stable_diffusion(
-                    self.model, unet, te, self.model.vae_params,
-                    self.setup.tokenizer, sample_config,
-                    extra_embeddings=extra,
-                    on_update_progress=lambda s, m: (
-                        self.callbacks.on_update_sample_default_progress(
-                            f"sample_{i}", s, m)),
-                )
+                out = self.family.sample(
+                    self.setup, sample_config,
+                    lambda s, m, i=i: self.callbacks.on_update_sample_default_progress(
+                        f"sample_{i}", s, m))
                 from PIL import Image
                 name = (f"{self.train_progress.filename_string()}-sample-{i}"
                         f"{config.sample_image_format.extension()}")

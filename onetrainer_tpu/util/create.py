@@ -19,9 +19,7 @@ def create_trainer(config: TrainConfig, callbacks: TrainCallbacks | None = None,
         raise NotImplementedError(
             "cloud-delegated training is not implemented on the TPU backend "
             "yet; run locally on the TPU VM")
+    from onetrainer_tpu.setup.families import get_family
     from onetrainer_tpu.trainer.generic_trainer import GenericTrainer
-    if not (config.model_type.is_stable_diffusion()):
-        raise NotImplementedError(
-            f"model family {config.model_type} is not wired up yet "
-            "(SD 1.5/2.x supported in this build)")
+    get_family(config.model_type)  # raises NotImplementedError when unwired
     return GenericTrainer(config, callbacks, commands)
