@@ -105,8 +105,13 @@ def clip_config_from_transformers(config: dict, dtype=jnp.bfloat16) -> CLIPTextC
     )
 
 
-def load_component(base_dir: str, name: str, converter, dtype=None):
-    """Load one component subdir -> (config dict, flax params)."""
+def load_component(base_dir: str, name: str, converter, dtype=None,
+                   device: bool = True):
+    """Load one component subdir -> (config dict, flax params).
+
+    device=True puts leaves on the default device (required before use in
+    jitted fns — numpy leaves can't be indexed by tracers); format-only
+    conversions pass device=False to stay off-device."""
     component_dir = os.path.join(base_dir, name)
     weights = _find_weights(component_dir)
     if weights is None:
@@ -120,27 +125,27 @@ def load_component(base_dir: str, name: str, converter, dtype=None):
         sd = {k: v.astype(dtype) if np.issubdtype(v.dtype, np.floating) or
               v.dtype == jnp.bfloat16 else v for k, v in sd.items()}
     params = converter(sd)
-    # jnp arrays (device-resident): numpy leaves can't be indexed by
-    # tracers inside jitted encode/train fns
-    import jax
-    params = jax.tree.map(jnp.asarray, params)
+    if device:
+        import jax
+        params = jax.tree.map(jnp.asarray, params)
     return config, params
 
 
 def load_sd_diffusers(base_dir: str, weight_dtype=np.float32,
                       compute_dtype=jnp.bfloat16,
-                      gradient_checkpointing=False):
+                      gradient_checkpointing=False,
+                      device: bool = True):
     """Load a diffusers SD checkpoint directory. Returns a dict with
     configs, params, scheduler info, tokenizer path."""
     import ml_dtypes
     np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16}.get(weight_dtype, weight_dtype)
 
     unet_cfg_json, unet_params = load_component(
-        base_dir, "unet", unet_state_dict_to_flax, np_dtype)
+        base_dir, "unet", unet_state_dict_to_flax, np_dtype, device)
     vae_cfg_json, vae_params = load_component(
-        base_dir, "vae", vae_state_dict_to_flax, np_dtype)
+        base_dir, "vae", vae_state_dict_to_flax, np_dtype, device)
     te_cfg_json, te_params = load_component(
-        base_dir, "text_encoder", clip_state_dict_to_flax, np_dtype)
+        base_dir, "text_encoder", clip_state_dict_to_flax, np_dtype, device)
 
     scheduler_cfg = {}
     sched_path = os.path.join(base_dir, "scheduler", "scheduler_config.json")
@@ -161,17 +166,83 @@ def load_sd_diffusers(base_dir: str, weight_dtype=np.float32,
     }
 
 
+def _read_single_file(path: str) -> dict[str, np.ndarray]:
+    """Read a single-file checkpoint: .safetensors via our reader, .ckpt
+    via torch pickle (reference loaders accept both)."""
+    if path.endswith((".ckpt", ".pt", ".bin")):
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        return {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    return load_safetensors(path)
+
+
+def _cast_tree(sd: dict, np_dtype) -> dict:
+    import ml_dtypes
+    out = {}
+    for k, v in sd.items():
+        if np.issubdtype(v.dtype, np.floating) or v.dtype == ml_dtypes.bfloat16 \
+                or v.dtype == np.float16:
+            out[k] = v.astype(np_dtype)
+        else:
+            out[k] = v
+    return out
+
+
+def load_sd_single_file(path: str, model_type, weight_dtype=np.float32,
+                        compute_dtype=jnp.bfloat16,
+                        gradient_checkpointing=False,
+                        device: bool = True):
+    """Load an SD1.5/2.x LDM single-file checkpoint
+    (reference: StableDiffusionModelLoader.py single-file fallback path)."""
+    import jax
+    import ml_dtypes
+    from onetrainer_tpu.io import ldm
+    from onetrainer_tpu.models import sd as sd_models
+
+    np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16}.get(weight_dtype, weight_dtype)
+    tensors = _read_single_file(path)
+    split = ldm.split_sd15_single_file(tensors)
+
+    template = sd_models.create_sd_model(
+        model_type, dtype=compute_dtype,
+        gradient_checkpointing=gradient_checkpointing)
+    # in_channels from the checkpoint (inpaint/depth variants)
+    conv_in = split["unet"].get("conv_in.weight")
+    unet_cfg = template.unet_config
+    if conv_in is not None and conv_in.shape[1] != unet_cfg.in_channels:
+        from dataclasses import replace
+        unet_cfg = replace(unet_cfg, in_channels=int(conv_in.shape[1]))
+
+    to_jnp = (lambda tree: jax.tree.map(jnp.asarray, tree)) if device else (lambda t: t)
+    prediction_type = "v_prediction" if model_type.value in (
+        "STABLE_DIFFUSION_20", "STABLE_DIFFUSION_21") else "epsilon"
+    return {
+        "unet_config": unet_cfg,
+        "vae_config": template.vae_config,
+        "te_config": template.te_config,
+        "unet_params": to_jnp(unet_state_dict_to_flax(_cast_tree(split["unet"], np_dtype))),
+        "vae_params": to_jnp(vae_state_dict_to_flax(_cast_tree(split["vae"], np_dtype))),
+        "te_params": to_jnp(clip_state_dict_to_flax(_cast_tree(split["text_encoder"], np_dtype))),
+        "scheduler_config": {},
+        "tokenizer_dir": None,
+        "prediction_type": prediction_type,
+    }
+
+
 def load_sdxl_diffusers(base_dir: str, weight_dtype=np.float32,
                         compute_dtype=jnp.bfloat16,
-                        gradient_checkpointing=False):
+                        gradient_checkpointing=False,
+                        device: bool = True):
     """Load a diffusers SDXL checkpoint directory (adds text_encoder_2 /
     tokenizer_2)."""
     out = load_sd_diffusers(base_dir, weight_dtype, compute_dtype,
-                            gradient_checkpointing)
+                            gradient_checkpointing, device)
     import ml_dtypes
     np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16}.get(weight_dtype, weight_dtype)
     te2_cfg_json, te2_params = load_component(
-        base_dir, "text_encoder_2", clip_state_dict_to_flax, np_dtype)
+        base_dir, "text_encoder_2", clip_state_dict_to_flax, np_dtype, device)
     te2_cfg = clip_config_from_transformers(te2_cfg_json or {}, compute_dtype)
     if te2_cfg_json and te2_cfg.projection_dim is None:
         # SDXL TE2 always projects; some config.jsons omit architectures
@@ -246,6 +317,69 @@ def save_sd_diffusers(
     save_safetensors(
         os.path.join(base_dir, "text_encoder", "model.safetensors"),
         clip_flax_to_state_dict(_to_numpy_tree(te_params, save_dtype)), meta)
+
+
+def save_sd_single_file(path, model, unet_params, vae_params, te_params,
+                        save_dtype=np.float32, metadata=None):
+    """Write an LDM single-file .safetensors (reference:
+    StableDiffusionModelSaver SAFETENSORS format path)."""
+    from onetrainer_tpu.io import ldm
+    unet_sd = unet_flax_to_state_dict(_to_numpy_tree(unet_params, save_dtype))
+    vae_sd = vae_flax_to_state_dict(_to_numpy_tree(vae_params, save_dtype))
+    te_sd = clip_flax_to_state_dict(_to_numpy_tree(te_params, save_dtype))
+    merged = ldm.merge_sd15_single_file(
+        unet_sd, vae_sd, te_sd,
+        sd2_openclip=model.model_type.is_sd_v2())
+    meta = {"format": "pt"}
+    if metadata:
+        meta.update(metadata)
+    save_safetensors(path, merged, meta)
+
+
+def save_sdxl_single_file(path, model, unet_params, vae_params, te_params,
+                          te2_params, save_dtype=np.float32, metadata=None):
+    from onetrainer_tpu.io import ldm
+    merged = ldm.merge_sdxl_single_file(
+        unet_flax_to_state_dict(_to_numpy_tree(unet_params, save_dtype)),
+        vae_flax_to_state_dict(_to_numpy_tree(vae_params, save_dtype)),
+        clip_flax_to_state_dict(_to_numpy_tree(te_params, save_dtype)),
+        clip_flax_to_state_dict(_to_numpy_tree(te2_params, save_dtype)))
+    meta = {"format": "pt"}
+    if metadata:
+        meta.update(metadata)
+    save_safetensors(path, merged, meta)
+
+
+def load_sdxl_single_file(path: str, model_type, weight_dtype=np.float32,
+                          compute_dtype=jnp.bfloat16,
+                          gradient_checkpointing=False,
+                          device: bool = True):
+    import jax
+    import ml_dtypes
+    from onetrainer_tpu.io import ldm
+    from onetrainer_tpu.models import sdxl as sdxl_models
+
+    np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16}.get(weight_dtype, weight_dtype)
+    tensors = _read_single_file(path)
+    split = ldm.split_sdxl_single_file(tensors)
+    template = sdxl_models.create_sdxl_model(
+        model_type, dtype=compute_dtype,
+        gradient_checkpointing=gradient_checkpointing)
+    to_jnp = (lambda tree: jax.tree.map(jnp.asarray, tree)) if device else (lambda t: t)
+    return {
+        "unet_config": template.unet_config,
+        "vae_config": template.vae_config,
+        "te_config": template.te_config,
+        "te2_config": template.te2_config,
+        "unet_params": to_jnp(unet_state_dict_to_flax(_cast_tree(split["unet"], np_dtype))),
+        "vae_params": to_jnp(vae_state_dict_to_flax(_cast_tree(split["vae"], np_dtype))),
+        "te_params": to_jnp(clip_state_dict_to_flax(_cast_tree(split["text_encoder"], np_dtype))),
+        "te2_params": to_jnp(clip_state_dict_to_flax(_cast_tree(split["text_encoder_2"], np_dtype))),
+        "scheduler_config": {},
+        "tokenizer_dir": None,
+        "tokenizer_2_dir": None,
+        "prediction_type": "epsilon",
+    }
 
 
 def save_sdxl_diffusers(base_dir, model, unet_params, vae_params, te_params,

@@ -26,6 +26,7 @@ class ModelFamily:
     make_encode_fns: Callable
     sample: Callable        # (setup, sample_config, on_progress) -> SamplerOutput
     save_model: Callable    # (setup, dir, source_dir) -> None (diffusers layout)
+    save_single_file: Callable  # (setup, path) -> None (LDM safetensors)
     lora_prefixes: dict     # trainable key -> kohya prefix
 
 
@@ -33,14 +34,19 @@ class ModelFamily:
 
 def _sd_load(base_dir, config):
     import jax.numpy as jnp
-    from onetrainer_tpu.io.sd_checkpoints import load_sd_diffusers
+    from onetrainer_tpu.io.sd_checkpoints import (
+        load_sd_diffusers, load_sd_single_file,
+    )
     from onetrainer_tpu.models.sd import StableDiffusionModel
-    loaded = load_sd_diffusers(
-        base_dir,
+    kwargs = dict(
         weight_dtype=config.weight_dtypes().unet.to_compute_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
+    if os.path.isfile(base_dir):
+        loaded = load_sd_single_file(base_dir, config.model_type, **kwargs)
+    else:
+        loaded = load_sd_diffusers(base_dir, **kwargs)
     return StableDiffusionModel(
         model_type=config.model_type,
         unet_config=loaded["unet_config"],
@@ -80,18 +86,35 @@ def _sd_save_model(setup, out_dir, source_dir):
                       source_dir=source_dir)
 
 
+def _sd_save_single_file(setup, path):
+    from onetrainer_tpu.io.sd_checkpoints import save_sd_single_file
+    from onetrainer_tpu.util.model_spec import make_modelspec_metadata
+    unet, te, _ = setup.merged_inference_params()
+    meta = make_modelspec_metadata(
+        setup.config.model_type, setup.config.training_method,
+        resolution=setup.config.resolution,
+        prediction_type=setup.model.prediction_type)
+    save_sd_single_file(path, setup.model, unet, setup.model.vae_params, te,
+                        metadata=meta)
+
+
 # -- SDXL -----------------------------------------------------------------------------
 
 def _sdxl_load(base_dir, config):
     import jax.numpy as jnp
-    from onetrainer_tpu.io.sd_checkpoints import load_sdxl_diffusers
+    from onetrainer_tpu.io.sd_checkpoints import (
+        load_sdxl_diffusers, load_sdxl_single_file,
+    )
     from onetrainer_tpu.models.sdxl import StableDiffusionXLModel
-    loaded = load_sdxl_diffusers(
-        base_dir,
+    kwargs = dict(
         weight_dtype=config.weight_dtypes().unet.to_compute_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
+    if os.path.isfile(base_dir):
+        loaded = load_sdxl_single_file(base_dir, config.model_type, **kwargs)
+    else:
+        loaded = load_sdxl_diffusers(base_dir, **kwargs)
     return StableDiffusionXLModel(
         model_type=config.model_type,
         unet_config=loaded["unet_config"],
@@ -134,13 +157,25 @@ def _sdxl_save_model(setup, out_dir, source_dir):
                         te, te2, source_dir=source_dir)
 
 
+def _sdxl_save_single_file(setup, path):
+    from onetrainer_tpu.io.sd_checkpoints import save_sdxl_single_file
+    from onetrainer_tpu.util.model_spec import make_modelspec_metadata
+    unet, te, te2, _ = setup.merged_inference_params()
+    meta = make_modelspec_metadata(
+        setup.config.model_type, setup.config.training_method,
+        resolution=setup.config.resolution,
+        prediction_type=setup.model.prediction_type)
+    save_sdxl_single_file(path, setup.model, unet, setup.model.vae_params,
+                          te, te2, metadata=meta)
+
+
 def get_family(model_type: ModelType) -> ModelFamily:
     if model_type.is_stable_diffusion():
         return ModelFamily(
             name="sd", quantization=8,
             load=_sd_load, create_setup=_sd_create_setup,
             make_encode_fns=_sd_encode_fns, sample=_sd_sample,
-            save_model=_sd_save_model,
+            save_model=_sd_save_model, save_single_file=_sd_save_single_file,
             lora_prefixes={"unet_lora": "lora_unet", "te_lora": "lora_te"},
         )
     if model_type.is_stable_diffusion_xl():
@@ -148,7 +183,7 @@ def get_family(model_type: ModelType) -> ModelFamily:
             name="sdxl", quantization=64,
             load=_sdxl_load, create_setup=_sdxl_create_setup,
             make_encode_fns=_sdxl_encode_fns, sample=_sdxl_sample,
-            save_model=_sdxl_save_model,
+            save_model=_sdxl_save_model, save_single_file=_sdxl_save_single_file,
             lora_prefixes={"unet_lora": "lora_unet", "te_lora": "lora_te1",
                            "te2_lora": "lora_te2"},
         )

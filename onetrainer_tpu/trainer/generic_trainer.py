@@ -199,6 +199,10 @@ class GenericTrainer(BaseTrainer):
                 destination = destination + ".safetensors"
             save_safetensors(destination, {"emp_params": vectors},
                              metadata={"format": "pt"})
+        elif config.output_model_format.is_single_file():
+            if not destination.endswith((".safetensors", ".ckpt")):
+                destination += config.output_model_format.file_extension()
+            self.family.save_single_file(self.setup, destination)
         else:
             self.family.save_model(self.setup, destination, self._source_dir)
 

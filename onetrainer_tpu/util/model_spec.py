@@ -1,0 +1,69 @@
+"""SAI modelspec 1.0.0 metadata for safetensors headers
+(reference: modules/util/modelSpec/ModelSpec.py, resources/sd_model_spec/*.json)."""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime
+
+from onetrainer_tpu.util.enums import ModelType, TrainingMethod
+
+_ARCHITECTURES = {
+    ModelType.STABLE_DIFFUSION_15: "stable-diffusion-v1",
+    ModelType.STABLE_DIFFUSION_15_INPAINTING: "stable-diffusion-v1/inpainting",
+    ModelType.STABLE_DIFFUSION_20: "stable-diffusion-v2-768-v",
+    ModelType.STABLE_DIFFUSION_20_BASE: "stable-diffusion-v2-512",
+    ModelType.STABLE_DIFFUSION_20_INPAINTING: "stable-diffusion-v2-512/inpainting",
+    ModelType.STABLE_DIFFUSION_20_DEPTH: "stable-diffusion-v2-512-depth",
+    ModelType.STABLE_DIFFUSION_21: "stable-diffusion-v2-768-v",
+    ModelType.STABLE_DIFFUSION_21_BASE: "stable-diffusion-v2-512",
+    ModelType.STABLE_DIFFUSION_XL_10_BASE: "stable-diffusion-xl-v1-base",
+    ModelType.STABLE_DIFFUSION_XL_10_BASE_INPAINTING:
+        "stable-diffusion-xl-v1-base/inpainting",
+    ModelType.STABLE_DIFFUSION_3: "stable-diffusion-v3-medium",
+    ModelType.STABLE_DIFFUSION_35: "stable-diffusion-v3.5-medium",
+    ModelType.FLUX_DEV_1: "Flux.1-dev",
+    ModelType.FLUX_FILL_DEV_1: "Flux.1-dev/fill",
+    ModelType.WUERSTCHEN_2: "wuerstchen-v2",
+    ModelType.STABLE_CASCADE_1: "stable-cascade-v1-prior",
+    ModelType.PIXART_ALPHA: "pixart-alpha",
+    ModelType.PIXART_SIGMA: "pixart-sigma",
+    ModelType.SANA: "sana",
+    ModelType.HUNYUAN_VIDEO: "hunyuan-video",
+    ModelType.HI_DREAM_FULL: "hidream-full",
+}
+
+
+def make_modelspec_metadata(
+        model_type: ModelType,
+        training_method: TrainingMethod = TrainingMethod.FINE_TUNE,
+        title: str = "",
+        resolution: str = "",
+        prediction_type: str = "",
+) -> dict[str, str]:
+    arch = _ARCHITECTURES.get(model_type, str(model_type).lower())
+    if training_method == TrainingMethod.LORA:
+        arch += "/lora"
+    impl = "diffusers" if training_method != TrainingMethod.LORA else \
+        "https://github.com/Stability-AI/generative-models"
+    data = {
+        "modelspec.sai_model_spec": "1.0.0",
+        "modelspec.architecture": arch,
+        "modelspec.implementation": impl,
+        "modelspec.title": title or "onetrainer-tpu model",
+        "modelspec.date": datetime.now().strftime("%Y-%m-%d"),
+    }
+    if resolution:
+        data["modelspec.resolution"] = resolution
+    if prediction_type:
+        data["modelspec.prediction_type"] = prediction_type
+    return data
+
+
+def sha256_of_tensors(tensors: dict) -> str:
+    import numpy as np
+    h = hashlib.sha256()
+    for key in sorted(tensors):
+        h.update(key.encode())
+        h.update(np.ascontiguousarray(tensors[key]).tobytes())
+    return "0x" + h.hexdigest()

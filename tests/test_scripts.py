@@ -1,0 +1,99 @@
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from onetrainer_tpu.io.safetensors_io import SafetensorsFile, load_safetensors
+from tests.test_data import make_dataset
+from tests.test_trainer import tiny_train_config, write_tiny_checkpoint
+from tests.test_train_step import tiny_sd_model
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", OT_PLATFORM="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=1",
+           PYTHONPATH=REPO + ":" + os.environ.get("PYTHONPATH", ""))
+
+
+def run_script(args):
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=ENV,
+        capture_output=True, text=True, timeout=500)
+
+
+def test_create_train_files(tmp_path):
+    r = run_script(["scripts/create_train_files.py",
+                    "--config-output-destination", str(tmp_path / "c.json"),
+                    "--concepts-output-destination", str(tmp_path / "con.json"),
+                    "--samples-output-destination", str(tmp_path / "s.json")])
+    assert r.returncode == 0, r.stderr
+    config = json.load(open(tmp_path / "c.json"))
+    assert config["__version"] == 6
+    assert json.load(open(tmp_path / "con.json"))[0]["balancing"] == 1.0
+
+
+def test_convert_model_roundtrip(tmp_path):
+    base = str(tmp_path / "ckpt")
+    model = tiny_sd_model()
+    write_tiny_checkpoint(base, model)
+    out_file = str(tmp_path / "single.safetensors")
+    r = run_script(["scripts/convert_model.py", "--model-type", "STABLE_DIFFUSION_15",
+                    "--input", base, "--output", out_file,
+                    "--output-model-format", "SAFETENSORS",
+                    "--output-dtype", "FLOAT_32"])
+    assert r.returncode == 0, r.stderr
+    sd = load_safetensors(out_file)
+    assert any(k.startswith("model.diffusion_model.") for k in sd)
+    assert any(k.startswith("first_stage_model.") for k in sd)
+    assert any(k.startswith("cond_stage_model.transformer.") for k in sd)
+
+    # back to diffusers
+    out_dir = str(tmp_path / "back")
+    r = run_script(["scripts/convert_model.py", "--model-type", "STABLE_DIFFUSION_15",
+                    "--input", out_file, "--output", out_dir,
+                    "--output-model-format", "DIFFUSERS",
+                    "--output-dtype", "FLOAT_32"])
+    assert r.returncode == 0, r.stderr
+    orig = load_safetensors(os.path.join(base, "unet",
+                                         "diffusion_pytorch_model.safetensors"))
+    conv = load_safetensors(os.path.join(out_dir, "unet",
+                                         "diffusion_pytorch_model.safetensors"))
+    assert set(orig) == set(conv)
+    for k in orig:
+        np.testing.assert_array_equal(orig[k], conv[k], err_msg=k)
+
+
+def test_train_script_end_to_end(tmp_path):
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    model = tiny_sd_model()
+    write_tiny_checkpoint(base, model)
+    config = tiny_train_config(base, ds, str(tmp_path / "ws"), str(tmp_path / "cache"))
+    config.epochs = 1
+    config.backup_before_save = False
+    config_path = str(tmp_path / "config.json")
+    with open(config_path, "w") as f:
+        json.dump(config.to_dict(), f)
+    r = run_script(["scripts/train.py", "--config-path", config_path])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(config.output_model_destination)
+
+
+def test_calculate_loss_script(tmp_path):
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    model = tiny_sd_model()
+    write_tiny_checkpoint(base, model)
+    config = tiny_train_config(base, ds, str(tmp_path / "ws"), str(tmp_path / "cache"))
+    config_path = str(tmp_path / "config.json")
+    with open(config_path, "w") as f:
+        json.dump(config.to_dict(), f)
+    out = str(tmp_path / "losses.json")
+    r = run_script(["scripts/calculate_loss.py", "--config-path", config_path,
+                    "--output", out])
+    assert r.returncode == 0, r.stderr[-3000:]
+    losses = json.load(open(out))
+    assert len(losses) == 4
+    assert all(v > 0 for v in losses.values())
