@@ -78,7 +78,7 @@ def _kernel_paths(params: dict, layer_filter: tuple[str, ...]):
     for path, value in _flatten(params):
         if path[-1] != "kernel":
             continue
-        if value.ndim not in (2, 4):
+        if not hasattr(value, "ndim") or value.ndim not in (2, 4):
             continue
         module_path = path[:-1]
         key = SEP.join(module_path)
@@ -175,8 +175,11 @@ def _down_2d(down: jnp.ndarray) -> jnp.ndarray:
     return down.astype(jnp.float32).reshape(down.shape[0], -1)
 
 
-def _merged_kernel(kernel: jnp.ndarray, entry: dict, cfg: PeftConfig,
+def _merged_kernel(kernel, entry: dict, cfg: PeftConfig,
                    rng: jax.Array | None) -> jnp.ndarray:
+    from onetrainer_tpu.ops.quant import is_quantized, dequantize_array
+    if is_quantized(kernel):
+        kernel = dequantize_array(kernel, jnp.bfloat16)
     w2d = _kernel_to_2d(kernel).astype(jnp.float32)
     wp = w2d + _delta_2d(entry, cfg, rng)
     if cfg.decompose and "dora_scale" in entry:
@@ -202,6 +205,8 @@ def apply_peft(
 ) -> dict:
     """Merge adapters into a copy of the base param tree (pure function,
     differentiable w.r.t. the adapter pytree)."""
+    from onetrainer_tpu.ops.quant import is_quantized, dequantize_array
+
     def visit(tree: dict, prefix: tuple[str, ...]) -> dict:
         out = {}
         for key, value in tree.items():
@@ -210,6 +215,8 @@ def apply_peft(
                 out[key] = visit(value, path)
             elif key == "kernel" and SEP.join(prefix) in adapters:
                 out[key] = _merged_kernel(value, adapters[SEP.join(prefix)], cfg, rng)
+            elif is_quantized(value):
+                out[key] = dequantize_array(value, jnp.bfloat16)
             else:
                 out[key] = value
         return out
