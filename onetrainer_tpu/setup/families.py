@@ -61,9 +61,9 @@ def _sd_load(base_dir, config):
     )
 
 
-def _sd_create_setup(model, config, total_steps):
+def _sd_create_setup(model, config, total_steps, steps_per_epoch=100):
     from onetrainer_tpu.setup.sd_setup import create_sd_setup
-    return create_sd_setup(model, config, total_steps)
+    return create_sd_setup(model, config, total_steps, steps_per_epoch)
 
 
 def _sd_encode_fns(setup):
@@ -131,9 +131,9 @@ def _sdxl_load(base_dir, config):
     )
 
 
-def _sdxl_create_setup(model, config, total_steps):
+def _sdxl_create_setup(model, config, total_steps, steps_per_epoch=100):
     from onetrainer_tpu.setup.sdxl_setup import create_sdxl_setup
-    return create_sdxl_setup(model, config, total_steps)
+    return create_sdxl_setup(model, config, total_steps, steps_per_epoch)
 
 
 def _sdxl_encode_fns(setup):
@@ -167,6 +167,49 @@ def _sdxl_save_single_file(setup, path):
         prediction_type=setup.model.prediction_type)
     save_sdxl_single_file(path, setup.model, unet, setup.model.vae_params,
                           te, te2, metadata=meta)
+
+
+def make_eval_loss(setup, family_name: str):
+    """Jitted deterministic per-sample loss (validation + calculate_loss;
+    reference: GenericTrainer.__validate, GenerateLossesModel)."""
+    import jax
+    import jax.numpy as jnp
+    from onetrainer_tpu.math.losses import diffusion_losses
+
+    model = setup.model
+    cfg = setup.step_cfg
+    coefficients = model.coefficients()
+
+    if family_name == "sdxl":
+        from onetrainer_tpu.train.sdxl_train_step import sdxl_predict
+
+        @jax.jit
+        def eval_loss(params, batch):
+            unet, te, te2, extra = params
+            data = sdxl_predict(model, unet, te, te2, batch,
+                                jax.random.PRNGKey(0), cfg, coefficients,
+                                extra, deterministic=True)
+            return diffusion_losses(batch, data, cfg.loss, coefficients)
+
+        def run(batch):
+            return eval_loss(setup.merged_inference_params(), batch)
+        return run
+
+    from onetrainer_tpu.train.sd_train_step import sd_predict
+
+    @jax.jit
+    def eval_loss(params, batch):
+        unet, te, extra = params
+        if extra is not None:
+            batch = dict(batch, extra_embeddings=extra)
+        data, _ = sd_predict(
+            model.unet.apply, model.text_encoder.apply, unet, te, batch,
+            jax.random.PRNGKey(0), cfg, coefficients, deterministic=True)
+        return diffusion_losses(batch, data, cfg.loss, coefficients)
+
+    def run(batch):
+        return eval_loss(setup.merged_inference_params(), batch)
+    return run
 
 
 def get_family(model_type: ModelType) -> ModelFamily:

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.config.train_config import TrainConfig, TrainModelPartConfig
 from onetrainer_tpu.math.timesteps import TimestepConfig
 from onetrainer_tpu.models.clip import encode_clip_text
 from onetrainer_tpu.models.sd import StableDiffusionModel
@@ -74,10 +74,27 @@ def _lr_scale(config: TrainConfig) -> float:
     return scale
 
 
-def _group_schedule(config: TrainConfig, group_lr: float | None, total_steps: int):
+def _stop_step(part: TrainModelPartConfig, steps_per_epoch: int) -> int | None:
+    """stop_training_after in optimizer steps (reference: per-part
+    stop_training_after timers, BaseModelSetup.stop_* re-evaluated after
+    each step)."""
+    from onetrainer_tpu.util.enums import TimeUnit
+    if part.stop_training_after is None or \
+            part.stop_training_after_unit == TimeUnit.NEVER:
+        return None
+    if part.stop_training_after_unit == TimeUnit.EPOCH:
+        return int(part.stop_training_after * steps_per_epoch)
+    if part.stop_training_after_unit == TimeUnit.STEP:
+        return int(part.stop_training_after)
+    return None
+
+
+def _group_schedule(config: TrainConfig, group_lr: float | None, total_steps: int,
+                    part: TrainModelPartConfig | None = None,
+                    steps_per_epoch: int = 1):
     base_lr = (group_lr if group_lr is not None else config.learning_rate)
     base_lr *= _lr_scale(config)
-    return make_schedule(
+    schedule = make_schedule(
         config.learning_rate_scheduler,
         total_steps,
         config.learning_rate_warmup_steps,
@@ -85,6 +102,10 @@ def _group_schedule(config: TrainConfig, group_lr: float | None, total_steps: in
         config.learning_rate_min_factor,
         base_lr,
     )
+    stop = _stop_step(part, steps_per_epoch) if part is not None else None
+    if stop is None:
+        return schedule
+    return lambda step: schedule(step) * (jnp.asarray(step, jnp.float32) < stop)
 
 
 def _init_embedding_vectors(model, te_params, tokenizer: SDTokenizer,
@@ -115,6 +136,7 @@ def create_sd_setup(
         model: StableDiffusionModel,
         config: TrainConfig,
         total_steps: int = 10_000,
+        steps_per_epoch: int = 100,
 ) -> SDSetup:
     method = config.training_method
 
@@ -152,14 +174,16 @@ def create_sd_setup(
         if config.unet.train:
             trainable["unet_lora"] = init_peft_params(rng, model.unet_params, peft_cfg)
             group_schedules["unet_lora"] = _group_schedule(
-                config, config.unet.learning_rate, total_steps)
+                config, config.unet.learning_rate, total_steps,
+                config.unet, steps_per_epoch)
             labels["unet_lora"] = jax.tree.map(lambda _: "unet_lora",
                                                trainable["unet_lora"])
         if config.text_encoder.train and model.te_params is not None:
             trainable["te_lora"] = init_peft_params(
                 jax.random.PRNGKey(1), model.te_params, peft_cfg)
             group_schedules["te_lora"] = _group_schedule(
-                config, config.text_encoder.learning_rate, total_steps)
+                config, config.text_encoder.learning_rate, total_steps,
+                config.text_encoder, steps_per_epoch)
             labels["te_lora"] = jax.tree.map(lambda _: "te_lora", trainable["te_lora"])
         frozen["unet"] = model.unet_params
         frozen["text_encoder"] = model.te_params
@@ -176,14 +200,16 @@ def create_sd_setup(
         if config.unet.train:
             trainable["unet"] = model.unet_params
             group_schedules["unet"] = _group_schedule(
-                config, config.unet.learning_rate, total_steps)
+                config, config.unet.learning_rate, total_steps,
+                config.unet, steps_per_epoch)
             labels["unet"] = jax.tree.map(lambda _: "unet", trainable["unet"])
         else:
             frozen["unet"] = model.unet_params
         if config.text_encoder.train:
             trainable["text_encoder"] = model.te_params
             group_schedules["text_encoder"] = _group_schedule(
-                config, config.text_encoder.learning_rate, total_steps)
+                config, config.text_encoder.learning_rate, total_steps,
+                config.text_encoder, steps_per_epoch)
             labels["text_encoder"] = jax.tree.map(
                 lambda _: "text_encoder", trainable["text_encoder"])
         else:

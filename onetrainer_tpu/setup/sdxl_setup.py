@@ -62,7 +62,8 @@ class SDXLSetup:
 
 
 def create_sdxl_setup(model: StableDiffusionXLModel, config: TrainConfig,
-                      total_steps: int = 10_000) -> SDXLSetup:
+                      total_steps: int = 10_000,
+                      steps_per_epoch: int = 100) -> SDXLSetup:
     method = config.training_method
 
     if config.rescale_noise_scheduler_to_zero_terminal_snr:
@@ -99,20 +100,20 @@ def create_sdxl_setup(model: StableDiffusionXLModel, config: TrainConfig,
             trainable["unet_lora"] = init_peft_params(
                 jax.random.PRNGKey(0), model.unet_params, peft_cfg)
             group_schedules["unet_lora"] = _group_schedule(
-                config, config.unet.learning_rate, total_steps)
+                config, config.unet.learning_rate, total_steps, config.unet, steps_per_epoch)
             labels["unet_lora"] = jax.tree.map(lambda _: "unet_lora",
                                                trainable["unet_lora"])
         if config.text_encoder.train:
             trainable["te_lora"] = init_peft_params(
                 jax.random.PRNGKey(1), model.te_params, peft_cfg)
             group_schedules["te_lora"] = _group_schedule(
-                config, config.text_encoder.learning_rate, total_steps)
+                config, config.text_encoder.learning_rate, total_steps, config.text_encoder, steps_per_epoch)
             labels["te_lora"] = jax.tree.map(lambda _: "te_lora", trainable["te_lora"])
         if config.text_encoder_2.train:
             trainable["te2_lora"] = init_peft_params(
                 jax.random.PRNGKey(2), model.te2_params, peft_cfg)
             group_schedules["te2_lora"] = _group_schedule(
-                config, config.text_encoder_2.learning_rate, total_steps)
+                config, config.text_encoder_2.learning_rate, total_steps, config.text_encoder_2, steps_per_epoch)
             labels["te2_lora"] = jax.tree.map(lambda _: "te2_lora",
                                               trainable["te2_lora"])
     elif method == TrainingMethod.EMBEDDING:
@@ -126,18 +127,18 @@ def create_sdxl_setup(model: StableDiffusionXLModel, config: TrainConfig,
         if config.unet.train:
             trainable["unet"] = frozen.pop("unet")
             group_schedules["unet"] = _group_schedule(
-                config, config.unet.learning_rate, total_steps)
+                config, config.unet.learning_rate, total_steps, config.unet, steps_per_epoch)
             labels["unet"] = jax.tree.map(lambda _: "unet", trainable["unet"])
         if config.text_encoder.train:
             trainable["text_encoder"] = frozen.pop("text_encoder")
             group_schedules["text_encoder"] = _group_schedule(
-                config, config.text_encoder.learning_rate, total_steps)
+                config, config.text_encoder.learning_rate, total_steps, config.text_encoder, steps_per_epoch)
             labels["text_encoder"] = jax.tree.map(
                 lambda _: "text_encoder", trainable["text_encoder"])
         if config.text_encoder_2.train:
             trainable["text_encoder_2"] = frozen.pop("text_encoder_2")
             group_schedules["text_encoder_2"] = _group_schedule(
-                config, config.text_encoder_2.learning_rate, total_steps)
+                config, config.text_encoder_2.learning_rate, total_steps, config.text_encoder_2, steps_per_epoch)
             labels["text_encoder_2"] = jax.tree.map(
                 lambda _: "text_encoder_2", trainable["text_encoder_2"])
 

@@ -84,7 +84,25 @@ class GenericTrainer(BaseTrainer):
         steps_per_epoch = max(len(self.data_loader), 1)
         total = config.epochs * steps_per_epoch // max(
             config.gradient_accumulation_steps, 1)
-        self.setup = self.family.create_setup(self.model, config, max(total, 1))
+        self.setup = self.family.create_setup(
+            self.model, config, max(total, 1), steps_per_epoch)
+
+        # validation data loader over VALIDATION concepts only
+        self.validation_loader = None
+        if config.validation:
+            from onetrainer_tpu.config.train_config import TrainConfig as _TC
+            from onetrainer_tpu.util.enums import ConceptType
+            val_config = _TC.default_values().from_dict(config.to_dict())
+            val_config.concepts = [
+                c for c in (config.concepts or [])
+                if c.type == ConceptType.VALIDATION]
+            if val_config.concepts:
+                self.validation_loader = Text2ImageDataLoader(
+                    val_config, encode_images, encode_text,
+                    quantization=self.family.quantization,
+                    include_validation=True,
+                    model_tag=str(config.model_type) + "-val",
+                    latent_scale=self.model.vae_config.spatial_scale)
 
         if config.continue_last_backup and config.get_last_backup_path():
             self._restore_internal_state(config.get_last_backup_path())
@@ -206,6 +224,42 @@ class GenericTrainer(BaseTrainer):
         else:
             self.family.save_model(self.setup, destination, self._source_dir)
 
+    # -- validation ----------------------------------------------------------------
+
+    def _validate(self):
+        """Per-concept deterministic validation losses
+        (reference: GenericTrainer.__validate:319-389 — TB tags
+        loss/validation_step/<concept> plus the total average)."""
+        if self.validation_loader is None:
+            return
+        from onetrainer_tpu.setup.families import make_eval_loss
+        if not hasattr(self, "_eval_loss_fn"):
+            self._eval_loss_fn = make_eval_loss(self.setup, self.family.name)
+        self.callbacks.on_update_status("validating")
+        per_concept: dict[str, list[float]] = {}
+        batches = self.validation_loader.batches_for_epoch(0)
+        self.validation_loader.ensure_cached(batches)
+        for batch_samples in batches:
+            batch_np = self.validation_loader.materialize_batch(batch_samples)
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            losses = np.asarray(self._eval_loss_fn(batch))
+            for sample, value in zip(batch_samples, losses):
+                entry = self.validation_loader.entries[sample.entry_index]
+                name = entry.concept.name or f"concept_{entry.concept_index}"
+                per_concept.setdefault(name, []).append(float(value))
+        if self.tensorboard:
+            all_losses = []
+            for name, values in per_concept.items():
+                mean = float(np.mean(values))
+                all_losses.extend(values)
+                self.tensorboard.add_scalar(
+                    f"loss/validation_step/{name}", mean,
+                    self.train_progress.global_step)
+            if len(per_concept) > 1 and all_losses:
+                self.tensorboard.add_scalar(
+                    "loss/validation_step/total_average",
+                    float(np.mean(all_losses)), self.train_progress.global_step)
+
     # -- sampling during training ------------------------------------------------------
 
     def _sample_during_training(self):
@@ -213,6 +267,23 @@ class GenericTrainer(BaseTrainer):
         samples = config.samples or []
         if not samples:
             return
+        state = self.setup.state
+        use_ema = state.ema is not None
+        if use_ema:
+            # sample with EMA weights, restore after
+            # (reference: GenericTrainer.py:289-309 copy_ema_to/copy_temp_to)
+            real_params = state.params
+            self.setup.state = state.replace(params=state.ema.params)
+        try:
+            self._sample_batch(config, samples)
+        finally:
+            if use_ema:
+                self.setup.state = self.setup.state.replace(params=real_params)
+        if use_ema and config.non_ema_sampling:
+            self._sample_batch(config, samples, suffix="-non-ema")
+        return
+
+    def _sample_batch(self, config, samples, suffix: str = ""):
         self.callbacks.on_update_status("sampling")
         sample_dir = os.path.join(config.workspace_dir, "samples")
         os.makedirs(sample_dir, exist_ok=True)
@@ -225,7 +296,7 @@ class GenericTrainer(BaseTrainer):
                     lambda s, m, i=i: self.callbacks.on_update_sample_default_progress(
                         f"sample_{i}", s, m))
                 from PIL import Image
-                name = (f"{self.train_progress.filename_string()}-sample-{i}"
+                name = (f"{self.train_progress.filename_string()}-sample-{i}{suffix}"
                         f"{config.sample_image_format.extension()}")
                 path = os.path.join(sample_dir, name)
                 Image.fromarray(out.image).save(path)
@@ -275,6 +346,11 @@ class GenericTrainer(BaseTrainer):
                                config.backup_after_unit) \
                         or self.commands.get_and_reset_backup_command():
                     self.backup()
+
+                if config.validation and self._needs(
+                        "validate", config.validate_after,
+                        config.validate_after_unit, start_at_zero=False):
+                    self._validate()
 
                 if config.save_every_unit != TimeUnit.NEVER and \
                         self._needs("save", config.save_every, config.save_every_unit) \

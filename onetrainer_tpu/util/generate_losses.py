@@ -34,40 +34,15 @@ class GenerateLossesModel:
             quantization=family.quantization, model_tag=str(config.model_type),
             latent_scale=model.vae_config.spatial_scale)
 
-        coefficients = model.coefficients()
-        cfg = setup.step_cfg
-
-        if family.name == "sdxl":
-            from onetrainer_tpu.train.sdxl_train_step import sdxl_predict
-
-            @jax.jit
-            def eval_loss(frozen, batch):
-                unet, te, te2, extra = (frozen["unet"], frozen.get("text_encoder"),
-                                        frozen.get("text_encoder_2"), None)
-                data = sdxl_predict(model, unet, te, te2, batch,
-                                    jax.random.PRNGKey(0), cfg, coefficients,
-                                    deterministic=True)
-                return diffusion_losses(batch, data, cfg.loss, coefficients)
-        else:
-            from onetrainer_tpu.train.sd_train_step import sd_predict
-
-            @jax.jit
-            def eval_loss(frozen, batch):
-                data, _ = sd_predict(
-                    model.unet.apply, model.text_encoder.apply,
-                    frozen["unet"], frozen.get("text_encoder"), batch,
-                    jax.random.PRNGKey(0), cfg, coefficients, deterministic=True)
-                return diffusion_losses(batch, data, cfg.loss, coefficients)
-
-        frozen = dict(setup.frozen)
-        frozen.update(setup.trainable)
+        from onetrainer_tpu.setup.families import make_eval_loss
+        eval_loss = make_eval_loss(setup, family.name)
         losses: dict[str, float] = {}
         batches = loader.batches_for_epoch(0)
         loader.ensure_cached(batches)
         for batch_samples in batches:
             batch_np = loader.materialize_batch(batch_samples)
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-            value = eval_loss(frozen, batch)
+            value = eval_loss(batch)
             entry = loader.entries[batch_samples[0].entry_index]
             losses[entry.image_path] = float(value[0])
 
