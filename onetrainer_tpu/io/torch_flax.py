@@ -34,7 +34,8 @@ def merge_int_tokens(key: str) -> tuple[str, ...]:
 
 # torch attribute names that contain a literal underscore+digit and must
 # NOT be split back into list indices (diffusers TimestepEmbedding etc.)
-_KEEP_UNDERSCORE = frozenset({'linear_1', 'linear_2', 'norm_1', 'norm_2'})
+_KEEP_UNDERSCORE = frozenset({'linear_1', 'linear_2', 'norm_1', 'norm_2',
+                              'wi_0', 'wi_1', 'w1_a', 'w1_b', 'w2_a', 'w2_b'})
 
 
 def split_int_tokens(path: tuple[str, ...]) -> str:
@@ -212,3 +213,79 @@ def unet_flax_to_state_dict(params: dict) -> dict[str, np.ndarray]:
 
 vae_state_dict_to_flax = unet_state_dict_to_flax
 vae_flax_to_state_dict = unet_flax_to_state_dict
+
+
+# T5 encoder (transformers T5EncoderModel) — structural rename, RMS-norm
+# weights stay named 'weight', relative bias table keeps layout.
+_T5_EMBEDDING_PATHS = frozenset({('shared',)})
+
+
+def t5_torch_key_map(key: str) -> str | None:
+    if key == 'shared.weight':
+        return 'shared.weight'
+    if key.startswith('encoder.embed_tokens'):
+        return None  # duplicate of shared
+    key = key.replace('encoder.block.', 'block.')
+    key = key.replace('.layer.0.SelfAttention.relative_attention_bias.weight',
+                      '.attention.relative_attention_bias#table')
+    key = key.replace('.layer.0.SelfAttention.', '.attention.')
+    key = key.replace('.layer.0.layer_norm.weight', '.ln_attn.weight#norm')
+    key = key.replace('.layer.1.DenseReluDense.', '.')
+    key = key.replace('.layer.1.layer_norm.weight', '.ln_mlp.weight#norm')
+    key = key.replace('encoder.final_layer_norm.weight',
+                      'final_layer_norm.weight#norm')
+    return key
+
+
+def t5_state_dict_to_flax(state_dict: dict[str, np.ndarray]) -> dict:
+    flat: dict[tuple[str, ...], np.ndarray] = {}
+    for key, tensor in state_dict.items():
+        key = t5_torch_key_map(key)
+        if key is None:
+            continue
+        tensor = np.asarray(tensor)
+        if key.endswith('#table'):
+            path = merge_int_tokens(key[:-6])
+            flat[path] = tensor  # [buckets, heads], no transpose
+        elif key.endswith('#norm'):
+            path = merge_int_tokens(key[:-5])
+            flat[path] = tensor  # T5LayerNorm param is literally 'weight'
+        else:
+            path = merge_int_tokens(key)
+            flax_path, arr = torch_to_flax_leaf(path, tensor, _T5_EMBEDDING_PATHS)
+            flat[flax_path] = arr
+    return _nest(flat)
+
+
+def t5_flax_to_state_dict(params: dict) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for path, tensor in _flatten(params).items():
+        if path == ('shared',):
+            out['shared.weight'] = tensor
+            continue
+        if path[-1] == 'relative_attention_bias':
+            key = 'encoder.' + split_int_tokens(path[:-1]).replace(
+                'attention', 'layer.0.SelfAttention') + \
+                '.relative_attention_bias.weight'
+            out[key] = tensor
+            continue
+        if path[-1] == 'weight':  # RMS norms
+            parent = split_int_tokens(path[:-1])
+            if parent.endswith('ln_attn'):
+                key = 'encoder.' + parent[:-len('ln_attn')] + 'layer.0.layer_norm.weight'
+            elif parent.endswith('ln_mlp'):
+                key = 'encoder.' + parent[:-len('ln_mlp')] + 'layer.1.layer_norm.weight'
+            elif parent == 'final_layer_norm':
+                key = 'encoder.final_layer_norm.weight'
+            else:
+                key = 'encoder.' + parent + '.weight'
+            out[key] = tensor
+            continue
+        key, arr = flax_to_torch_leaf(path, tensor)
+        key = 'encoder.' + key
+        key = key.replace('.attention.', '.layer.0.SelfAttention.')
+        for mlp in ('wi_0', 'wi_1', 'wo'):
+            key = key.replace(f'.{mlp}.weight', f'.layer.1.DenseReluDense.{mlp}.weight')
+        key = key.replace('encoder.block.', 'encoder.block.')
+        out[key] = arr
+    return out

@@ -41,6 +41,7 @@ class SDStepConfig:
     offset_noise_weight: float = 0.0
     perturbation_noise_weight: float = 0.0
     vae_scaling_factor: float = 0.18215
+    vae_shift_factor: float = 0.0
     prediction_type: str = "epsilon"
     text_encoder_layer_skip: int = 0
     train_text_encoder: bool = False
