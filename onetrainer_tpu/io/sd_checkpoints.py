@@ -43,7 +43,23 @@ def _find_weights(component_dir: str) -> str | None:
         p = os.path.join(component_dir, name)
         if os.path.exists(p):
             return p
+    # sharded checkpoints: *.safetensors.index.json
+    for name in os.listdir(component_dir) if os.path.isdir(component_dir) else []:
+        if name.endswith(".safetensors.index.json"):
+            return os.path.join(component_dir, name)
     return None
+
+
+def _load_weights(path: str) -> dict[str, np.ndarray]:
+    """Load a safetensors file or a sharded index."""
+    if path.endswith(".index.json"):
+        index = _read_json(path)
+        base = os.path.dirname(path)
+        out: dict[str, np.ndarray] = {}
+        for shard in sorted(set(index["weight_map"].values())):
+            out.update(load_safetensors(os.path.join(base, shard)))
+        return out
+    return load_safetensors(path)
 
 
 def unet_config_from_diffusers(config: dict, dtype=jnp.bfloat16,
@@ -120,7 +136,7 @@ def load_component(base_dir: str, name: str, converter, dtype=None,
     config_path = os.path.join(component_dir, "config.json")
     if os.path.exists(config_path):
         config = _read_json(config_path)
-    sd = load_safetensors(weights)
+    sd = _load_weights(weights)
     if dtype is not None:
         sd = {k: v.astype(dtype) if np.issubdtype(v.dtype, np.floating) or
               v.dtype == jnp.bfloat16 else v for k, v in sd.items()}

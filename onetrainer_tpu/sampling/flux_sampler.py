@@ -1,0 +1,77 @@
+"""FLUX sampler: rectified-flow Euler with µ-shifted timesteps, guidance
+embedding (distilled CFG — no negative pass)
+(reference: modules/modelSampler/FluxSampler.py:52-205)."""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onetrainer_tpu.config.sample_config import SampleConfig
+from onetrainer_tpu.models.clip import encode_clip_text
+from onetrainer_tpu.models.flux import (
+    pack_latents, prepare_latent_image_ids, unpack_latents,
+)
+from onetrainer_tpu.math.timesteps import flux_mu_shift
+from onetrainer_tpu.sampling.sd_sampler import SamplerOutput
+
+
+def sample_flux(
+        model, transformer_params, te_params, te2_params, vae_params,
+        tokenize, tokenize_2,
+        sample_config: SampleConfig,
+        extra_embeddings=None,
+        rng: jax.Array | None = None,
+        on_update_progress=None,
+) -> SamplerOutput:
+    steps = sample_config.diffusion_steps
+    height, width = sample_config.height, sample_config.width
+    if rng is None:
+        rng = jax.random.PRNGKey(sample_config.seed)
+
+    scale = model.vae_config.spatial_scale
+    lh, lw = height // scale, width // scale
+
+    # µ-shifted sigma schedule (reference: FluxSampler µ-shift :121-135)
+    shift = flux_mu_shift(lw, lh)
+    sigmas = np.linspace(1.0, 1.0 / steps, steps)
+    sigmas = shift * sigmas / (1 + (shift - 1) * sigmas)
+    sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+
+    t1 = jnp.asarray(tokenize(sample_config.prompt), jnp.int32)[None]
+    t2 = jnp.asarray(tokenize_2(sample_config.prompt), jnp.int32)[None]
+    out_clip = model.text_encoder.apply({"params": te_params}, t1,
+                                        None, extra_embeddings)
+    pooled = out_clip["pooled_output"]
+    t5_states = model.text_encoder_2.apply({"params": te2_params}, t2)
+
+    rng, noise_rng = jax.random.split(rng)
+    latents = jax.random.normal(
+        noise_rng, (1, lh, lw, model.vae_config.latent_channels), jnp.float32)
+    img_ids = prepare_latent_image_ids(lh, lw)
+    guidance = jnp.asarray([sample_config.cfg_scale], jnp.float32)
+
+    @jax.jit
+    def velocity(packed, t):
+        return model.transformer.apply(
+            {"params": transformer_params}, packed,
+            jnp.full((1,), t, jnp.float32), pooled, t5_states, img_ids,
+            None, guidance)
+
+    packed = pack_latents(latents)
+    for i in range(steps):
+        sigma, sigma_next = float(sigmas[i]), float(sigmas[i + 1])
+        v = velocity(packed.astype(jnp.float32), sigma)
+        packed = packed + (sigma_next - sigma) * v
+        if on_update_progress:
+            on_update_progress(i + 1, steps)
+
+    latents = unpack_latents(packed, lh, lw)
+    latents = latents / model.vae_config.scaling_factor + model.vae_config.shift_factor
+    image = model.vae.apply({"params": vae_params}, latents,
+                            method=model.vae.decode)
+    image = np.asarray(jnp.clip(image[0] * 0.5 + 0.5, 0, 1))
+    return SamplerOutput(image=(image * 255).astype(np.uint8))

@@ -169,6 +169,66 @@ def _sdxl_save_single_file(setup, path):
                           te, te2, metadata=meta)
 
 
+# -- FLUX -----------------------------------------------------------------------------
+
+def _flux_load(base_dir, config):
+    import jax.numpy as jnp
+    from onetrainer_tpu.io.flux_checkpoints import load_flux_diffusers
+    from onetrainer_tpu.models.flux_model import FluxModel
+    loaded = load_flux_diffusers(
+        base_dir,
+        weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
+        compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
+        gradient_checkpointing=config.gradient_checkpointing.enabled(),
+    )
+    return FluxModel(
+        model_type=config.model_type,
+        transformer_config=loaded["transformer_config"],
+        vae_config=loaded["vae_config"],
+        te_config=loaded["te_config"],
+        te2_config=loaded["te2_config"],
+        transformer_params=loaded["transformer_params"],
+        vae_params=loaded["vae_params"],
+        te_params=loaded["te_params"],
+        te2_params=loaded["te2_params"],
+        tokenizer=loaded["tokenizer_dir"],
+        tokenizer_2=loaded["tokenizer_2_dir"],
+    )
+
+
+def _flux_create_setup(model, config, total_steps, steps_per_epoch=100):
+    from onetrainer_tpu.setup.flux_setup import create_flux_setup
+    return create_flux_setup(model, config, total_steps, steps_per_epoch)
+
+
+def _flux_encode_fns(setup):
+    from onetrainer_tpu.setup.flux_setup import make_flux_encode_fns
+    return make_flux_encode_fns(setup)
+
+
+def _flux_sample(setup, sample_config, on_progress):
+    from onetrainer_tpu.sampling.flux_sampler import sample_flux
+    transformer, te, te2, extra = setup.merged_inference_params()
+    return sample_flux(
+        setup.model, transformer, te, te2, setup.model.vae_params,
+        setup.tokenizer, setup.tokenizer_2, sample_config,
+        extra_embeddings=extra, on_update_progress=on_progress)
+
+
+def _flux_save_model(setup, out_dir, source_dir):
+    from onetrainer_tpu.io.flux_checkpoints import save_flux_diffusers
+    transformer, te, te2, _ = setup.merged_inference_params()
+    save_flux_diffusers(out_dir, setup.model, transformer,
+                        setup.model.vae_params, te, te2, source_dir=source_dir)
+
+
+def _flux_save_single_file(setup, path):
+    # BFL single-file layout lands with the round-2 flux convert tables;
+    # diffusers-layout output is the supported path for now
+    raise NotImplementedError(
+        "FLUX single-file export not implemented yet; use DIFFUSERS format")
+
+
 def make_eval_loss(setup, family_name: str):
     """Jitted deterministic per-sample loss (validation + calculate_loss;
     reference: GenericTrainer.__validate, GenerateLossesModel)."""
@@ -178,6 +238,23 @@ def make_eval_loss(setup, family_name: str):
 
     model = setup.model
     cfg = setup.step_cfg
+
+    if family_name == "flux":
+        from onetrainer_tpu.math.losses import flow_matching_losses
+        from onetrainer_tpu.train.flux_train_step import flux_predict
+
+        @jax.jit
+        def eval_loss_flux(params, batch):
+            transformer, te, te2, extra = params
+            data = flux_predict(model, transformer, te, te2, batch,
+                                jax.random.PRNGKey(0), cfg,
+                                extra_embeddings=extra, deterministic=True)
+            return flow_matching_losses(batch, data, cfg.loss)
+
+        def run_flux(batch):
+            return eval_loss_flux(setup.merged_inference_params(), batch)
+        return run_flux
+
     coefficients = model.coefficients()
 
     if family_name == "sdxl":
@@ -229,6 +306,15 @@ def get_family(model_type: ModelType) -> ModelFamily:
             save_model=_sdxl_save_model, save_single_file=_sdxl_save_single_file,
             lora_prefixes={"unet_lora": "lora_unet", "te_lora": "lora_te1",
                            "te2_lora": "lora_te2"},
+        )
+    if model_type.is_flux():
+        return ModelFamily(
+            name="flux", quantization=64,
+            load=_flux_load, create_setup=_flux_create_setup,
+            make_encode_fns=_flux_encode_fns, sample=_flux_sample,
+            save_model=_flux_save_model, save_single_file=_flux_save_single_file,
+            lora_prefixes={"transformer_lora": "lora_transformer",
+                           "te_lora": "lora_te1"},
         )
     raise NotImplementedError(
         f"model family {model_type} is not wired up yet")

@@ -1,0 +1,219 @@
+"""FLUX model setup (reference: modules/modelSetup/FluxLoRASetup.py,
+FluxFineTuneSetup.py, BaseFluxSetup.py). The transformer is the reference's
+'prior' model part; quantized frozen-base training (the reference's NF4
+path) maps to fp8/int8 quantize_tree."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.models.clip import encode_clip_text
+from onetrainer_tpu.models.flux_model import FluxModel
+from onetrainer_tpu.ops.quant import quantize_tree
+from onetrainer_tpu.peft.lora import PeftConfig, apply_peft, init_peft_params
+from onetrainer_tpu.setup.sd_setup import _group_schedule, _init_embedding_vectors
+from onetrainer_tpu.setup.tokenizer import SDTokenizer, T5TokenizerWrapper
+from onetrainer_tpu.train.flux_train_step import make_flux_train_step
+from onetrainer_tpu.train.optimizers import create_group_optimizer
+from onetrainer_tpu.train.sd_train_step import SDStepConfig
+from onetrainer_tpu.train.train_state import create_train_state
+from onetrainer_tpu.util.enums import DataType, EMAMode, TrainingMethod
+
+# FLUX layer-filter presets (reference: FluxLoRASetup.PRESETS:12-16)
+FLUX_LORA_PRESETS = {
+    "attn-mlp": ("attn", "ff", "proj_mlp", "proj_out"),
+    "attn-only": ("attn",),
+    "full": (),
+}
+
+
+@dataclass
+class FluxSetup:
+    model: FluxModel
+    config: TrainConfig
+    tokenizer: SDTokenizer
+    tokenizer_2: T5TokenizerWrapper
+    peft_cfg: PeftConfig | None
+    step_cfg: SDStepConfig
+    trainable: dict
+    frozen: dict
+    tx: object
+    train_step: object
+    state: object = None
+    embedding_ids: dict = field(default_factory=dict)
+
+    def merged_inference_params(self, params=None):
+        params = params if params is not None else self.state.params
+        method = self.config.training_method
+        frozen = self.frozen
+        if method == TrainingMethod.LORA:
+            transformer = apply_peft(frozen["transformer"],
+                                     params["transformer_lora"], self.peft_cfg) \
+                if "transformer_lora" in params else frozen["transformer"]
+            te = frozen.get("text_encoder")
+            if "te_lora" in params and te is not None:
+                te = apply_peft(te, params["te_lora"], self.peft_cfg)
+            return transformer, te, frozen.get("text_encoder_2"), \
+                params.get("embeddings")
+        if method == TrainingMethod.EMBEDDING:
+            return (frozen["transformer"], frozen["text_encoder"],
+                    frozen["text_encoder_2"], params["embeddings"])
+        return (params.get("transformer", frozen.get("transformer")),
+                params.get("text_encoder", frozen.get("text_encoder")),
+                params.get("text_encoder_2", frozen.get("text_encoder_2")),
+                params.get("embeddings"))
+
+
+def create_flux_setup(model: FluxModel, config: TrainConfig,
+                      total_steps: int = 10_000,
+                      steps_per_epoch: int = 100) -> FluxSetup:
+    method = config.training_method
+
+    tokenizer = model.tokenizer if isinstance(model.tokenizer, SDTokenizer) \
+        else SDTokenizer(model.tokenizer,
+                         max_length=model.te_config.max_position_embeddings,
+                         vocab_size=model.te_config.vocab_size,
+                         bos=max(model.te_config.eos_token_id - 1, 0),
+                         eos=model.te_config.eos_token_id)
+    tokenizer_2 = model.tokenizer_2 if isinstance(model.tokenizer_2, T5TokenizerWrapper) \
+        else T5TokenizerWrapper(model.tokenizer_2,
+                                vocab_size=model.te2_config.vocab_size)
+    model.tokenizer, model.tokenizer_2 = tokenizer, tokenizer_2
+
+    trainable: dict = {}
+    frozen: dict = {"transformer": model.transformer_params,
+                    "text_encoder": model.te_params,
+                    "text_encoder_2": model.te2_params}
+    group_schedules: dict = {}
+    labels: dict = {}
+    embedding_ids: dict = {}
+    peft_cfg = None
+
+    if method == TrainingMethod.LORA:
+        peft_cfg = PeftConfig.from_train_config(config)
+        if config.lora_layer_preset in FLUX_LORA_PRESETS and not peft_cfg.layer_filter:
+            peft_cfg = replace(
+                peft_cfg, layer_filter=FLUX_LORA_PRESETS[config.lora_layer_preset])
+        if config.prior.train:
+            trainable["transformer_lora"] = init_peft_params(
+                jax.random.PRNGKey(0), model.transformer_params, peft_cfg)
+            group_schedules["transformer_lora"] = _group_schedule(
+                config, config.prior.learning_rate, total_steps,
+                config.prior, steps_per_epoch)
+            labels["transformer_lora"] = jax.tree.map(
+                lambda _: "transformer_lora", trainable["transformer_lora"])
+        if config.text_encoder.train:
+            trainable["te_lora"] = init_peft_params(
+                jax.random.PRNGKey(1), model.te_params, peft_cfg)
+            group_schedules["te_lora"] = _group_schedule(
+                config, config.text_encoder.learning_rate, total_steps,
+                config.text_encoder, steps_per_epoch)
+            labels["te_lora"] = jax.tree.map(lambda _: "te_lora",
+                                             trainable["te_lora"])
+        # quantized frozen base (reference: NF4 weight_dtype in flux presets)
+        prior_dtype = config.weight_dtypes().prior
+        if prior_dtype.is_quantized():
+            qdtype = jnp.int8 if prior_dtype in (DataType.INT_8, DataType.NFLOAT_4) \
+                else jnp.float8_e4m3fn
+            frozen["transformer"] = quantize_tree(model.transformer_params, qdtype)
+        te2_dtype = config.weight_dtypes().text_encoder_2
+        if te2_dtype.is_quantized() and model.te2_params is not None:
+            qdtype = jnp.int8 if te2_dtype in (DataType.INT_8, DataType.NFLOAT_4) \
+                else jnp.float8_e4m3fn
+            frozen["text_encoder_2"] = quantize_tree(model.te2_params, qdtype)
+    elif method == TrainingMethod.EMBEDDING:
+        vectors, embedding_ids = _init_embedding_vectors(
+            model, model.te_params, tokenizer, config)
+        trainable["embeddings"] = vectors
+        lr = config.embedding_learning_rate or config.learning_rate
+        group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
+        labels["embeddings"] = "embeddings"
+    else:
+        if config.prior.train:
+            trainable["transformer"] = frozen.pop("transformer")
+            group_schedules["transformer"] = _group_schedule(
+                config, config.prior.learning_rate, total_steps,
+                config.prior, steps_per_epoch)
+            labels["transformer"] = jax.tree.map(
+                lambda _: "transformer", trainable["transformer"])
+        if config.text_encoder.train:
+            trainable["text_encoder"] = frozen.pop("text_encoder")
+            group_schedules["text_encoder"] = _group_schedule(
+                config, config.text_encoder.learning_rate, total_steps,
+                config.text_encoder, steps_per_epoch)
+            labels["text_encoder"] = jax.tree.map(
+                lambda _: "text_encoder", trainable["text_encoder"])
+
+    tx = create_group_optimizer(
+        group_schedules, config.optimizer.optimizer, config.optimizer, labels)
+    if config.clip_grad_norm is not None and config.clip_grad_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(config.clip_grad_norm), tx)
+    if config.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=config.gradient_accumulation_steps)
+
+    step_cfg = SDStepConfig.from_train_config(config, "flow", 0)
+    step_cfg = SDStepConfig(**{
+        **step_cfg.__dict__,
+        "vae_scaling_factor": model.vae_config.scaling_factor,
+        "vae_shift_factor": model.vae_config.shift_factor,
+        "train_text_encoder": (config.train_text_encoder_or_embedding()
+                               or method == TrainingMethod.EMBEDDING),
+    })
+
+    train_step = make_flux_train_step(
+        model, step_cfg, tx, peft_cfg,
+        guidance_scale=config.prior.guidance_scale)
+    state = create_train_state(trainable, tx, ema_enabled=config.ema != EMAMode.OFF)
+
+    return FluxSetup(
+        model=model, config=config, tokenizer=tokenizer, tokenizer_2=tokenizer_2,
+        peft_cfg=peft_cfg, step_cfg=step_cfg, trainable=trainable, frozen=frozen,
+        tx=tx, train_step=train_step, state=state, embedding_ids=embedding_ids)
+
+
+def make_flux_encode_fns(setup: FluxSetup):
+    model = setup.model
+    vae_params = model.vae_params
+
+    @jax.jit
+    def _vae_encode(pixels):
+        return model.vae.apply({"params": vae_params}, pixels,
+                               method=model.vae.encode)
+
+    def encode_images(images: np.ndarray) -> dict:
+        mean, logvar = _vae_encode(jnp.asarray(images))
+        return {"latent_image": np.asarray(mean, np.float32),
+                "latent_logvar": np.asarray(logvar, np.float32)}
+
+    cache_te = not setup.step_cfg.train_text_encoder
+
+    if cache_te:
+        te_params, te2_params = model.te_params, model.te2_params
+
+        @jax.jit
+        def _te_encode(tokens, tokens_2):
+            out_clip = model.text_encoder.apply({"params": te_params}, tokens[None])
+            t5 = model.text_encoder_2.apply({"params": te2_params}, tokens_2[None])
+            return out_clip["pooled_output"][0], t5[0]
+
+        def encode_text(prompt: str) -> dict:
+            tokens = setup.tokenizer(prompt)
+            tokens_2 = setup.tokenizer_2(prompt)
+            pooled, t5 = _te_encode(jnp.asarray(tokens), jnp.asarray(tokens_2))
+            return {
+                "tokens": tokens, "tokens_2": tokens_2,
+                "clip_pooled_state": np.asarray(pooled, np.float32),
+                "t5_hidden_state": np.asarray(t5, np.float32),
+            }
+    else:
+        def encode_text(prompt: str) -> dict:
+            return {"tokens": setup.tokenizer(prompt),
+                    "tokens_2": setup.tokenizer_2(prompt)}
+
+    return encode_images, encode_text

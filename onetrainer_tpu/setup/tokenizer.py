@@ -50,6 +50,28 @@ class SDTokenizer:
         return [abs(hash(w)) % (self.vocab_size - 2) + 1
                 for w in text.lower().split()]
 
+    def encode_pieces(self, text: str) -> list[int]:
+        """Token ids with placeholders spliced, no special tokens."""
+        pieces: list[int] = []
+        rest = text
+        spans = []
+        for ph, ids in self.placeholders.items():
+            start = 0
+            while True:
+                i = rest.find(ph, start)
+                if i < 0:
+                    break
+                spans.append((i, i + len(ph), ids))
+                start = i + len(ph)
+        spans.sort()
+        cursor = 0
+        for start, end, ids in spans:
+            pieces.extend(self._encode_words(rest[cursor:start]))
+            pieces.extend(ids)
+            cursor = end
+        pieces.extend(self._encode_words(rest[cursor:]))
+        return pieces
+
     def __call__(self, text: str) -> np.ndarray:
         """-> int32 [max_length] with BOS/EOS + eos-padding (CLIP style)."""
         pieces: list[int] = []
@@ -74,4 +96,52 @@ class SDTokenizer:
 
         ids = [self.bos] + pieces[: self.max_length - 2] + [self.eos]
         ids = ids + [self.eos] * (self.max_length - len(ids))
+        return np.asarray(ids, np.int32)
+
+
+class T5TokenizerWrapper:
+    """T5 tokenization (no BOS, EOS=1, PAD=0) with the same placeholder
+    splicing; wraps a transformers T5Tokenizer when files are available."""
+
+    def __init__(self, tokenizer_dir: str | None = None, max_length: int = 77,
+                 vocab_size: int = 32128):
+        self.max_length = max_length
+        self.vocab_size = vocab_size
+        self.eos = 1
+        self.pad = 0
+        self._tokenizer = None
+        if tokenizer_dir:
+            try:
+                from transformers import T5Tokenizer
+                self._tokenizer = T5Tokenizer.from_pretrained(tokenizer_dir)
+                self.vocab_size = self._tokenizer.vocab_size
+                self.eos = self._tokenizer.eos_token_id
+                self.pad = self._tokenizer.pad_token_id
+            except Exception as e:
+                print(f"t5 tokenizer load failed ({e}); using hash fallback")
+        self.placeholders: dict[str, list[int]] = {}
+
+    def register_placeholder(self, placeholder: str, token_count: int) -> list[int]:
+        ids = list(range(self.vocab_size, self.vocab_size + token_count))
+        self.placeholders[placeholder] = ids
+        return ids
+
+    def _encode_words(self, text: str) -> list[int]:
+        if self._tokenizer is not None:
+            return self._tokenizer(text, add_special_tokens=False)["input_ids"]
+        return [abs(hash(w)) % (self.vocab_size - 2) + 2
+                for w in text.lower().split()]
+
+    def __call__(self, text: str) -> np.ndarray:
+        pieces: list[int] = []
+        rest = text
+        for ph, ids in self.placeholders.items():
+            if ph in rest:
+                before, _, rest2 = rest.partition(ph)
+                pieces.extend(self._encode_words(before))
+                pieces.extend(ids)
+                rest = rest2
+        pieces.extend(self._encode_words(rest))
+        ids = pieces[: self.max_length - 1] + [self.eos]
+        ids = ids + [self.pad] * (self.max_length - len(ids))
         return np.asarray(ids, np.int32)

@@ -1,0 +1,109 @@
+"""FLUX end-to-end: tiny diffusers-layout FLUX checkpoint -> GenericTrainer
+rectified-flow LoRA run with quantized (int8) frozen base -> kohya output."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onetrainer_tpu.config.concept_config import ConceptConfig
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.io.safetensors_io import load_safetensors, save_safetensors
+from onetrainer_tpu.io.torch_flax import (
+    clip_flax_to_state_dict, t5_flax_to_state_dict, unet_flax_to_state_dict,
+    vae_flax_to_state_dict,
+)
+from onetrainer_tpu.models.flux import prepare_latent_image_ids
+from onetrainer_tpu.trainer.generic_trainer import GenericTrainer
+from onetrainer_tpu.util.enums import DataType, EMAMode, ModelType, TimeUnit, TrainingMethod
+from tests.test_data import make_dataset
+from tests.test_flux import tiny_flux_model
+
+
+def write_tiny_flux_checkpoint(base_dir, model):
+    rng = jax.random.PRNGKey(0)
+    transformer_params = model.transformer.init(
+        rng, jnp.zeros((1, 16, 16)), jnp.asarray([0.5]), jnp.zeros((1, 20)),
+        jnp.zeros((1, 6, 24)), prepare_latent_image_ids(8, 8))["params"]
+    te = model.text_encoder.init(rng, jnp.zeros((1, 8), jnp.int32))["params"]
+    te2 = model.text_encoder_2.init(rng, jnp.zeros((1, 6), jnp.int32))["params"]
+    vae = model.vae.init(rng, jnp.zeros((1, 32, 32, 3)), rng)["params"]
+
+    def write(component, sd, config, weights_name="diffusion_pytorch_model.safetensors"):
+        d = os.path.join(base_dir, component)
+        os.makedirs(d, exist_ok=True)
+        save_safetensors(os.path.join(d, weights_name), sd)
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(config, f)
+
+    write("transformer", unet_flax_to_state_dict(jax.device_get(transformer_params)), {
+        "in_channels": 16, "num_layers": 2, "num_single_layers": 2,
+        "num_attention_heads": 2, "attention_head_dim": 16,
+        "joint_attention_dim": 24, "pooled_projection_dim": 20,
+        "guidance_embeds": True, "axes_dims_rope": [4, 6, 6],
+    })
+    write("vae", vae_flax_to_state_dict(jax.device_get(vae)), {
+        "in_channels": 3, "out_channels": 3, "latent_channels": 4,
+        "block_out_channels": [32, 64], "layers_per_block": 1,
+        "scaling_factor": 0.3611, "shift_factor": 0.1159,
+    })
+    write("text_encoder", clip_flax_to_state_dict(jax.device_get(te)), {
+        "vocab_size": 100, "hidden_size": 20, "intermediate_size": 40,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "max_position_embeddings": 16, "hidden_act": "quick_gelu",
+        "eos_token_id": 99,
+    }, weights_name="model.safetensors")
+    write("text_encoder_2", t5_flax_to_state_dict(jax.device_get(te2)), {
+        "vocab_size": 110, "d_model": 24, "d_kv": 6, "d_ff": 48,
+        "num_layers": 2, "num_heads": 4,
+    }, weights_name="model.safetensors")
+
+
+def test_flux_e2e_lora_quantized_base(tmp_path):
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    model = tiny_flux_model()
+    write_tiny_flux_checkpoint(base, model)
+
+    config = TrainConfig.default_values()
+    config.model_type = ModelType.FLUX_DEV_1
+    config.training_method = TrainingMethod.LORA
+    config.base_model_name = base
+    config.workspace_dir = str(tmp_path / "ws")
+    config.cache_dir = str(tmp_path / "cache")
+    config.epochs = 1
+    config.batch_size = 2
+    config.resolution = "32"
+    config.aspect_ratio_bucketing = False
+    config.lora_rank = 4
+    config.learning_rate = 1e-3
+    config.learning_rate_warmup_steps = 0.0
+    config.tensorboard = False
+    config.sample_after_unit = TimeUnit.NEVER
+    config.backup_after_unit = TimeUnit.NEVER
+    config.save_every_unit = TimeUnit.NEVER
+    config.ema = EMAMode.OFF
+    config.optimizer.stochastic_rounding = False
+    config.prior.train = True
+    config.prior.weight_dtype = DataType.INT_8  # quantized frozen base
+    config.text_encoder.train = False
+    config.text_encoder_2.train = False
+    config.samples = []
+    concept = ConceptConfig.default_values()
+    concept.path = ds
+    concept.seed = 3
+    config.concepts = [concept]
+    config.output_model_destination = str(tmp_path / "out_flux.safetensors")
+    config.backup_before_save = False
+
+    trainer = GenericTrainer(config)
+    trainer.start()
+    trainer.train()
+    trainer.end()
+
+    assert trainer.train_progress.global_step >= 2
+    sd = load_safetensors(config.output_model_destination)
+    assert any(k.startswith("lora_transformer_") and k.endswith("lora_down.weight")
+               for k in sd)
