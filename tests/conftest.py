@@ -12,3 +12,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent XLA compilation cache: tiny-model compiles dominate the suite
+# runtime on the single-core CI box; cache them across tests and runs
+import pathlib
+_cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache_tests"
+_cache_dir.mkdir(exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_cache_dir))
+jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
