@@ -1,0 +1,128 @@
+"""The jitted SD3 training step: flow matching over 16ch latents with
+triple text encoders (reference: modules/modelSetup/BaseStableDiffusion3Setup.py)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from onetrainer_tpu.math.losses import flow_matching_losses
+from onetrainer_tpu.math.noise import create_noise
+from onetrainer_tpu.math.timesteps import sample_timesteps_discrete
+from onetrainer_tpu.models.clip import encode_clip_text
+from onetrainer_tpu.models.sd3 import sd3_text_context
+from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
+from onetrainer_tpu.peft.lora import PeftConfig, apply_peft
+from onetrainer_tpu.train.ema import maybe_update_ema
+from onetrainer_tpu.train.sd_train_step import SDStepConfig
+from onetrainer_tpu.train.train_state import TrainState
+from onetrainer_tpu.util.enums import TrainingMethod
+
+
+def sd3_conditioning(model, te, te2, te3, batch, layer_skip: int,
+                     extra_embeddings=None):
+    if "sd3_context" in batch and "sd3_pooled" in batch:
+        return batch["sd3_context"], batch["sd3_pooled"]
+    out_l = model.text_encoder.apply({"params": te}, batch["tokens"],
+                                     None, extra_embeddings)
+    out_g = model.text_encoder_2.apply({"params": te2}, batch["tokens_2"],
+                                       None, extra_embeddings)
+    t5 = model.text_encoder_3.apply({"params": te3}, batch["tokens_3"])
+    return sd3_text_context(
+        encode_clip_text(out_l, layer_skip),
+        encode_clip_text(out_g, layer_skip),
+        t5,
+        out_l["pooled_output"],
+        out_g["pooled_output"],
+    )
+
+
+def sd3_predict(model, transformer_params, te, te2, te3, batch, rng,
+                cfg: SDStepConfig, extra_embeddings=None,
+                deterministic: bool = False):
+    rng_t, rng_noise, rng_sample = jax.random.split(rng, 3)
+
+    latent = batch["latent_image"]
+    if "latent_logvar" in batch:
+        std = jnp.exp(0.5 * jnp.clip(batch["latent_logvar"], -30.0, 20.0))
+        latent = latent + std * jax.random.normal(rng_sample, latent.shape, latent.dtype)
+    scaled = (latent - cfg.vae_shift_factor) * cfg.vae_scaling_factor
+
+    b = scaled.shape[0]
+    timestep = sample_timesteps_discrete(
+        rng_t, b, cfg.timestep, num_train_timesteps=cfg.num_train_timesteps,
+        deterministic=deterministic)
+    sigma = (timestep.astype(jnp.float32) + 1.0) / cfg.num_train_timesteps
+    noise = create_noise(rng_noise, scaled.shape, scaled.dtype,
+                         cfg.offset_noise_weight, cfg.perturbation_noise_weight)
+    s = sigma.reshape(-1, 1, 1, 1)
+    noisy = (noise.astype(jnp.float32) * s
+             + scaled.astype(jnp.float32) * (1.0 - s)).astype(scaled.dtype)
+
+    context, pooled = sd3_conditioning(
+        model, te, te2, te3, batch, cfg.text_encoder_layer_skip, extra_embeddings)
+
+    predicted = model.transformer.apply(
+        {"params": transformer_params}, noisy,
+        sigma * 1000.0, pooled, context)
+
+    target = noise.astype(jnp.float32) - scaled.astype(jnp.float32)
+    return {
+        "loss_type": "target",
+        "predicted": predicted,
+        "target": target,
+        "timestep": timestep,
+        "scaled_latent_image": scaled,
+        "noisy_latent_image": noisy,
+    }
+
+
+def make_sd3_train_step(model, cfg: SDStepConfig, tx,
+                        peft_cfg: PeftConfig | None = None):
+    def resolve(trainable, frozen, rng):
+        method = cfg.training_method
+        if method == TrainingMethod.LORA:
+            transformer = apply_peft(frozen["transformer"],
+                                     trainable["transformer_lora"], peft_cfg, rng) \
+                if "transformer_lora" in trainable else frozen["transformer"]
+            te = frozen.get("text_encoder")
+            te2 = frozen.get("text_encoder_2")
+            if "te_lora" in trainable and te is not None:
+                te = apply_peft(te, trainable["te_lora"], peft_cfg, rng)
+            if "te2_lora" in trainable and te2 is not None:
+                te2 = apply_peft(te2, trainable["te2_lora"], peft_cfg, rng)
+            return transformer, te, te2, frozen.get("text_encoder_3"), \
+                trainable.get("embeddings")
+        return (trainable.get("transformer", frozen.get("transformer")),
+                trainable.get("text_encoder", frozen.get("text_encoder")),
+                trainable.get("text_encoder_2", frozen.get("text_encoder_2")),
+                trainable.get("text_encoder_3", frozen.get("text_encoder_3")),
+                trainable.get("embeddings"))
+
+    def loss_fn(trainable, frozen, batch, rng):
+        rng_peft, rng_predict = jax.random.split(rng)
+        transformer, te, te2, te3, extra = resolve(trainable, frozen, rng_peft)
+        data = sd3_predict(model, transformer, te, te2, te3, batch, rng_predict,
+                           cfg, extra)
+        losses = flow_matching_losses(batch, data, cfg.loss)
+        return losses.mean(), {}
+
+    def train_step(state: TrainState, frozen: dict, batch: dict, rng):
+        rng_loss, rng_round = jax.random.split(jax.random.fold_in(rng, state.step))
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, frozen, batch, rng_loss)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if cfg.stochastic_rounding:
+            params = apply_updates_stochastic(state.params, updates, rng_round)
+        else:
+            params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if ema is not None and cfg.ema_decay > 0:
+            ema = maybe_update_ema(ema, params, cfg.ema_decay, state.step,
+                                   cfg.ema_update_interval)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, ema=ema)
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return jax.jit(train_step, donate_argnums=(0,))
