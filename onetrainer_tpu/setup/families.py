@@ -229,6 +229,68 @@ def _flux_save_single_file(setup, path):
         "FLUX single-file export not implemented yet; use DIFFUSERS format")
 
 
+# -- SD3 -----------------------------------------------------------------------------
+
+def _sd3_load(base_dir, config):
+    import jax.numpy as jnp
+    from onetrainer_tpu.io.sd3_checkpoints import load_sd3_diffusers
+    from onetrainer_tpu.models.sd3_model import StableDiffusion3Model
+    loaded = load_sd3_diffusers(
+        base_dir,
+        weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
+        compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
+        gradient_checkpointing=config.gradient_checkpointing.enabled(),
+    )
+    return StableDiffusion3Model(
+        model_type=config.model_type,
+        transformer_config=loaded["transformer_config"],
+        vae_config=loaded["vae_config"],
+        te_config=loaded["te_config"],
+        te2_config=loaded["te2_config"],
+        te3_config=loaded["te3_config"],
+        transformer_params=loaded["transformer_params"],
+        vae_params=loaded["vae_params"],
+        te_params=loaded["te_params"],
+        te2_params=loaded["te2_params"],
+        te3_params=loaded["te3_params"],
+        tokenizer=loaded["tokenizer_dir"],
+        tokenizer_2=loaded["tokenizer_2_dir"],
+        tokenizer_3=loaded["tokenizer_3_dir"],
+    )
+
+
+def _sd3_create_setup(model, config, total_steps, steps_per_epoch=100):
+    from onetrainer_tpu.setup.sd3_setup import create_sd3_setup
+    return create_sd3_setup(model, config, total_steps, steps_per_epoch)
+
+
+def _sd3_encode_fns(setup):
+    from onetrainer_tpu.setup.sd3_setup import make_sd3_encode_fns
+    return make_sd3_encode_fns(setup)
+
+
+def _sd3_sample(setup, sample_config, on_progress):
+    from onetrainer_tpu.sampling.sd3_sampler import sample_sd3
+    transformer, te, te2, te3, extra = setup.merged_inference_params()
+    return sample_sd3(
+        setup.model, transformer, te, te2, te3, setup.model.vae_params,
+        setup.tokenizer, setup.tokenizer_2, setup.tokenizer_3, sample_config,
+        extra_embeddings=extra, on_update_progress=on_progress)
+
+
+def _sd3_save_model(setup, out_dir, source_dir):
+    from onetrainer_tpu.io.sd3_checkpoints import save_sd3_diffusers
+    transformer, te, te2, te3, _ = setup.merged_inference_params()
+    save_sd3_diffusers(out_dir, setup.model, transformer,
+                       setup.model.vae_params, te, te2, te3,
+                       source_dir=source_dir)
+
+
+def _sd3_save_single_file(setup, path):
+    raise NotImplementedError(
+        "SD3 single-file export not implemented yet; use DIFFUSERS format")
+
+
 def make_eval_loss(setup, family_name: str):
     """Jitted deterministic per-sample loss (validation + calculate_loss;
     reference: GenericTrainer.__validate, GenerateLossesModel)."""
@@ -238,6 +300,22 @@ def make_eval_loss(setup, family_name: str):
 
     model = setup.model
     cfg = setup.step_cfg
+
+    if family_name == "sd3":
+        from onetrainer_tpu.math.losses import flow_matching_losses
+        from onetrainer_tpu.train.sd3_train_step import sd3_predict
+
+        @jax.jit
+        def eval_loss_sd3(params, batch):
+            transformer, te, te2, te3, extra = params
+            data = sd3_predict(model, transformer, te, te2, te3, batch,
+                               jax.random.PRNGKey(0), cfg,
+                               extra_embeddings=extra, deterministic=True)
+            return flow_matching_losses(batch, data, cfg.loss)
+
+        def run_sd3(batch):
+            return eval_loss_sd3(setup.merged_inference_params(), batch)
+        return run_sd3
 
     if family_name == "flux":
         from onetrainer_tpu.math.losses import flow_matching_losses
@@ -306,6 +384,15 @@ def get_family(model_type: ModelType) -> ModelFamily:
             save_model=_sdxl_save_model, save_single_file=_sdxl_save_single_file,
             lora_prefixes={"unet_lora": "lora_unet", "te_lora": "lora_te1",
                            "te2_lora": "lora_te2"},
+        )
+    if model_type.is_stable_diffusion_3():
+        return ModelFamily(
+            name="sd3", quantization=64,
+            load=_sd3_load, create_setup=_sd3_create_setup,
+            make_encode_fns=_sd3_encode_fns, sample=_sd3_sample,
+            save_model=_sd3_save_model, save_single_file=_sd3_save_single_file,
+            lora_prefixes={"transformer_lora": "lora_transformer",
+                           "te_lora": "lora_te1", "te2_lora": "lora_te2"},
         )
     if model_type.is_flux():
         return ModelFamily(

@@ -1,0 +1,214 @@
+"""SD3 model setup (reference: modules/modelSetup/StableDiffusion3LoRASetup.py,
+BaseStableDiffusion3Setup.py). The MMDiT is the reference's 'prior' part."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.models.clip import encode_clip_text
+from onetrainer_tpu.models.sd3 import sd3_text_context
+from onetrainer_tpu.models.sd3_model import StableDiffusion3Model
+from onetrainer_tpu.ops.quant import quantize_tree
+from onetrainer_tpu.peft.lora import PeftConfig, apply_peft, init_peft_params
+from onetrainer_tpu.setup.sd_setup import _group_schedule, _init_embedding_vectors
+from onetrainer_tpu.setup.tokenizer import SDTokenizer, T5TokenizerWrapper
+from onetrainer_tpu.train.optimizers import create_group_optimizer
+from onetrainer_tpu.train.sd3_train_step import make_sd3_train_step
+from onetrainer_tpu.train.sd_train_step import SDStepConfig
+from onetrainer_tpu.train.train_state import create_train_state
+from onetrainer_tpu.util.enums import DataType, EMAMode, TrainingMethod
+
+
+@dataclass
+class SD3Setup:
+    model: StableDiffusion3Model
+    config: TrainConfig
+    tokenizer: SDTokenizer
+    tokenizer_2: SDTokenizer
+    tokenizer_3: T5TokenizerWrapper
+    peft_cfg: PeftConfig | None
+    step_cfg: SDStepConfig
+    trainable: dict
+    frozen: dict
+    tx: object
+    train_step: object
+    state: object = None
+    embedding_ids: dict = field(default_factory=dict)
+
+    def merged_inference_params(self, params=None):
+        params = params if params is not None else self.state.params
+        frozen = self.frozen
+        method = self.config.training_method
+        if method == TrainingMethod.LORA:
+            transformer = apply_peft(frozen["transformer"],
+                                     params["transformer_lora"], self.peft_cfg) \
+                if "transformer_lora" in params else frozen["transformer"]
+            te = frozen.get("text_encoder")
+            te2 = frozen.get("text_encoder_2")
+            if "te_lora" in params and te is not None:
+                te = apply_peft(te, params["te_lora"], self.peft_cfg)
+            if "te2_lora" in params and te2 is not None:
+                te2 = apply_peft(te2, params["te2_lora"], self.peft_cfg)
+            return (transformer, te, te2, frozen.get("text_encoder_3"),
+                    params.get("embeddings"))
+        return (params.get("transformer", frozen.get("transformer")),
+                params.get("text_encoder", frozen.get("text_encoder")),
+                params.get("text_encoder_2", frozen.get("text_encoder_2")),
+                params.get("text_encoder_3", frozen.get("text_encoder_3")),
+                params.get("embeddings"))
+
+
+def create_sd3_setup(model: StableDiffusion3Model, config: TrainConfig,
+                     total_steps: int = 10_000,
+                     steps_per_epoch: int = 100) -> SD3Setup:
+    method = config.training_method
+
+    def wrap_clip(tok, cfg):
+        if isinstance(tok, SDTokenizer):
+            return tok
+        return SDTokenizer(tok, max_length=cfg.max_position_embeddings,
+                           vocab_size=cfg.vocab_size,
+                           bos=max(cfg.eos_token_id - 1, 0), eos=cfg.eos_token_id)
+
+    tokenizer = wrap_clip(model.tokenizer, model.te_config)
+    tokenizer_2 = wrap_clip(model.tokenizer_2, model.te2_config)
+    tokenizer_3 = model.tokenizer_3 if isinstance(model.tokenizer_3, T5TokenizerWrapper) \
+        else T5TokenizerWrapper(model.tokenizer_3,
+                                vocab_size=model.te3_config.vocab_size)
+    model.tokenizer, model.tokenizer_2, model.tokenizer_3 = \
+        tokenizer, tokenizer_2, tokenizer_3
+
+    trainable: dict = {}
+    frozen: dict = {"transformer": model.transformer_params,
+                    "text_encoder": model.te_params,
+                    "text_encoder_2": model.te2_params,
+                    "text_encoder_3": model.te3_params}
+    group_schedules: dict = {}
+    labels: dict = {}
+    embedding_ids: dict = {}
+    peft_cfg = None
+
+    if method == TrainingMethod.LORA:
+        peft_cfg = PeftConfig.from_train_config(config)
+        if config.prior.train:
+            trainable["transformer_lora"] = init_peft_params(
+                jax.random.PRNGKey(0), model.transformer_params, peft_cfg)
+            group_schedules["transformer_lora"] = _group_schedule(
+                config, config.prior.learning_rate, total_steps,
+                config.prior, steps_per_epoch)
+            labels["transformer_lora"] = jax.tree.map(
+                lambda _: "transformer_lora", trainable["transformer_lora"])
+        if config.text_encoder.train:
+            trainable["te_lora"] = init_peft_params(
+                jax.random.PRNGKey(1), model.te_params, peft_cfg)
+            group_schedules["te_lora"] = _group_schedule(
+                config, config.text_encoder.learning_rate, total_steps,
+                config.text_encoder, steps_per_epoch)
+            labels["te_lora"] = jax.tree.map(lambda _: "te_lora",
+                                             trainable["te_lora"])
+        if config.text_encoder_2.train:
+            trainable["te2_lora"] = init_peft_params(
+                jax.random.PRNGKey(2), model.te2_params, peft_cfg)
+            group_schedules["te2_lora"] = _group_schedule(
+                config, config.text_encoder_2.learning_rate, total_steps,
+                config.text_encoder_2, steps_per_epoch)
+            labels["te2_lora"] = jax.tree.map(lambda _: "te2_lora",
+                                              trainable["te2_lora"])
+        prior_dtype = config.weight_dtypes().prior
+        if prior_dtype.is_quantized():
+            qdtype = jnp.int8 if prior_dtype in (DataType.INT_8, DataType.NFLOAT_4) \
+                else jnp.float8_e4m3fn
+            frozen["transformer"] = quantize_tree(model.transformer_params, qdtype)
+    else:
+        if config.prior.train:
+            trainable["transformer"] = frozen.pop("transformer")
+            group_schedules["transformer"] = _group_schedule(
+                config, config.prior.learning_rate, total_steps,
+                config.prior, steps_per_epoch)
+            labels["transformer"] = jax.tree.map(
+                lambda _: "transformer", trainable["transformer"])
+        if config.text_encoder.train:
+            trainable["text_encoder"] = frozen.pop("text_encoder")
+            group_schedules["text_encoder"] = _group_schedule(
+                config, config.text_encoder.learning_rate, total_steps,
+                config.text_encoder, steps_per_epoch)
+            labels["text_encoder"] = jax.tree.map(
+                lambda _: "text_encoder", trainable["text_encoder"])
+
+    tx = create_group_optimizer(
+        group_schedules, config.optimizer.optimizer, config.optimizer, labels)
+    if config.clip_grad_norm is not None and config.clip_grad_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(config.clip_grad_norm), tx)
+    if config.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=config.gradient_accumulation_steps)
+
+    step_cfg = SDStepConfig.from_train_config(config, "flow", 0)
+    step_cfg = SDStepConfig(**{
+        **step_cfg.__dict__,
+        "vae_scaling_factor": model.vae_config.scaling_factor,
+        "vae_shift_factor": model.vae_config.shift_factor,
+        "train_text_encoder": (config.train_text_encoder_or_embedding()
+                               or config.train_text_encoder_2_or_embedding()),
+    })
+
+    train_step = make_sd3_train_step(model, step_cfg, tx, peft_cfg)
+    state = create_train_state(trainable, tx, ema_enabled=config.ema != EMAMode.OFF)
+
+    return SD3Setup(
+        model=model, config=config, tokenizer=tokenizer, tokenizer_2=tokenizer_2,
+        tokenizer_3=tokenizer_3, peft_cfg=peft_cfg, step_cfg=step_cfg,
+        trainable=trainable, frozen=frozen, tx=tx, train_step=train_step,
+        state=state, embedding_ids=embedding_ids)
+
+
+def make_sd3_encode_fns(setup: SD3Setup):
+    model = setup.model
+    vae_params = model.vae_params
+
+    @jax.jit
+    def _vae_encode(pixels):
+        return model.vae.apply({"params": vae_params}, pixels,
+                               method=model.vae.encode)
+
+    def encode_images(images: np.ndarray) -> dict:
+        mean, logvar = _vae_encode(jnp.asarray(images))
+        return {"latent_image": np.asarray(mean, np.float32),
+                "latent_logvar": np.asarray(logvar, np.float32)}
+
+    cache_te = not setup.step_cfg.train_text_encoder
+
+    if cache_te:
+        te, te2, te3 = model.te_params, model.te2_params, model.te3_params
+
+        @jax.jit
+        def _encode(t1, t2, t3):
+            out_l = model.text_encoder.apply({"params": te}, t1[None])
+            out_g = model.text_encoder_2.apply({"params": te2}, t2[None])
+            t5 = model.text_encoder_3.apply({"params": te3}, t3[None])
+            context, pooled = sd3_text_context(
+                encode_clip_text(out_l, 0), encode_clip_text(out_g, 0),
+                t5, out_l["pooled_output"], out_g["pooled_output"])
+            return context[0], pooled[0]
+
+        def encode_text(prompt: str) -> dict:
+            t1 = setup.tokenizer(prompt)
+            t2 = setup.tokenizer_2(prompt)
+            t3 = setup.tokenizer_3(prompt)
+            context, pooled = _encode(jnp.asarray(t1), jnp.asarray(t2),
+                                      jnp.asarray(t3))
+            return {"tokens": t1, "tokens_2": t2, "tokens_3": t3,
+                    "sd3_context": np.asarray(context, np.float32),
+                    "sd3_pooled": np.asarray(pooled, np.float32)}
+    else:
+        def encode_text(prompt: str) -> dict:
+            return {"tokens": setup.tokenizer(prompt),
+                    "tokens_2": setup.tokenizer_2(prompt),
+                    "tokens_3": setup.tokenizer_3(prompt)}
+
+    return encode_images, encode_text
