@@ -38,6 +38,10 @@ def apply_updates_stochastic(params, updates, rng: jax.Array):
         if u is None:
             return p
         if p.dtype == jnp.bfloat16:
+            from onetrainer_tpu.ops.pallas_sr import can_use_pallas_sr, sr_update_pallas
+            if can_use_pallas_sr(p):
+                seed = jax.random.bits(r, (), dtype=jnp.uint32).astype(jnp.int32)
+                return sr_update_pallas(p, u.astype(jnp.float32), seed)
             return stochastic_round_to_bf16(
                 p.astype(jnp.float32) + u.astype(jnp.float32), r)
         return (p + u.astype(p.dtype)).astype(p.dtype)
