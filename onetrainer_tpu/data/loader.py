@@ -282,6 +282,10 @@ class Text2ImageDataLoader:
                 row.update({k: np.asarray(v)
                             for k, v in self.encode_text(self._prompt(s)).items()})
             row["loss_weight"] = np.asarray(e.concept.loss_weight, np.float32)
+            from onetrainer_tpu.util.enums import ConceptType
+            row["prior_flag"] = np.asarray(
+                1.0 if e.concept.type == ConceptType.PRIOR_PREDICTION else 0.0,
+                np.float32)
             rows.append(row)
 
         keys = rows[0].keys()

@@ -231,12 +231,18 @@ def create_sd_setup(
     if config.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=config.gradient_accumulation_steps)
 
-    step_cfg_base = SDStepConfig.from_train_config(
+    step_cfg = SDStepConfig.from_train_config(
         config, model.prediction_type, model.text_encoder_layer_skip)
-    step_cfg = step_cfg_base
+    overrides = {"vae_scaling_factor": model.vae_config.scaling_factor}
     if method == TrainingMethod.EMBEDDING or embedding_ids:
         # live TE encode required when embeddings train
-        step_cfg = SDStepConfig(**{**step_cfg.__dict__, "train_text_encoder": True})
+        overrides["train_text_encoder"] = True
+    from onetrainer_tpu.util.enums import ConceptType
+    has_prior_concepts = any(
+        c.type == ConceptType.PRIOR_PREDICTION for c in (config.concepts or []))
+    if config.masked_prior_preservation_weight > 0 or has_prior_concepts:
+        overrides["prior_preservation"] = True
+    step_cfg = SDStepConfig(**{**step_cfg.__dict__, **overrides})
 
     train_step = make_sd_train_step(model, step_cfg, tx, peft_cfg)
     state = create_train_state(trainable, tx,

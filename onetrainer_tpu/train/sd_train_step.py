@@ -49,6 +49,10 @@ class SDStepConfig:
     ema_decay: float = 0.0              # 0 = EMA off
     ema_update_interval: int = 1
     num_train_timesteps: int = 1000
+    # prior preservation: predict with the frozen base (adapters detached)
+    # and use it as target for PRIOR_PREDICTION samples / masked prior loss
+    # (reference: GenericTrainer.py:672-686, BaseModelSetup.prior_model)
+    prior_preservation: bool = False
 
     @staticmethod
     def from_train_config(config, prediction_type: str = "epsilon",
@@ -197,6 +201,19 @@ def make_sd_train_step(
         data, _ = sd_predict(
             unet_apply, te_apply, unet_params, te_params, batch,
             rng_predict, cfg, coefficients)
+
+        if cfg.prior_preservation and cfg.training_method == TrainingMethod.LORA:
+            # same rng -> identical noise/timesteps for the frozen-base pass
+            prior_data, _ = sd_predict(
+                unet_apply, te_apply, frozen["unet"],
+                frozen.get("text_encoder"), batch, rng_predict, cfg,
+                coefficients)
+            prior_pred = jax.lax.stop_gradient(prior_data["predicted"])
+            data["prior_target"] = prior_pred
+            if "prior_flag" in batch:
+                flag = batch["prior_flag"].reshape(-1, 1, 1, 1)
+                data["target"] = jnp.where(flag > 0, prior_pred, data["target"])
+
         losses = diffusion_losses(batch, data, cfg.loss, coefficients)
         return losses.mean(), {"timestep_mean": data["timestep"].mean()}
 
