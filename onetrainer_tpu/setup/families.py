@@ -229,6 +229,61 @@ def _flux_save_single_file(setup, path):
         "FLUX single-file export not implemented yet; use DIFFUSERS format")
 
 
+# -- PixArt ---------------------------------------------------------------------------
+
+def _pixart_load(base_dir, config):
+    import jax.numpy as jnp
+    from onetrainer_tpu.io.pixart_checkpoints import load_pixart_diffusers
+    from onetrainer_tpu.models.pixart_model import PixArtAlphaModel
+    loaded = load_pixart_diffusers(
+        base_dir,
+        weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
+        compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
+        gradient_checkpointing=config.gradient_checkpointing.enabled(),
+    )
+    return PixArtAlphaModel(
+        model_type=config.model_type,
+        transformer_config=loaded["transformer_config"],
+        vae_config=loaded["vae_config"],
+        te_config=loaded["te_config"],
+        transformer_params=loaded["transformer_params"],
+        vae_params=loaded["vae_params"],
+        te_params=loaded["te_params"],
+        tokenizer=loaded["tokenizer_dir"],
+    )
+
+
+def _pixart_create_setup(model, config, total_steps, steps_per_epoch=100):
+    from onetrainer_tpu.setup.pixart_setup import create_pixart_setup
+    return create_pixart_setup(model, config, total_steps, steps_per_epoch)
+
+
+def _pixart_encode_fns(setup):
+    from onetrainer_tpu.setup.pixart_setup import make_pixart_encode_fns
+    return make_pixart_encode_fns(setup)
+
+
+def _pixart_sample(setup, sample_config, on_progress):
+    from onetrainer_tpu.sampling.pixart_sampler import sample_pixart
+    transformer, te, extra = setup.merged_inference_params()
+    return sample_pixart(
+        setup.model, transformer, te, setup.model.vae_params,
+        setup.tokenizer, sample_config,
+        extra_embeddings=extra, on_update_progress=on_progress)
+
+
+def _pixart_save_model(setup, out_dir, source_dir):
+    from onetrainer_tpu.io.pixart_checkpoints import save_pixart_diffusers
+    transformer, te, _ = setup.merged_inference_params()
+    save_pixart_diffusers(out_dir, setup.model, transformer,
+                          setup.model.vae_params, te, source_dir=source_dir)
+
+
+def _pixart_save_single_file(setup, path):
+    raise NotImplementedError(
+        "PixArt single-file export not implemented yet; use DIFFUSERS format")
+
+
 # -- SD3 -----------------------------------------------------------------------------
 
 def _sd3_load(base_dir, config):
@@ -300,6 +355,22 @@ def make_eval_loss(setup, family_name: str):
 
     model = setup.model
     cfg = setup.step_cfg
+
+    if family_name == "pixart":
+        from onetrainer_tpu.train.pixart_train_step import pixart_predict
+        coefficients_px = model.coefficients()
+
+        @jax.jit
+        def eval_loss_px(params, batch):
+            transformer, te, extra = params
+            data = pixart_predict(model, transformer, te, batch,
+                                  jax.random.PRNGKey(0), cfg, coefficients_px,
+                                  extra, deterministic=True)
+            return diffusion_losses(batch, data, cfg.loss, coefficients_px)
+
+        def run_px(batch):
+            return eval_loss_px(setup.merged_inference_params(), batch)
+        return run_px
 
     if family_name == "sd3":
         from onetrainer_tpu.math.losses import flow_matching_losses
@@ -384,6 +455,14 @@ def get_family(model_type: ModelType) -> ModelFamily:
             save_model=_sdxl_save_model, save_single_file=_sdxl_save_single_file,
             lora_prefixes={"unet_lora": "lora_unet", "te_lora": "lora_te1",
                            "te2_lora": "lora_te2"},
+        )
+    if model_type.is_pixart():
+        return ModelFamily(
+            name="pixart", quantization=8,
+            load=_pixart_load, create_setup=_pixart_create_setup,
+            make_encode_fns=_pixart_encode_fns, sample=_pixart_sample,
+            save_model=_pixart_save_model, save_single_file=_pixart_save_single_file,
+            lora_prefixes={"transformer_lora": "lora_transformer"},
         )
     if model_type.is_stable_diffusion_3():
         return ModelFamily(
