@@ -269,16 +269,21 @@ class GenericTrainer(BaseTrainer):
             return
         state = self.setup.state
         use_ema = state.ema is not None
+        real_params = state.params
         if use_ema:
             # sample with EMA weights, restore after
             # (reference: GenericTrainer.py:289-309 copy_ema_to/copy_temp_to)
-            real_params = state.params
             self.setup.state = state.replace(params=state.ema.params)
+        elif self.config.optimizer.optimizer.is_schedule_free():
+            # schedule-free: sample with the eval (x) params
+            # (reference: GenericTrainer.py:268-271 optimizer.eval()/train())
+            from onetrainer_tpu.train.optimizers import schedule_free_eval_params
+            self.setup.state = state.replace(
+                params=schedule_free_eval_params(state.opt_state, state.params))
         try:
             self._sample_batch(config, samples)
         finally:
-            if use_ema:
-                self.setup.state = self.setup.state.replace(params=real_params)
+            self.setup.state = self.setup.state.replace(params=real_params)
         if use_ema and config.non_ema_sampling:
             self._sample_batch(config, samples, suffix="-non-ema")
         return
