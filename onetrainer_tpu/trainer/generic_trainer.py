@@ -46,6 +46,7 @@ class GenericTrainer(BaseTrainer):
         self.model = None
         self.setup = None
         self.family = None
+        self.mesh = None
         self.data_loader: Text2ImageDataLoader | None = None
         self.train_progress = TrainProgress()
         self.grad_hash = None
@@ -87,6 +88,8 @@ class GenericTrainer(BaseTrainer):
         self.setup = self.family.create_setup(
             self.model, config, max(total, 1), steps_per_epoch)
 
+        self._setup_mesh()
+
         # validation data loader over VALIDATION concepts only
         self.validation_loader = None
         if config.validation:
@@ -106,6 +109,42 @@ class GenericTrainer(BaseTrainer):
 
         if config.continue_last_backup and config.get_last_backup_path():
             self._restore_internal_state(config.get_last_backup_path())
+
+    def _setup_mesh(self):
+        """Multi-chip sharding: OT_MESH_DP / OT_MESH_FSDP env vars (or all
+        devices on fsdp by default when >1 device is visible). Frozen params
+        and full-finetune trainables shard FSDP-style; adapter trees
+        replicate; batches shard over (data, fsdp)."""
+        import os as _os
+        from onetrainer_tpu.parallel.mesh import (
+            create_mesh, param_shardings, shard_params,
+        )
+        from onetrainer_tpu.train.train_state import create_train_state
+
+        self.mesh = None
+        n_devices = jax.device_count()
+        dp = int(_os.environ.get("OT_MESH_DP", 0)) or None
+        fsdp = int(_os.environ.get("OT_MESH_FSDP", 0)) or None
+        # explicit opt-in via env, or automatic on real multi-chip TPU
+        # (virtual CPU device farms from tests must not trigger it)
+        auto = n_devices > 1 and jax.default_backend() == "tpu"
+        if not (dp or fsdp or auto):
+            return
+        self.mesh = create_mesh(dp=dp, fsdp=fsdp)
+        if self.config.batch_size % (self.mesh.devices.size) != 0:
+            raise ValueError(
+                f"batch_size {self.config.batch_size} must be divisible by "
+                f"the {self.mesh.devices.size}-device mesh")
+        setup = self.setup
+        setup.frozen = {k: shard_params(v, self.mesh) if v is not None else None
+                        for k, v in setup.frozen.items()}
+        sharded_trainable = {
+            k: shard_params(v, self.mesh) for k, v in setup.trainable.items()}
+        setup.trainable = sharded_trainable
+        setup.state = create_train_state(
+            sharded_trainable, setup.tx,
+            ema_enabled=setup.state.ema is not None)
+        print(f"training on mesh {dict(self.mesh.shape)}")
 
     def _restore_backup_meta(self, backup_dir: str):
         meta_path = os.path.join(backup_dir, "meta.json")
@@ -367,8 +406,11 @@ class GenericTrainer(BaseTrainer):
                     os.makedirs(os.path.dirname(dest), exist_ok=True)
                     self.save(dest)
 
-                batch = {k: jnp.asarray(v) for k, v in batch_np.items()
-                         if k != "tokens" or True}
+                if self.mesh is not None:
+                    from onetrainer_tpu.parallel.mesh import shard_batch
+                    batch = shard_batch(batch_np, self.mesh)
+                else:
+                    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
                 self.setup.state, metrics = self.setup.train_step(
                     self.setup.state, self.setup.frozen, batch, rng)
 
