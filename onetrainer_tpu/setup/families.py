@@ -487,13 +487,26 @@ def get_family(model_type: ModelType) -> ModelFamily:
 
 
 def save_lora_output(setup, destination: str, lora_prefixes: dict):
-    """kohya-format LoRA safetensors across all adapter groups."""
+    """kohya-format LoRA safetensors across all adapter groups, with
+    trained additional embeddings bundled as bundle_emb.* keys
+    (reference: StableDiffusionLoRASaver.py:33-41)."""
     tensors = {}
     params = setup.state.params
     for key, prefix in lora_prefixes.items():
         if key in params:
             tensors.update(peft_to_kohya_state_dict(
                 jax.device_get(params[key]), setup.peft_cfg, prefix))
+    if ("embeddings" in params
+            and getattr(setup.config, "bundle_additional_embeddings", True)
+            and getattr(setup, "embedding_ids", None)):
+        vectors = np.asarray(jax.device_get(params["embeddings"]))
+        for cfg_e in setup.config.all_embedding_configs():
+            span = setup.embedding_ids.get(cfg_e.uuid)
+            if span is None:
+                continue
+            start, count = span
+            tensors[f"bundle_emb.{cfg_e.placeholder}.emp_params"] = \
+                vectors[start:start + count]
     if not destination.endswith(".safetensors"):
         destination += ".safetensors"
     save_safetensors(destination, tensors, metadata={"format": "pt"})
