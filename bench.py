@@ -44,9 +44,11 @@ def main():
                             dtype=jnp.bfloat16, gradient_checkpointing=False)
 
     rng = jax.random.PRNGKey(0)
-    unet_params = model.unet.init(
-        rng, jnp.zeros((1, latent, latent, 4), jnp.bfloat16),
-        jnp.asarray([1]), jnp.zeros((1, 77, 768), jnp.bfloat16))["params"]
+    # jitted init: eager init dispatches hundreds of small ops (slow over
+    # the remote-TPU tunnel); one compiled program is cached persistently
+    unet_params = jax.jit(lambda r: model.unet.init(
+        r, jnp.zeros((1, latent, latent, 4), jnp.bfloat16),
+        jnp.asarray([1]), jnp.zeros((1, 77, 768), jnp.bfloat16)))(rng)["params"]
 
     peft_cfg = PeftConfig(rank=16, alpha=16.0)
     adapters = init_peft_params(jax.random.PRNGKey(1), unet_params, peft_cfg)
