@@ -84,8 +84,13 @@ class Text2ImageDataLoader:
             encode_batch_size: int = 8,
             model_tag: str = "sd",
             latent_scale: int = 8,
+            conditioning_image: bool = False,
     ):
         self.latent_scale = latent_scale
+        # inpainting models: generate a masked conditioning image per sample
+        # (image with the masked region blanked; a -condlabel file wins —
+        # reference: mgds GenerateMaskedConditioningImage + SelectFirstInput)
+        self.conditioning_image = conditioning_image
         self.config = config
         self.encode_images = encode_images
         self.encode_text = encode_text
@@ -189,6 +194,19 @@ class Text2ImageDataLoader:
             mask = resize_crop(mask, info)
         return image * 2.0 - 1.0, mask, info
 
+    def _conditioning_pixels(self, sample: PreparedSample,
+                             image: np.ndarray, mask: np.ndarray,
+                             info) -> np.ndarray | None:
+        if not self.conditioning_image:
+            return None
+        e = self.entries[sample.entry_index]
+        if e.cond_path:
+            cond = load_image_rgb(e.cond_path)
+            cond = resize_crop(cond, info)
+            return cond * 2.0 - 1.0
+        # image already in [-1,1]; blank the masked (to-inpaint) region
+        return image * (1.0 - mask)
+
     def _prompt(self, sample: PreparedSample) -> str:
         e = self.entries[sample.entry_index]
         rng = self._sample_rng(e, 1000 + sample.text_variation)
@@ -227,17 +245,24 @@ class Text2ImageDataLoader:
         for bucket, group in by_bucket.items():
             for i in range(0, len(group), self.encode_batch_size):
                 chunk = group[i:i + self.encode_batch_size]
-                pixels, masks, infos = [], [], []
+                pixels, masks, infos, conds = [], [], [], []
                 for s in chunk:
                     img, mask, info = self._load_pixels(s)
                     pixels.append(img)
                     masks.append(mask)
                     infos.append(info)
+                    conds.append(self._conditioning_pixels(s, img, mask, info))
                 encoded = self.encode_images(np.stack(pixels))
+                encoded_cond = None
+                if self.conditioning_image:
+                    encoded_cond = self.encode_images(np.stack(conds))
                 for j, s in enumerate(chunk):
                     tensors = {k: np.asarray(v[j]) for k, v in encoded.items()}
                     tensors["latent_mask"] = self._latent_mask(masks[j])
                     tensors.update(self._crop_metadata(s, infos[j]))
+                    if encoded_cond is not None:
+                        tensors["latent_conditioning_image"] = \
+                            np.asarray(encoded_cond["latent_image"][j])
                     text = self.encode_text(self._prompt(s))
                     tensors.update({k: np.asarray(v) for k, v in text.items()})
                     self.cache.save(s.cache_key, tensors)
@@ -279,6 +304,10 @@ class Text2ImageDataLoader:
                 row = {k: np.asarray(v[0]) for k, v in row.items()}
                 row["latent_mask"] = self._latent_mask(mask)
                 row.update(self._crop_metadata(s, info))
+                cond = self._conditioning_pixels(s, img, mask, info)
+                if cond is not None:
+                    row["latent_conditioning_image"] = np.asarray(
+                        self.encode_images(cond[None])["latent_image"][0])
                 row.update({k: np.asarray(v)
                             for k, v in self.encode_text(self._prompt(s)).items()})
             row["loss_weight"] = np.asarray(e.concept.loss_weight, np.float32)

@@ -79,7 +79,9 @@ class GenericTrainer(BaseTrainer):
             config, encode_images, encode_text,
             quantization=self.family.quantization,
             model_tag=str(config.model_type),
-            latent_scale=self.model.vae_config.spatial_scale)
+            latent_scale=self.model.vae_config.spatial_scale,
+            conditioning_image=(config.model_type.has_conditioning_image_input()
+                                or config.custom_conditioning_image))
 
         # rebuild schedules with the real epoch length
         steps_per_epoch = max(len(self.data_loader), 1)
