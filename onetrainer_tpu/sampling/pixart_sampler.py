@@ -56,13 +56,14 @@ def sample_pixart(
         cond, uncond = eps[0:1], eps[1:2]
         return uncond + cfg_scale * (cond - uncond)
 
+    history: dict = {}
     for i in range(steps):
         t = int(state.timesteps[i])
         model_in = sched.scale_model_input(state, latents, i)
         noise_pred = dit_step(model_in.astype(jnp.float32), t)
         rng, step_rng = jax.random.split(rng)
         latents = sched.step(state, noise_pred.astype(jnp.float32), i, latents,
-                             rng=step_rng)
+                             rng=step_rng, history=history)
         if on_update_progress:
             on_update_progress(i + 1, steps)
 

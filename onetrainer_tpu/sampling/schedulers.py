@@ -102,9 +102,12 @@ def _predicted_x0(state: SchedulerState, model_output, sample, t: int,
 
 
 def step(state: SchedulerState, model_output: jnp.ndarray,
-         step_index: int, sample: jnp.ndarray, rng=None) -> jnp.ndarray:
+         step_index: int, sample: jnp.ndarray, rng=None,
+         history: dict | None = None) -> jnp.ndarray:
     """One denoising step. `sample` is the current latent; for sigma-space
-    schedulers it carries sigma-scaled noise (x = x0 + sigma*eps)."""
+    schedulers it carries sigma-scaled noise (x = x0 + sigma*eps).
+    `history` (a caller-held dict) enables the second-order multistep for
+    DPM++/UniPC; without it they fall back to first order."""
     kind = state.kind
 
     if kind == NoiseScheduler.DDIM:
@@ -141,14 +144,25 @@ def step(state: SchedulerState, model_output: jnp.ndarray,
     if kind in (NoiseScheduler.DPMPP, NoiseScheduler.DPMPP_KARRAS,
                 NoiseScheduler.UNIPC, NoiseScheduler.UNIPC_KARRAS,
                 NoiseScheduler.DPMPP_SDE, NoiseScheduler.DPMPP_SDE_KARRAS):
-        # DPM-Solver++(2M)-style multistep; SDE variants add noise
-        # (round-1: first-order fallback at boundaries, deterministic core)
+        # DPM-Solver++(2M) multistep: 2nd order when the previous denoised
+        # estimate is available via `history`; SDE variants add noise.
         t_fn = lambda s: -np.log(max(s, 1e-10))
         if sigma_next == 0:
+            if history is not None:
+                history["x0"] = x0
+                history["sigma"] = sigma
             return x0
         h = t_fn(sigma_next) - t_fn(sigma)
-        # first-order (exact DPM++ 1S): x = (σ_next/σ) x - (e^{-h} - 1) x0
-        out = (sigma_next / sigma) * sample - (np.exp(-h) - 1.0) * x0
+        d = x0
+        if history is not None and "x0" in history:
+            h_last = t_fn(sigma) - t_fn(history["sigma"])
+            if h_last > 0:
+                r = h_last / h
+                d = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * history["x0"]
+        out = (sigma_next / sigma) * sample - (np.exp(-h) - 1.0) * d
+        if history is not None:
+            history["x0"] = x0
+            history["sigma"] = sigma
         if kind in (NoiseScheduler.DPMPP_SDE, NoiseScheduler.DPMPP_SDE_KARRAS) \
                 and rng is not None:
             import jax

@@ -33,6 +33,7 @@ def test_scheduler_recovers_x0_with_perfect_eps(kind):
         ac = float(state.alphas_cumprod[t0])
         sample = np.sqrt(ac) * x0 + np.sqrt(1 - ac) * eps
 
+    history = {}
     for i in range(len(state.timesteps)):
         if state.sigmas is not None:
             sigma = float(state.sigmas[i])
@@ -42,7 +43,7 @@ def test_scheduler_recovers_x0_with_perfect_eps(kind):
             ac = float(state.alphas_cumprod[t])
             true_eps = (sample - np.sqrt(ac) * x0) / np.sqrt(1 - ac)
         sample = sched.step(state, true_eps, i, sample,
-                            rng=jax.random.PRNGKey(100 + i))
+                            rng=jax.random.PRNGKey(100 + i), history=history)
 
     err = float(jnp.abs(sample - x0).mean())
     # stochastic samplers tolerate more
