@@ -15,7 +15,9 @@ from __future__ import annotations
 import os
 import queue
 import threading
+import zlib
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import numpy as np
@@ -127,12 +129,19 @@ class Text2ImageDataLoader:
         if config.latent_caching:
             self.cache = DiskCache(config.cache_dir, model_tag)
             if config.clear_cache_before_training and os.path.isdir(config.cache_dir):
-                pass  # keys hash config; stale entries are simply unused
+                # keys hash config so stale entries are unused anyway, but
+                # honor the flag: reclaim the disk space
+                # (reference: TrainConfig.clear_cache_before_training)
+                self.cache.clear()
+
+        self._threads = max(int(config.dataloader_threads or 1), 1)
 
     # -- epoch plan -------------------------------------------------------------
 
     def _epoch_rng(self, epoch: int) -> np.random.Generator:
-        return np.random.default_rng([abs(hash(("epoch", epoch))) % (2**31)])
+        # stable across processes (python's str hash is salted per process;
+        # crc32 is not) — deterministic resume depends on this
+        return np.random.default_rng([zlib.crc32(b"epoch"), int(epoch)])
 
     def plan_epoch(self, epoch: int) -> list[PreparedSample]:
         rng = self._epoch_rng(epoch)
@@ -176,7 +185,8 @@ class Text2ImageDataLoader:
 
     def _sample_rng(self, entry: SampleEntry, variation: int) -> np.random.Generator:
         return np.random.default_rng(
-            [entry.concept.seed % (2**31), abs(hash(entry.image_path)) % (2**31),
+            [entry.concept.seed % (2**31),
+             zlib.crc32(entry.image_path.encode("utf-8")),
              variation])
 
     def _load_pixels(self, sample: PreparedSample):
@@ -242,12 +252,18 @@ class Text2ImageDataLoader:
             by_bucket.setdefault(s.bucket, []).append(s)
         done = 0
         total = len(missing)
+        pool = ThreadPoolExecutor(self._threads) if self._threads > 1 else None
         for bucket, group in by_bucket.items():
             for i in range(0, len(group), self.encode_batch_size):
                 chunk = group[i:i + self.encode_batch_size]
+                # decode/augment in parallel (config.dataloader_threads);
+                # PIL decode releases the GIL so threads scale
+                if pool is not None:
+                    loaded = list(pool.map(self._load_pixels, chunk))
+                else:
+                    loaded = [self._load_pixels(s) for s in chunk]
                 pixels, masks, infos, conds = [], [], [], []
-                for s in chunk:
-                    img, mask, info = self._load_pixels(s)
+                for s, (img, mask, info) in zip(chunk, loaded):
                     pixels.append(img)
                     masks.append(mask)
                     infos.append(info)
@@ -269,6 +285,8 @@ class Text2ImageDataLoader:
                 done += len(chunk)
                 if on_progress:
                     on_progress(done, total)
+        if pool is not None:
+            pool.shutdown()
 
     def _crop_metadata(self, sample: PreparedSample, info) -> dict:
         """SDXL micro-conditioning inputs (original size, crop offset,
@@ -282,14 +300,33 @@ class Text2ImageDataLoader:
 
     def _latent_mask(self, mask: np.ndarray) -> np.ndarray:
         h, w = mask.shape[:2]
-        s = self.latent_scale
+        s = self.latent_scale   # may be fractional (Würstchen: 128/3)
         pil = Image.fromarray((mask[..., 0] * 255).astype(np.uint8))
-        pil = pil.resize((w // s, h // s), Image.NEAREST)
+        pil = pil.resize((int(round(w / s)), int(round(h / s))), Image.NEAREST)
         return (np.asarray(pil, np.float32) / 255.0)[..., None]
 
     # -- batch materialization ------------------------------------------------------
 
     def materialize_batch(self, batch: list[PreparedSample]) -> dict:
+        if self.cache is not None and self._threads > 1 and len(batch) > 1:
+            # parallel cache reads (file IO releases the GIL)
+            def load_row(s: PreparedSample):
+                e = self.entries[s.entry_index]
+                if s.cache_key is None:
+                    s.cache_key = self.cache.key(
+                        e.image_path, s.image_variation, self._cache_extra(s))
+                return self.cache.load(s.cache_key)
+            with ThreadPoolExecutor(self._threads) as pool:
+                rows = list(pool.map(load_row, batch))
+            for s, row in zip(batch, rows):
+                e = self.entries[s.entry_index]
+                row["loss_weight"] = np.asarray(e.concept.loss_weight, np.float32)
+                row["prior_flag"] = np.asarray(
+                    1.0 if e.concept.type == ConceptType.PRIOR_PREDICTION else 0.0,
+                    np.float32)
+            keys = rows[0].keys()
+            return {k: np.stack([r[k] for r in rows]) for k in keys}
+
         rows = []
         for s in batch:
             e = self.entries[s.entry_index]
@@ -311,7 +348,6 @@ class Text2ImageDataLoader:
                 row.update({k: np.asarray(v)
                             for k, v in self.encode_text(self._prompt(s)).items()})
             row["loss_weight"] = np.asarray(e.concept.loss_weight, np.float32)
-            from onetrainer_tpu.util.enums import ConceptType
             row["prior_flag"] = np.asarray(
                 1.0 if e.concept.type == ConceptType.PRIOR_PREDICTION else 0.0,
                 np.float32)

@@ -35,7 +35,11 @@ class LossConfig:
     loss_scaler: LossScaler = LossScaler.NONE
     batch_size: int = 1
     gradient_accumulation_steps: int = 1
-    masked_training: bool = False
+    masked_training: bool = False       # effective: apply the mask to the loss
+    # the raw config flag, before the conditioning-image fold: inpaint-type
+    # models don't mask the loss but still normalize by mask area
+    # (reference: ModelSetupDiffusionLossMixin.__unmasked_losses)
+    raw_masked_training: bool = False
     unmasked_weight: float = 0.1
     normalize_masked_area_loss: bool = False
     masked_prior_preservation_weight: float = 0.0
@@ -54,6 +58,7 @@ class LossConfig:
             batch_size=config.batch_size,
             gradient_accumulation_steps=config.gradient_accumulation_steps,
             masked_training=config.masked_training and not config.model_type.has_conditioning_image_input(),
+            raw_masked_training=config.masked_training,
             unmasked_weight=config.unmasked_weight,
             normalize_masked_area_loss=config.normalize_masked_area_loss,
             masked_prior_preservation_weight=config.masked_prior_preservation_weight,
@@ -252,10 +257,6 @@ def _elementwise_stack(data: dict, cfg: LossConfig, coefficients, mask: jnp.ndar
             vb = masked_losses(vb, mask, cfg.unmasked_weight, cfg.normalize_masked_area_loss)
         losses += _spatial_mean(vb) * cfg.vb_loss_strength
 
-    if mask is None and cfg.masked_training and cfg.normalize_masked_area_loss:
-        # unmasked path but normalization requested (reference keeps this branch)
-        pass
-
     return losses
 
 
@@ -279,7 +280,9 @@ def diffusion_losses(
 
     losses = _elementwise_stack(data, cfg, coefficients, mask)
 
-    if mask is None and cfg.masked_training and cfg.normalize_masked_area_loss and 'latent_mask' in batch:
+    if mask is None and cfg.raw_masked_training and cfg.normalize_masked_area_loss and 'latent_mask' in batch:
+        # unmasked path (e.g. inpaint models) with area normalization
+        # (reference: __unmasked_losses 1/mask-mean scaling)
         clamped_mask = jnp.clip(batch['latent_mask'], cfg.unmasked_weight, 1.0)
         losses = losses / _spatial_mean(clamped_mask)
 
@@ -311,6 +314,10 @@ def flow_matching_losses(
         mask = batch['latent_mask'].astype(jnp.float32)
 
     losses = _elementwise_stack(data, cfg, None, mask)
+
+    if mask is None and cfg.raw_masked_training and cfg.normalize_masked_area_loss and 'latent_mask' in batch:
+        clamped_mask = jnp.clip(batch['latent_mask'], cfg.unmasked_weight, 1.0)
+        losses = losses / _spatial_mean(clamped_mask)
 
     losses = losses * _scale(cfg)
     losses = losses * batch['loss_weight'].astype(losses.dtype)

@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from onetrainer_tpu.ops.attention import attention
+from onetrainer_tpu.peft.layers import LoraConv, LoraDense
 
 
 @dataclass(frozen=True)
@@ -48,6 +49,14 @@ def open_clip_vit_h_config(**overrides) -> CLIPTextConfig:
     return CLIPTextConfig(**kwargs)
 
 
+def clip_h_text_config(**overrides) -> CLIPTextConfig:
+    """Würstchen v2 prior text encoder (CLIP-H/14 text tower, 24 layers)."""
+    kwargs = dict(hidden_size=1024, intermediate_size=4096, num_layers=24,
+                  num_heads=16, hidden_act="gelu")
+    kwargs.update(overrides)
+    return CLIPTextConfig(**kwargs)
+
+
 def open_clip_vit_bigg_config(**overrides) -> CLIPTextConfig:
     """SDXL TE2 / SD3 clip_g (with projection)."""
     kwargs = dict(hidden_size=1280, intermediate_size=5120, num_layers=32,
@@ -68,11 +77,11 @@ class CLIPAttention(nn.Module):
     @nn.compact
     def __call__(self, x, mask):
         c = self.cfg
-        q = nn.Dense(c.hidden_size, dtype=c.dtype, name="q_proj")(x)
-        k = nn.Dense(c.hidden_size, dtype=c.dtype, name="k_proj")(x)
-        v = nn.Dense(c.hidden_size, dtype=c.dtype, name="v_proj")(x)
+        q = LoraDense(c.hidden_size, dtype=c.dtype, name="q_proj")(x)
+        k = LoraDense(c.hidden_size, dtype=c.dtype, name="k_proj")(x)
+        v = LoraDense(c.hidden_size, dtype=c.dtype, name="v_proj")(x)
         out = attention(q, k, v, c.num_heads, mask=mask)
-        return nn.Dense(c.hidden_size, dtype=c.dtype, name="out_proj")(out)
+        return LoraDense(c.hidden_size, dtype=c.dtype, name="out_proj")(out)
 
 
 class CLIPMLP(nn.Module):
@@ -81,9 +90,9 @@ class CLIPMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        x = nn.Dense(c.intermediate_size, dtype=c.dtype, name="fc1")(x)
+        x = LoraDense(c.intermediate_size, dtype=c.dtype, name="fc1")(x)
         x = _act(c.hidden_act)(x)
-        return nn.Dense(c.hidden_size, dtype=c.dtype, name="fc2")(x)
+        return LoraDense(c.hidden_size, dtype=c.dtype, name="fc2")(x)
 
 
 class CLIPEncoderLayer(nn.Module):
@@ -153,7 +162,7 @@ class CLIPTextModel(nn.Module):
         eos_positions = jnp.argmax((input_ids == c.eos_token_id).astype(jnp.int32), axis=1)
         pooled = final[jnp.arange(b), eos_positions]
         if c.projection_dim is not None:
-            pooled = nn.Dense(c.projection_dim, use_bias=False,
+            pooled = LoraDense(c.projection_dim, use_bias=False,
                               dtype=jnp.float32, name="text_projection")(
                 pooled.astype(jnp.float32))
 
@@ -180,3 +189,19 @@ def encode_clip_text(
     if add_layer_norm and norm_fn is not None:
         picked = norm_fn(picked)
     return picked
+
+
+def apply_final_layer_norm(te_params: dict, x: jnp.ndarray,
+                           eps: float = 1e-5) -> jnp.ndarray:
+    """Apply the text encoder's final layer norm to a picked hidden state
+    (reference: clip_util.encode_clip applies text_model.final_layer_norm
+    when layer-skipping; Würstchen encode_text:243-248). Accepts either a
+    raw params tree or a variables dict."""
+    params = te_params.get("params", te_params) if isinstance(te_params, dict) \
+        else te_params
+    ln = params["final_layer_norm"]
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    y = (xf - mean) / jnp.sqrt(var + eps)
+    return (y * ln["scale"] + ln["bias"]).astype(x.dtype)

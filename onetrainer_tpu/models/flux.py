@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from onetrainer_tpu.models.unet import timestep_embedding
 from onetrainer_tpu.ops.attention import dot_product_attention
+from onetrainer_tpu.peft.layers import LoraConv, LoraDense
 
 
 @dataclass(frozen=True)
@@ -125,9 +126,9 @@ class MLPEmbedder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="linear_1")(x)
+        x = LoraDense(self.hidden, dtype=self.dtype, name="linear_1")(x)
         x = nn.silu(x)
-        return nn.Dense(self.hidden, dtype=self.dtype, name="linear_2")(x)
+        return LoraDense(self.hidden, dtype=self.dtype, name="linear_2")(x)
 
 
 class TimeTextEmbed(nn.Module):
@@ -155,7 +156,7 @@ class AdaLayerNormZero(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        emb = nn.Dense(6 * self.hidden, dtype=self.dtype, name="linear")(nn.silu(temb))
+        emb = LoraDense(6 * self.hidden, dtype=self.dtype, name="linear")(nn.silu(temb))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = \
             jnp.split(emb, 6, axis=-1)
         normed = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
@@ -170,7 +171,7 @@ class AdaLayerNormZeroSingle(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        emb = nn.Dense(3 * self.hidden, dtype=self.dtype, name="linear")(nn.silu(temb))
+        emb = LoraDense(3 * self.hidden, dtype=self.dtype, name="linear")(nn.silu(temb))
         shift_msa, scale_msa, gate_msa = jnp.split(emb, 3, axis=-1)
         normed = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                               dtype=self.dtype, name="norm")(x)
@@ -193,12 +194,12 @@ class JointAttention(nn.Module):
         def heads(x):
             return x.reshape(x.shape[0], x.shape[1], h, d)
 
-        q_i = heads(nn.Dense(inner, dtype=c.dtype, name="to_q")(img_n))
-        k_i = heads(nn.Dense(inner, dtype=c.dtype, name="to_k")(img_n))
-        v_i = heads(nn.Dense(inner, dtype=c.dtype, name="to_v")(img_n))
-        q_t = heads(nn.Dense(inner, dtype=c.dtype, name="add_q_proj")(txt_n))
-        k_t = heads(nn.Dense(inner, dtype=c.dtype, name="add_k_proj")(txt_n))
-        v_t = heads(nn.Dense(inner, dtype=c.dtype, name="add_v_proj")(txt_n))
+        q_i = heads(LoraDense(inner, dtype=c.dtype, name="to_q")(img_n))
+        k_i = heads(LoraDense(inner, dtype=c.dtype, name="to_k")(img_n))
+        v_i = heads(LoraDense(inner, dtype=c.dtype, name="to_v")(img_n))
+        q_t = heads(LoraDense(inner, dtype=c.dtype, name="add_q_proj")(txt_n))
+        k_t = heads(LoraDense(inner, dtype=c.dtype, name="add_k_proj")(txt_n))
+        v_t = heads(LoraDense(inner, dtype=c.dtype, name="add_v_proj")(txt_n))
 
         q_i = RMSNorm(d, c.dtype, name="norm_q")(q_i)
         k_i = RMSNorm(d, c.dtype, name="norm_k")(k_i)
@@ -212,8 +213,8 @@ class JointAttention(nn.Module):
         attn = dot_product_attention(q, k, v)
         attn = attn.reshape(attn.shape[0], attn.shape[1], inner)
         attn_txt, attn_img = attn[:, :s_txt], attn[:, s_txt:]
-        out_img = nn.Dense(c.hidden_size, dtype=c.dtype, name="to_out_0")(attn_img)
-        out_txt = nn.Dense(c.hidden_size, dtype=c.dtype, name="to_add_out")(attn_txt)
+        out_img = LoraDense(c.hidden_size, dtype=c.dtype, name="to_out_0")(attn_img)
+        out_txt = LoraDense(c.hidden_size, dtype=c.dtype, name="to_add_out")(attn_txt)
         return out_img, out_txt
 
 
@@ -226,9 +227,9 @@ class SingleAttention(nn.Module):
         h, d = c.num_heads, c.head_dim
         inner = h * d
         cos, sin = rope
-        q = nn.Dense(inner, dtype=c.dtype, name="to_q")(normed)
-        k = nn.Dense(inner, dtype=c.dtype, name="to_k")(normed)
-        v = nn.Dense(inner, dtype=c.dtype, name="to_v")(normed)
+        q = LoraDense(inner, dtype=c.dtype, name="to_q")(normed)
+        k = LoraDense(inner, dtype=c.dtype, name="to_k")(normed)
+        v = LoraDense(inner, dtype=c.dtype, name="to_v")(normed)
         q = q.reshape(q.shape[0], q.shape[1], h, d)
         k = k.reshape(k.shape[0], k.shape[1], h, d)
         v = v.reshape(v.shape[0], v.shape[1], h, d)
@@ -245,9 +246,9 @@ class GeluMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(4 * self.hidden, dtype=self.dtype, name="net_0")(x) \
+        x = LoraDense(4 * self.hidden, dtype=self.dtype, name="net_0")(x) \
             if False else GELUProj(self.hidden, self.dtype, name="net_0")(x)
-        return nn.Dense(self.hidden, dtype=self.dtype, name="net_2")(x)
+        return LoraDense(self.hidden, dtype=self.dtype, name="net_2")(x)
 
 
 class GELUProj(nn.Module):
@@ -256,7 +257,7 @@ class GELUProj(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(4 * self.hidden, dtype=self.dtype, name="proj")(x)
+        x = LoraDense(4 * self.hidden, dtype=self.dtype, name="proj")(x)
         return nn.gelu(x, approximate=True)
 
 
@@ -298,9 +299,9 @@ class FluxSingleBlock(nn.Module):
         normed, gate = AdaLayerNormZeroSingle(c.hidden_size, c.dtype,
                                               name="norm")(x, temb)
         attn = SingleAttention(c, name="attn")(normed, rope)
-        mlp = nn.Dense(4 * c.hidden_size, dtype=c.dtype, name="proj_mlp")(normed)
+        mlp = LoraDense(4 * c.hidden_size, dtype=c.dtype, name="proj_mlp")(normed)
         mlp = nn.gelu(mlp, approximate=True)
-        out = nn.Dense(c.hidden_size, dtype=c.dtype, name="proj_out")(
+        out = LoraDense(c.hidden_size, dtype=c.dtype, name="proj_out")(
             jnp.concatenate([attn, mlp], axis=-1))
         return x + gate[:, None] * out
 
@@ -311,7 +312,7 @@ class AdaNormContinuous(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        emb = nn.Dense(2 * self.hidden, dtype=self.dtype,
+        emb = LoraDense(2 * self.hidden, dtype=self.dtype,
                        name="linear")(nn.silu(temb))
         scale, shift = jnp.split(emb, 2, axis=-1)
         x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
@@ -339,9 +340,9 @@ class FluxTransformer2D(nn.Module):
         if guidance is None:
             guidance = jnp.ones_like(timestep)
 
-        img = nn.Dense(c.hidden_size, dtype=c.dtype, name="x_embedder")(
+        img = LoraDense(c.hidden_size, dtype=c.dtype, name="x_embedder")(
             packed_latents.astype(c.dtype))
-        txt = nn.Dense(c.hidden_size, dtype=c.dtype, name="context_embedder")(
+        txt = LoraDense(c.hidden_size, dtype=c.dtype, name="context_embedder")(
             t5_states.astype(c.dtype))
         temb = TimeTextEmbed(c, name="time_text_embed")(
             timestep.astype(jnp.float32), guidance.astype(jnp.float32), pooled)
@@ -365,4 +366,4 @@ class FluxTransformer2D(nn.Module):
         img = x[:, txt.shape[1]:]
 
         img = AdaNormContinuous(c.hidden_size, c.dtype, name="norm_out")(img, temb)
-        return nn.Dense(c.out_channels, dtype=jnp.float32, name="proj_out")(img)
+        return LoraDense(c.out_channels, dtype=jnp.float32, name="proj_out")(img)

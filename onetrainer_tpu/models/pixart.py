@@ -19,6 +19,7 @@ import numpy as np
 from onetrainer_tpu.models.flux import MLPEmbedder
 from onetrainer_tpu.models.unet import timestep_embedding
 from onetrainer_tpu.ops.attention import attention
+from onetrainer_tpu.peft.layers import LoraConv, LoraDense
 
 
 @dataclass(frozen=True)
@@ -73,11 +74,11 @@ class PixArtAttention(nn.Module):
         c = self.cfg
         inner = c.hidden_size
         kv = x if context is None else context
-        q = nn.Dense(inner, dtype=c.dtype, name="to_q")(x)
-        k = nn.Dense(inner, dtype=c.dtype, name="to_k")(kv)
-        v = nn.Dense(inner, dtype=c.dtype, name="to_v")(kv)
+        q = LoraDense(inner, dtype=c.dtype, name="to_q")(x)
+        k = LoraDense(inner, dtype=c.dtype, name="to_k")(kv)
+        v = LoraDense(inner, dtype=c.dtype, name="to_v")(kv)
         out = attention(q, k, v, c.num_heads)
-        return nn.Dense(inner, dtype=c.dtype, name="to_out_0")(out)
+        return LoraDense(inner, dtype=c.dtype, name="to_out_0")(out)
 
 
 class PixArtFF(nn.Module):
@@ -88,7 +89,7 @@ class PixArtFF(nn.Module):
         from onetrainer_tpu.models.flux import GELUProj
         c = self.cfg
         x = GELUProj(c.hidden_size, c.dtype, name="net_0")(x)
-        return nn.Dense(c.hidden_size, dtype=c.dtype, name="net_2")(x)
+        return LoraDense(c.hidden_size, dtype=c.dtype, name="net_2")(x)
 
 
 class PixArtBlock(nn.Module):
@@ -127,7 +128,7 @@ class AdaLNSingle(nn.Module):
         t_emb = timestep_embedding(timestep, 256, flip_sin_to_cos=True,
                                    downscale_freq_shift=0)
         emb = _TimestepInner(c, name="emb")(t_emb)
-        return nn.Dense(6 * c.hidden_size, dtype=c.dtype, name="linear")(
+        return LoraDense(6 * c.hidden_size, dtype=c.dtype, name="linear")(
             nn.silu(emb))
 
 
@@ -146,10 +147,10 @@ class CaptionProjection(nn.Module):
     @nn.compact
     def __call__(self, caption):
         c = self.cfg
-        x = nn.Dense(c.hidden_size, dtype=c.dtype, name="linear_1")(
+        x = LoraDense(c.hidden_size, dtype=c.dtype, name="linear_1")(
             caption.astype(c.dtype))
         x = nn.gelu(x, approximate=True)
-        return nn.Dense(c.hidden_size, dtype=c.dtype, name="linear_2")(x)
+        return LoraDense(c.hidden_size, dtype=c.dtype, name="linear_2")(x)
 
 
 class _PatchProj(nn.Module):
@@ -159,7 +160,7 @@ class _PatchProj(nn.Module):
     def __call__(self, latents):
         c = self.cfg
         p = c.patch_size
-        return nn.Conv(c.hidden_size, (p, p), strides=(p, p), padding="VALID",
+        return LoraConv(c.hidden_size, (p, p), strides=(p, p), padding="VALID",
                        dtype=c.dtype, name="proj")(latents.astype(c.dtype))
 
 
@@ -201,7 +202,7 @@ class PixArtTransformer2D(nn.Module):
         x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                          dtype=c.dtype, name="norm_out")(x)
         x = x * (1 + scale[:, None]) + shift[:, None]
-        x = nn.Dense(p * p * c.out_channels, dtype=jnp.float32, name="proj_out")(x)
+        x = LoraDense(p * p * c.out_channels, dtype=jnp.float32, name="proj_out")(x)
 
         x = x.reshape(b, gh, gw, p, p, c.out_channels)
         x = x.transpose(0, 1, 3, 2, 4, 5)

@@ -21,6 +21,7 @@ from onetrainer_tpu.models.flux import (
 )
 from onetrainer_tpu.models.unet import timestep_embedding
 from onetrainer_tpu.ops.attention import dot_product_attention
+from onetrainer_tpu.peft.layers import LoraConv, LoraDense
 
 
 @dataclass(frozen=True)
@@ -69,7 +70,7 @@ class PatchEmbed(nn.Module):
     def __call__(self, latents):  # [B, H, W, C] NHWC
         c = self.cfg
         p = c.patch_size
-        x = nn.Conv(c.hidden_size, (p, p), strides=(p, p), padding="VALID",
+        x = LoraConv(c.hidden_size, (p, p), strides=(p, p), padding="VALID",
                     dtype=c.dtype, name="proj")(latents.astype(c.dtype))
         b, gh, gw, _ = x.shape
         x = x.reshape(b, gh * gw, c.hidden_size)
@@ -99,12 +100,12 @@ class SD3JointAttention(nn.Module):
         def heads(x):
             return x.reshape(x.shape[0], x.shape[1], h, d)
 
-        q_i = heads(nn.Dense(inner, dtype=c.dtype, name="to_q")(img_n))
-        k_i = heads(nn.Dense(inner, dtype=c.dtype, name="to_k")(img_n))
-        v_i = heads(nn.Dense(inner, dtype=c.dtype, name="to_v")(img_n))
-        q_t = heads(nn.Dense(inner, dtype=c.dtype, name="add_q_proj")(txt_n))
-        k_t = heads(nn.Dense(inner, dtype=c.dtype, name="add_k_proj")(txt_n))
-        v_t = heads(nn.Dense(inner, dtype=c.dtype, name="add_v_proj")(txt_n))
+        q_i = heads(LoraDense(inner, dtype=c.dtype, name="to_q")(img_n))
+        k_i = heads(LoraDense(inner, dtype=c.dtype, name="to_k")(img_n))
+        v_i = heads(LoraDense(inner, dtype=c.dtype, name="to_v")(img_n))
+        q_t = heads(LoraDense(inner, dtype=c.dtype, name="add_q_proj")(txt_n))
+        k_t = heads(LoraDense(inner, dtype=c.dtype, name="add_k_proj")(txt_n))
+        v_t = heads(LoraDense(inner, dtype=c.dtype, name="add_v_proj")(txt_n))
 
         if c.qk_norm:
             q_i = RMSNorm(d, c.dtype, name="norm_q")(q_i)
@@ -119,10 +120,10 @@ class SD3JointAttention(nn.Module):
         attn = attn.reshape(attn.shape[0], attn.shape[1], inner)
         attn_txt, attn_img = attn[:, :s_txt], attn[:, s_txt:]
 
-        out_img = nn.Dense(c.hidden_size, dtype=c.dtype, name="to_out_0")(attn_img)
+        out_img = LoraDense(c.hidden_size, dtype=c.dtype, name="to_out_0")(attn_img)
         out_txt = None
         if not self.context_pre_only:
-            out_txt = nn.Dense(c.hidden_size, dtype=c.dtype,
+            out_txt = LoraDense(c.hidden_size, dtype=c.dtype,
                                name="to_add_out")(attn_txt)
         return out_img, out_txt
 
@@ -172,7 +173,7 @@ class SD3FF(nn.Module):
     def __call__(self, x):
         c = self.cfg
         x = GELUProj(c.hidden_size, c.dtype, name="net_0")(x)
-        return nn.Dense(c.hidden_size, dtype=c.dtype, name="net_2")(x)
+        return LoraDense(c.hidden_size, dtype=c.dtype, name="net_2")(x)
 
 
 class TimeTextEmbedSD3(nn.Module):
@@ -205,7 +206,7 @@ class SD3Transformer2D(nn.Module):
         img, (gh, gw) = PatchEmbed(c, name="pos_embed")(latents)
         temb = TimeTextEmbedSD3(c, name="time_text_embed")(
             timestep.astype(jnp.float32), pooled)
-        txt = nn.Dense(c.caption_projection_dim, dtype=c.dtype,
+        txt = LoraDense(c.caption_projection_dim, dtype=c.dtype,
                        name="context_embedder")(context.astype(c.dtype))
 
         block_cls = JointTransformerBlock
@@ -218,7 +219,7 @@ class SD3Transformer2D(nn.Module):
                 name=f"transformer_blocks_{i}")(img, txt, temb)
 
         img = AdaNormContinuous(c.hidden_size, c.dtype, name="norm_out")(img, temb)
-        img = nn.Dense(c.patch_size ** 2 * c.out_channels, dtype=jnp.float32,
+        img = LoraDense(c.patch_size ** 2 * c.out_channels, dtype=jnp.float32,
                        name="proj_out")(img)
         # unpatchify
         p = c.patch_size

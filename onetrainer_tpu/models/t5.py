@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from onetrainer_tpu.ops.attention import attention
+from onetrainer_tpu.peft.layers import LoraConv, LoraDense
 
 
 @dataclass(frozen=True)
@@ -69,9 +70,9 @@ class T5Attention(nn.Module):
     def __call__(self, x, position_bias=None):
         c = self.cfg
         inner = c.num_heads * c.d_kv
-        q = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="k")(x)
-        v = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="v")(x)
+        q = LoraDense(inner, use_bias=False, dtype=c.dtype, name="q")(x)
+        k = LoraDense(inner, use_bias=False, dtype=c.dtype, name="k")(x)
+        v = LoraDense(inner, use_bias=False, dtype=c.dtype, name="v")(x)
 
         if self.has_relative_bias:
             s = x.shape[1]
@@ -99,7 +100,7 @@ class T5Attention(nn.Module):
         weights = weights / weights.sum(-1, keepdims=True)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(c.dtype), vh)
         out = out.reshape(b, s, inner)
-        out = nn.Dense(c.d_model, use_bias=False, dtype=c.dtype, name="o")(out)
+        out = LoraDense(c.d_model, use_bias=False, dtype=c.dtype, name="o")(out)
         return out, position_bias
 
 
@@ -117,10 +118,10 @@ class T5Block(nn.Module):
         x = x + attn_out
         # layer.1: gated-gelu MLP
         h = T5LayerNorm(c.layer_norm_epsilon, c.dtype, name="ln_mlp")(x)
-        wi0 = nn.Dense(c.d_ff, use_bias=False, dtype=c.dtype, name="wi_0")(h)
-        wi1 = nn.Dense(c.d_ff, use_bias=False, dtype=c.dtype, name="wi_1")(h)
+        wi0 = LoraDense(c.d_ff, use_bias=False, dtype=c.dtype, name="wi_0")(h)
+        wi1 = LoraDense(c.d_ff, use_bias=False, dtype=c.dtype, name="wi_1")(h)
         h = nn.gelu(wi0, approximate=True) * wi1
-        x = x + nn.Dense(c.d_model, use_bias=False, dtype=c.dtype, name="wo")(h)
+        x = x + LoraDense(c.d_model, use_bias=False, dtype=c.dtype, name="wo")(h)
         return x, position_bias
 
 

@@ -27,6 +27,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from onetrainer_tpu.ops.attention import attention
+from onetrainer_tpu.peft.layers import LoraConv, LoraDense
 
 
 @dataclass(frozen=True)
@@ -117,9 +118,9 @@ class TimestepEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear_1")(x)
+        x = LoraDense(self.out_dim, dtype=self.dtype, name="linear_1")(x)
         x = nn.silu(x)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear_2")(x)
+        x = LoraDense(self.out_dim, dtype=self.dtype, name="linear_2")(x)
         return x
 
 
@@ -132,14 +133,14 @@ class ResnetBlock(nn.Module):
         in_channels = x.shape[-1]
         h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+        h = LoraConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        t = LoraDense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
         h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = LoraConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+            x = LoraConv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
 
@@ -151,11 +152,11 @@ class CrossAttention(nn.Module):
     def __call__(self, x, context=None):
         context = x if context is None else context
         inner = x.shape[-1]
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = LoraDense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = LoraDense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = LoraDense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
         out = attention(q, k, v, self.num_heads)
-        return nn.Dense(inner, dtype=self.dtype, name="to_out_0")(out)
+        return LoraDense(inner, dtype=self.dtype, name="to_out_0")(out)
 
 
 class GEGLU(nn.Module):
@@ -164,7 +165,7 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.out_dim * 2, dtype=self.dtype, name="proj")(x)
+        x = LoraDense(self.out_dim * 2, dtype=self.dtype, name="proj")(x)
         x, gate = jnp.split(x, 2, axis=-1)
         return x * nn.gelu(gate)
 
@@ -176,7 +177,7 @@ class FeedForward(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         x = GEGLU(dim * 4, dtype=self.dtype, name="net_0")(x)
-        return nn.Dense(dim, dtype=self.dtype, name="net_2")(x)
+        return LoraDense(dim, dtype=self.dtype, name="net_2")(x)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -208,9 +209,9 @@ class Transformer2D(nn.Module):
         x = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
-            x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x)
+            x = LoraDense(c, dtype=self.dtype, name="proj_in")(x)
         else:
-            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+            x = LoraConv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
             x = x.reshape(b, h * w, c)
 
         block_cls = BasicTransformerBlock
@@ -221,11 +222,11 @@ class Transformer2D(nn.Module):
                           name=f"transformer_blocks_{i}")(x, context)
 
         if self.use_linear_projection:
-            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = LoraDense(c, dtype=self.dtype, name="proj_out")(x)
             x = x.reshape(b, h, w, c)
         else:
             x = x.reshape(b, h, w, c)
-            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+            x = LoraConv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
         return x + residual
 
 
@@ -236,7 +237,7 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         # torch Conv2d stride-2 with padding=1 pads both sides; replicate exactly
-        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+        return LoraConv(self.out_channels, (3, 3), strides=(2, 2),
                        padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
 
 
@@ -248,7 +249,7 @@ class Upsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return LoraConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
 # -- down / mid / up blocks ------------------------------------------------------
@@ -384,7 +385,7 @@ class UNet2DCondition(nn.Module):
 
         context = encoder_hidden_states.astype(cfg.dtype)
 
-        x = nn.Conv(ch0, (3, 3), padding=1, dtype=cfg.dtype, name="conv_in")(
+        x = LoraConv(ch0, (3, 3), padding=1, dtype=cfg.dtype, name="conv_in")(
             sample.astype(cfg.dtype))
 
         skips = [x]
@@ -399,5 +400,5 @@ class UNet2DCondition(nn.Module):
 
         x = nn.GroupNorm(32, epsilon=1e-5, dtype=cfg.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(x)
+        x = LoraConv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(x)
         return x

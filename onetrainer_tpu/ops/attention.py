@@ -5,6 +5,14 @@ Replaces what torch SDP / flash-attn wheels provide in the reference
 (reference: modules/modelSetup relies on torch sdp via diffusers).
 Inputs are [batch, seq, heads*dim] packed; head split/merge happens here so
 models stay layout-agnostic.
+
+SD-family head dims (40/80/160) are not lane-aligned; q/k/v are zero-padded
+on the head dim to the next multiple of 128 before the kernel and the output
+sliced back. Zero padding changes nothing mathematically (padded components
+contribute 0 to q·k and the padded output columns are 0), and the MXU pads
+the contraction to 128 lanes anyway — so the flash path's HBM win (never
+materializing the S×S score matrix) comes at no extra compute vs the XLA
+fallback.
 """
 
 from __future__ import annotations
@@ -14,15 +22,25 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# trace-time dispatch counters (tests assert the flash path is taken for the
+# SD hot shapes; incremented when the jitted program is built)
+STATS = {"flash": 0, "fallback": 0}
+
+_MAX_FLASH_HEAD_DIM = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
 
 def _can_use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
-    # Pallas flash kernel wants lane-aligned shapes; fall back for the tiny
-    # text-encoder sequences where the XLA path is already optimal.
+    # Pallas flash kernel wants lane-aligned sequence blocks; fall back for
+    # the tiny text-encoder sequences where the XLA path is already optimal.
     return (
         jax.default_backend() == "tpu"
         and q_len >= 256 and q_len % 128 == 0
         and kv_len >= 256 and kv_len % 128 == 0
-        and head_dim in (64, 128)
+        and head_dim <= _MAX_FLASH_HEAD_DIM
     )
 
 
@@ -43,16 +61,29 @@ def dot_product_attention(
     skv = k.shape[1]
     if mask is None and _can_use_flash(sq, skv, d):
         try:
+            dp = _round_up(d, 128)
+            if dp != d:
+                pad = ((0, 0), (0, 0), (0, 0), (0, dp - d))
+                qp = jnp.pad(q, pad)
+                kp = jnp.pad(k, pad)
+                vp = jnp.pad(v, pad)
+            else:
+                qp, kp, vp = q, k, v
             out = _flash_fn()(
-                q.transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
+                qp.transpose(0, 2, 1, 3),
+                kp.transpose(0, 2, 1, 3),
+                vp.transpose(0, 2, 1, 3),
                 causal=False,
-                sm_scale=1.0 / (d ** 0.5),
+                sm_scale=1.0 / (d ** 0.5),   # scale by the REAL head dim
             )
-            return out.transpose(0, 2, 1, 3)
+            out = out.transpose(0, 2, 1, 3)
+            if dp != d:
+                out = out[..., :d]
+            STATS["flash"] += 1
+            return out
         except Exception:
             pass
+    STATS["fallback"] += 1
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
 
 

@@ -1,0 +1,194 @@
+"""LoRA-aware Dense/Conv flax modules.
+
+The round-1 design merged adapters into a full copy of the base weights
+(`apply_peft`) inside the step. Correct, but costly on big models: the
+merged tree doubles weight HBM (SDXL bf16: +5.2 GB) and the backward pass
+materializes a dense dW for every adapted layer before contracting it to
+rank r. These modules instead apply the low-rank term *functionally inside
+the layer*:
+
+    y = x @ W  +  ((x @ downᵀ) @ upᵀ) · (α/r)
+
+so the only extra state is the rank-r factors and the only extra backward
+work is two rank-r contractions (dL/d_up = gᵀ(x @ downᵀ),
+dL/d_down = (g @ up)ᵀ x). DoRA/LoHa still build their per-layer delta, but
+transiently inside the (remat'd) layer instead of as a second full tree.
+
+Adapters arrive through a separate flax variable collection "lora", nested
+like the params tree, so the model code stays checkpoint-key compatible:
+`module.apply({"params": base, "lora": col}, ...)`. Without the collection
+these modules behave exactly like nn.Dense / nn.Conv.
+
+(reference: modules/module/LoRAModule.py applies LoRA via forward hooks —
+same math, different mechanism; see peft/lora.py for the layout contract.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax.linen import initializers
+from flax.linen.dtypes import promote_dtype
+
+default_kernel_init = initializers.lecun_normal()
+
+
+def _lora_entry(module: nn.Module) -> dict | None:
+    """The adapter entry for this module from the 'lora' collection."""
+    for leaf in ("lora_down", "hada_w1_a"):
+        if module.has_variable("lora", leaf):
+            break
+    else:
+        return None
+    entry = {}
+    for name in ("lora_down", "lora_up", "dora_scale", "dora_eps",
+                 "hada_w1_a", "hada_w1_b", "hada_w2_a", "hada_w2_b"):
+        if module.has_variable("lora", name):
+            entry[name] = module.get_variable("lora", name)
+    return entry
+
+
+def _delta_2d(entry: dict) -> jnp.ndarray:
+    """Dense delta in torch layout [out, fan_in], fp32. `lora_down` /
+    `hada_w1_b` arrive pre-scaled by α/r (see adapters_to_lora_collection)."""
+    if "hada_w1_a" in entry:
+        w1b = entry["hada_w1_b"].astype(jnp.float32)
+        w2b = entry["hada_w2_b"].astype(jnp.float32)
+        w1b = w1b.reshape(w1b.shape[0], -1)
+        w2b = w2b.reshape(w2b.shape[0], -1)
+        w1 = entry["hada_w1_a"].astype(jnp.float32) @ w1b
+        w2 = entry["hada_w2_a"].astype(jnp.float32) @ w2b
+        return w1 * w2
+    down = entry["lora_down"].astype(jnp.float32)
+    down = down.reshape(down.shape[0], -1)
+    return entry["lora_up"].astype(jnp.float32) @ down
+
+
+def _dora_weight(kernel_2d: jnp.ndarray, entry: dict) -> jnp.ndarray:
+    """DoRA: m · (W + ΔW)/‖W + ΔW‖ in torch layout [out, fan_in]
+    (reference: LoRAModule.py:334-419, norm detached from the graph)."""
+    wp = kernel_2d + _delta_2d(entry)
+    axis = 1 if entry["dora_scale"].shape[-1] == 1 else 0
+    norm = jax.lax.stop_gradient(
+        jnp.linalg.norm(wp, axis=axis, keepdims=True))
+    norm = norm + entry.get("dora_eps", jnp.float32(0.0))
+    return entry["dora_scale"].astype(jnp.float32) * wp / norm
+
+
+class LoraDense(nn.Module):
+    """nn.Dense drop-in ('kernel'/'bias' param names preserved) that adds
+    the adapter term when a 'lora' collection entry exists at its path."""
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+    kernel_init: object = default_kernel_init
+    bias_init: object = initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype) if self.use_bias else None
+        entry = _lora_entry(self)
+
+        if entry is not None and "dora_scale" in entry:
+            # transient merged weight (per layer, freed after use; remat
+            # recomputes it in the backward pass)
+            w = _dora_weight(kernel.astype(jnp.float32).T, entry).T
+            x, w, bias = promote_dtype(x, w, bias, dtype=self.dtype)
+            y = x @ w
+            return y + bias if bias is not None else y
+
+        xp, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = xp @ kernel
+        if entry is not None:
+            if "hada_w1_a" in entry:
+                delta = _delta_2d(entry)         # [out, in] fp32, transient
+                (delta,) = promote_dtype(delta, dtype=self.dtype)
+                y = y + xp @ delta.T
+            else:
+                down, up = promote_dtype(
+                    entry["lora_down"], entry["lora_up"], dtype=self.dtype)
+                y = y + (xp @ down.T) @ up.T
+        return y + bias if bias is not None else y
+
+
+def _canon_padding(padding, kernel_size: Sequence[int]):
+    if isinstance(padding, str):
+        return padding
+    if isinstance(padding, int):
+        return tuple((padding, padding) for _ in kernel_size)
+    out = []
+    for p in padding:
+        out.append((p, p) if isinstance(p, int) else tuple(p))
+    return tuple(out)
+
+
+class LoraConv(nn.Module):
+    """nn.Conv drop-in (NHWC, 'kernel'/'bias' names preserved) that adds a
+    conv-LoRA term: rank-r conv with the base geometry + 1×1 up-projection
+    (reference conv-LoRA contract: LoRAModule.create_layer, down conv
+    [r, in, kh, kw], up 1×1 [out, r])."""
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: int | Sequence[int] = 1
+    padding: object = "SAME"
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+    kernel_init: object = default_kernel_init
+    bias_init: object = initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        strides = (self.strides, self.strides) \
+            if isinstance(self.strides, int) else tuple(self.strides)
+        padding = _canon_padding(self.padding, self.kernel_size)
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, x.shape[-1] // self.feature_group_count,
+                             self.features),
+                            self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype) if self.use_bias else None
+        entry = _lora_entry(self) if self.feature_group_count == 1 else None
+
+        def conv(inp, ker):
+            return jax.lax.conv_general_dilated(
+                inp, ker, window_strides=strides, padding=padding,
+                feature_group_count=self.feature_group_count,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        if entry is not None and "dora_scale" in entry:
+            k2d = kernel.astype(jnp.float32).transpose(3, 2, 0, 1)
+            k2d = k2d.reshape(k2d.shape[0], -1)                 # [out, in*kh*kw]
+            w2d = _dora_weight(k2d, entry)
+            w = w2d.reshape(self.features, x.shape[-1], kh, kw)
+            w = w.transpose(2, 3, 1, 0)                         # HWIO
+            xp, w, bias = promote_dtype(x, w, bias, dtype=self.dtype)
+            y = conv(xp, w)
+            return y + bias if bias is not None else y
+
+        xp, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = conv(xp, kernel)
+        if entry is not None:
+            if "hada_w1_a" in entry:
+                delta2d = _delta_2d(entry)                      # [out, in*kh*kw]
+                dk = delta2d.reshape(self.features, x.shape[-1], kh, kw)
+                dk = dk.transpose(2, 3, 1, 0)
+                (dk,) = promote_dtype(dk, dtype=self.dtype)
+                y = y + conv(xp, dk)
+            else:
+                down = entry["lora_down"]                       # [r, in, kh, kw]
+                up = entry["lora_up"]                           # [out, r]
+                down_hwio = down.transpose(2, 3, 1, 0)          # HWIO [kh,kw,in,r]
+                down_hwio, up = promote_dtype(down_hwio, up, dtype=self.dtype)
+                h = conv(xp, down_hwio)                         # [B,H',W',r]
+                y = y + h @ up.T
+        return y + bias if bias is not None else y

@@ -80,6 +80,11 @@ def _kernel_paths(params: dict, layer_filter: tuple[str, ...]):
             continue
         if not hasattr(value, "ndim") or value.ndim not in (2, 4):
             continue
+        if value.ndim == 4 and value.shape[2] == 1 and value.shape[3] > 1 \
+                and value.shape[0] * value.shape[1] > 1:
+            # grouped/depthwise conv (in-per-group == 1): rank-r adaptation
+            # is degenerate there; skip (e.g. Würstchen prior depthwise)
+            continue
         module_path = path[:-1]
         key = SEP.join(module_path)
         if layer_filter and not any(f in key for f in layer_filter):
@@ -227,6 +232,73 @@ def apply_peft(
 def merge_peft_into_base(base_params: dict, adapters: dict, cfg: PeftConfig) -> dict:
     """Permanently bake adapters into base weights (for merged export)."""
     return apply_peft(base_params, adapters, cfg, rng=None)
+
+
+# -- functional (in-layer) application ----------------------------------------------
+
+def adapters_to_lora_collection(
+        adapters: dict,
+        cfg: PeftConfig,
+        rng: jax.Array | None = None,
+) -> dict:
+    """Flat adapter pytree -> nested flax 'lora' collection for
+    `module.apply({'params': base, 'lora': col}, ...)` with the
+    LoraDense/LoraConv layers (peft/layers.py).
+
+    α/r is folded into `lora_down` / `hada_w1_b` (differentiable scaling),
+    rank dropout is applied here, and DoRA's norm epsilon travels as a
+    numeric leaf so the layer stays config-free."""
+    scale = cfg.alpha / cfg.rank
+    col: dict = {}
+    keys = list(adapters.keys())
+    for i, module_key in enumerate(keys):
+        entry = adapters[module_key]
+        e: dict = {}
+        if "lora_down" in entry:
+            down = entry["lora_down"] * scale
+            if cfg.dropout > 0 and rng is not None:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(rng, i), 1.0 - cfg.dropout,
+                    (down.shape[0],) + (1,) * (down.ndim - 1))
+                down = down * keep / (1.0 - cfg.dropout)
+            e["lora_down"] = down
+            e["lora_up"] = entry["lora_up"]
+            if cfg.decompose and "dora_scale" in entry:
+                e["dora_scale"] = entry["dora_scale"]
+                eps = jnp.finfo(jnp.float32).eps \
+                    if cfg.decompose_norm_epsilon else 0.0
+                e["dora_eps"] = jnp.float32(eps)
+        elif "hada_w1_a" in entry:
+            e = dict(entry)
+            e["hada_w1_b"] = entry["hada_w1_b"] * scale
+        node = col
+        parts = module_key.split(SEP)
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = e
+    return col
+
+
+def lora_variables(
+        base_params: dict,
+        adapters: dict | None,
+        cfg: PeftConfig | None,
+        rng: jax.Array | None = None,
+) -> dict:
+    """Variables dict for apply(): {'params': base[, 'lora': collection]}."""
+    variables = {"params": base_params}
+    if adapters and cfg is not None:
+        variables["lora"] = adapters_to_lora_collection(adapters, cfg, rng)
+    return variables
+
+
+def as_variables(params_or_variables: dict) -> dict:
+    """Accept either a raw params tree or a full variables dict (with
+    'params' / 'lora' keys) and return a variables dict. Param trees never
+    have a top-level 'params' key (their keys are module names)."""
+    if "params" in params_or_variables:
+        return params_or_variables
+    return {"params": params_or_variables}
 
 
 # -- kohya-format safetensors interop ---------------------------------------------

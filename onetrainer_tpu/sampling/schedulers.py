@@ -159,15 +159,21 @@ def step(state: SchedulerState, model_output: jnp.ndarray,
             if h_last > 0:
                 r = h_last / h
                 d = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * history["x0"]
-        out = (sigma_next / sigma) * sample - (np.exp(-h) - 1.0) * d
+        if kind in (NoiseScheduler.DPMPP_SDE, NoiseScheduler.DPMPP_SDE_KARRAS):
+            # sde-dpmsolver++ update: the sample term decays by exp(-h) and
+            # the denoised term carries (1 - exp(-2h)); with the 2M-weighted
+            # `d` this equals diffusers' second-order midpoint SDE update
+            out = (sigma_next / sigma) * np.exp(-h) * sample \
+                + (1.0 - np.exp(-2.0 * h)) * d
+            if rng is not None:
+                import jax
+                noise_scale = sigma_next * np.sqrt(1.0 - np.exp(-2.0 * h))
+                out = out + noise_scale * jax.random.normal(rng, out.shape, out.dtype)
+        else:
+            out = (sigma_next / sigma) * sample - (np.exp(-h) - 1.0) * d
         if history is not None:
             history["x0"] = x0
             history["sigma"] = sigma
-        if kind in (NoiseScheduler.DPMPP_SDE, NoiseScheduler.DPMPP_SDE_KARRAS) \
-                and rng is not None:
-            import jax
-            noise_scale = sigma_next * np.sqrt(1.0 - np.exp(-2.0 * h))
-            out = out + noise_scale * jax.random.normal(rng, out.shape, out.dtype)
         return out
 
     raise ValueError(f"unsupported scheduler {kind}")

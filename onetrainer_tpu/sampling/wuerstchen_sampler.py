@@ -1,0 +1,120 @@
+"""Würstchen v2 / Stable Cascade sampler.
+
+Stage 1 (the trained component) runs the full prior denoising loop with
+CFG + cfg_rescale under the continuous cosine DDPM schedule
+(reference: modules/modelSampler/WuerstchenSampler.py:35-155,
+DDPMWuerstchenScheduler semantics re-derived from the same warped ᾱ as
+training). Stage 2 (decoder + VQGAN) reconstructs pixels; until the
+DiffNeXt/Paella decoder weights are wired, a linear latent→RGB projection
+(the reference debug-mixin visualization) stands in so in-training
+sampling still produces an inspectable image.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onetrainer_tpu.config.sample_config import SampleConfig
+from onetrainer_tpu.peft.lora import as_variables
+from onetrainer_tpu.sampling.sd_sampler import SamplerOutput
+from onetrainer_tpu.train.wuerstchen_train_step import wuerstchen_alpha_cumprod
+
+
+def _encode_prompt(model, te_params, tokenize, text, extra_embeddings,
+                   layer_skip: int):
+    from onetrainer_tpu.models.clip import (
+        apply_final_layer_norm, encode_clip_text,
+    )
+    tokens = jnp.asarray(tokenize(text))[None]
+    out = model.text_encoder.apply(
+        as_variables(te_params), tokens, None, extra_embeddings)
+    hidden = encode_clip_text(out, layer_skip)
+    return apply_final_layer_norm(te_params, hidden)
+
+
+def sample_wuerstchen(
+        model,
+        prior_params: dict,
+        te_params: dict,
+        tokenize,
+        sample_config: SampleConfig,
+        extra_embeddings=None,
+        rng: jax.Array | None = None,
+        on_update_progress=None,
+) -> SamplerOutput:
+    steps = sample_config.diffusion_steps
+    cfg_scale = sample_config.cfg_scale
+    cfg_rescale = getattr(sample_config, "cfg_rescale", 0.0) or 0.0
+    height, width = sample_config.height, sample_config.width
+    if rng is None:
+        rng = jax.random.PRNGKey(sample_config.seed)
+
+    layer_skip = getattr(sample_config, "text_encoder_1_layer_skip", 0) or 0
+    pos = _encode_prompt(model, te_params, tokenize, sample_config.prompt,
+                         extra_embeddings, layer_skip)
+    neg = _encode_prompt(model, te_params, tokenize,
+                         sample_config.negative_prompt or "",
+                         extra_embeddings, layer_skip)
+    context = jnp.concatenate([neg, pos], axis=0)
+
+    # latent grid: width*0.75/32 (reference: WuerstchenSampler.py:79-87)
+    lh = int((height * 0.75) / 32.0)
+    lw = int((width * 0.75) / 32.0)
+    rng, noise_rng = jax.random.split(rng)
+    latent = jax.random.normal(noise_rng, (1, lh, lw, 16), jnp.float32)
+
+    prior_apply = jax.jit(lambda p, x, t, c: model.prior.apply(
+        as_variables(p), x, t, c))
+
+    # linspace(1, 0, steps+1): denoise t_i -> t_{i+1}
+    ts = np.linspace(1.0, 0.0, steps + 1)
+    for i in range(steps):
+        t = jnp.full((2,), ts[i], jnp.float32)
+        x_in = jnp.concatenate([latent, latent], axis=0)
+        pred = prior_apply(prior_params, x_in, t, context)
+        pred_neg, pred_pos = jnp.split(pred, 2, axis=0)
+        noise_pred = pred_neg + cfg_scale * (pred_pos - pred_neg)
+        if cfg_rescale > 0.0:
+            std_pos = jnp.std(pred_pos, axis=tuple(range(1, pred_pos.ndim)),
+                              keepdims=True)
+            std_pred = jnp.std(noise_pred, axis=tuple(range(1, noise_pred.ndim)),
+                               keepdims=True)
+            rescaled = noise_pred * (std_pos / jnp.maximum(std_pred, 1e-8))
+            noise_pred = cfg_rescale * rescaled + (1 - cfg_rescale) * noise_pred
+
+        # DDPM-Würstchen update under the warped cosine ᾱ
+        ac = wuerstchen_alpha_cumprod(jnp.asarray([ts[i]]))
+        ac_prev = wuerstchen_alpha_cumprod(jnp.asarray([ts[i + 1]])) \
+            if ts[i + 1] > 0 else jnp.asarray([1.0])
+        alpha = ac / ac_prev
+        mu = (1.0 / jnp.sqrt(alpha)) * (
+            latent - (1 - alpha) * noise_pred / jnp.sqrt(1 - ac))
+        if i + 1 < steps:
+            rng, step_rng = jax.random.split(rng)
+            var = (1 - alpha) * (1 - ac_prev) / (1 - ac)
+            mu = mu + jnp.sqrt(var) * jax.random.normal(
+                step_rng, mu.shape, mu.dtype)
+        latent = mu
+        if on_update_progress:
+            on_update_progress(i + 1, steps)
+
+    if model.model_type.is_wuerstchen_v2():
+        latent = latent * 42.0 - 1.0
+
+    if model.decoder_params is not None and model.vqgan_params is not None:
+        raise NotImplementedError(
+            "DiffNeXt decoder stage not wired yet")  # Phase W2
+
+    # stand-in decode: fixed linear projection of the 16ch latent to RGB,
+    # upsampled to the requested size (reference debug visualization:
+    # ModelSetupDebugMixin latent projection)
+    lat = np.asarray(latent[0], np.float32)
+    rng_proj = np.random.default_rng(0)
+    proj = rng_proj.standard_normal((lat.shape[-1], 3)).astype(np.float32)
+    proj /= np.linalg.norm(proj, axis=0, keepdims=True)
+    img = lat @ proj
+    img = (img - img.min()) / max(img.max() - img.min(), 1e-6)
+    img = jax.image.resize(jnp.asarray(img), (height, width, 3), "nearest")
+    return SamplerOutput(image=(np.asarray(img) * 255).astype(np.uint8))

@@ -284,6 +284,62 @@ def _pixart_save_single_file(setup, path):
         "PixArt single-file export not implemented yet; use DIFFUSERS format")
 
 
+# -- Würstchen v2 / Stable Cascade -----------------------------------------------------
+
+def _wuerstchen_load(base_dir, config):
+    import jax.numpy as jnp
+    from onetrainer_tpu.io.wuerstchen_checkpoints import load_wuerstchen_diffusers
+    from onetrainer_tpu.models.wuerstchen_model import WuerstchenModel
+    loaded = load_wuerstchen_diffusers(
+        base_dir,
+        effnet_path=config.effnet_encoder.model_name or None,
+        weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
+        compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
+        gradient_checkpointing=config.gradient_checkpointing.enabled(),
+    )
+    return WuerstchenModel(
+        model_type=config.model_type,
+        prior_config=loaded["prior_config"],
+        effnet_config=loaded["effnet_config"],
+        te_config=loaded["te_config"],
+        prior_params=loaded["prior_params"],
+        effnet_params=loaded["effnet_params"],
+        te_params=loaded["te_params"],
+        text_encoder_layer_skip=config.text_encoder_layer_skip or 0,
+        tokenizer=loaded["tokenizer_dir"],
+    )
+
+
+def _wuerstchen_create_setup(model, config, total_steps, steps_per_epoch=100):
+    from onetrainer_tpu.setup.wuerstchen_setup import create_wuerstchen_setup
+    return create_wuerstchen_setup(model, config, total_steps, steps_per_epoch)
+
+
+def _wuerstchen_encode_fns(setup):
+    from onetrainer_tpu.setup.wuerstchen_setup import make_wuerstchen_encode_fns
+    return make_wuerstchen_encode_fns(setup)
+
+
+def _wuerstchen_sample(setup, sample_config, on_progress):
+    from onetrainer_tpu.sampling.wuerstchen_sampler import sample_wuerstchen
+    prior, te, extra = setup.merged_inference_params()
+    return sample_wuerstchen(
+        setup.model, prior, te, setup.tokenizer, sample_config,
+        extra_embeddings=extra, on_update_progress=on_progress)
+
+
+def _wuerstchen_save_model(setup, out_dir, source_dir):
+    from onetrainer_tpu.io.wuerstchen_checkpoints import save_wuerstchen_diffusers
+    prior, te, _ = setup.merged_inference_params()
+    save_wuerstchen_diffusers(out_dir, setup.model, prior, te,
+                              source_dir=source_dir)
+
+
+def _wuerstchen_save_single_file(setup, path):
+    raise NotImplementedError(
+        "Würstchen single-file export not implemented; use DIFFUSERS format")
+
+
 # -- SD3 -----------------------------------------------------------------------------
 
 def _sd3_load(base_dir, config):
@@ -388,6 +444,25 @@ def make_eval_loss(setup, family_name: str):
             return eval_loss_sd3(setup.merged_inference_params(), batch)
         return run_sd3
 
+    if family_name == "wuerstchen":
+        from onetrainer_tpu.train.wuerstchen_train_step import (
+            ContinuousCoefficients, wuerstchen_predict,
+        )
+        cc = ContinuousCoefficients()
+
+        @jax.jit
+        def eval_loss_w(params, batch):
+            prior, te, extra = params
+            data = wuerstchen_predict(model, prior, te, batch,
+                                      jax.random.PRNGKey(0), cfg,
+                                      extra_embeddings=extra,
+                                      deterministic=True)
+            return diffusion_losses(batch, data, cfg.loss, cc)
+
+        def run_w(batch):
+            return eval_loss_w(setup.merged_inference_params(), batch)
+        return run_w
+
     if family_name == "flux":
         from onetrainer_tpu.math.losses import flow_matching_losses
         from onetrainer_tpu.train.flux_train_step import flux_predict
@@ -472,6 +547,16 @@ def get_family(model_type: ModelType) -> ModelFamily:
             save_model=_sd3_save_model, save_single_file=_sd3_save_single_file,
             lora_prefixes={"transformer_lora": "lora_transformer",
                            "te_lora": "lora_te1", "te2_lora": "lora_te2"},
+        )
+    if model_type.is_wuerstchen():
+        return ModelFamily(
+            name="wuerstchen", quantization=128,
+            load=_wuerstchen_load, create_setup=_wuerstchen_create_setup,
+            make_encode_fns=_wuerstchen_encode_fns, sample=_wuerstchen_sample,
+            save_model=_wuerstchen_save_model,
+            save_single_file=_wuerstchen_save_single_file,
+            lora_prefixes={"prior_lora": "lora_prior",
+                           "te_lora": "lora_prior_te"},
         )
     if model_type.is_flux():
         return ModelFamily(

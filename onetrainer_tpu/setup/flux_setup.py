@@ -47,6 +47,7 @@ class FluxSetup:
     train_step: object
     state: object = None
     embedding_ids: dict = field(default_factory=dict)
+    group_schedules: dict = field(default_factory=dict)
 
     def merged_inference_params(self, params=None):
         params = params if params is not None else self.state.params
@@ -174,7 +175,8 @@ def create_flux_setup(model: FluxModel, config: TrainConfig,
     return FluxSetup(
         model=model, config=config, tokenizer=tokenizer, tokenizer_2=tokenizer_2,
         peft_cfg=peft_cfg, step_cfg=step_cfg, trainable=trainable, frozen=frozen,
-        tx=tx, train_step=train_step, state=state, embedding_ids=embedding_ids)
+        tx=tx, train_step=train_step, state=state, embedding_ids=embedding_ids,
+        group_schedules=group_schedules)
 
 
 def make_flux_encode_fns(setup: FluxSetup):

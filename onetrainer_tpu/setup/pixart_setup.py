@@ -38,6 +38,7 @@ class PixArtSetup:
     train_step: object
     state: object = None
     embedding_ids: dict = field(default_factory=dict)
+    group_schedules: dict = field(default_factory=dict)
 
     def merged_inference_params(self, params=None):
         params = params if params is not None else self.state.params
@@ -114,7 +115,8 @@ def create_pixart_setup(model: PixArtAlphaModel, config: TrainConfig,
     return PixArtSetup(
         model=model, config=config, tokenizer=tokenizer, tokenizer_2=tokenizer,
         peft_cfg=peft_cfg, step_cfg=step_cfg, trainable=trainable, frozen=frozen,
-        tx=tx, train_step=train_step, state=state)
+        tx=tx, train_step=train_step, state=state,
+        group_schedules=group_schedules)
 
 
 def make_pixart_encode_fns(setup: PixArtSetup):

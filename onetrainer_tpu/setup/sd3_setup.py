@@ -40,6 +40,7 @@ class SD3Setup:
     train_step: object
     state: object = None
     embedding_ids: dict = field(default_factory=dict)
+    group_schedules: dict = field(default_factory=dict)
 
     def merged_inference_params(self, params=None):
         params = params if params is not None else self.state.params
@@ -164,7 +165,8 @@ def create_sd3_setup(model: StableDiffusion3Model, config: TrainConfig,
         model=model, config=config, tokenizer=tokenizer, tokenizer_2=tokenizer_2,
         tokenizer_3=tokenizer_3, peft_cfg=peft_cfg, step_cfg=step_cfg,
         trainable=trainable, frozen=frozen, tx=tx, train_step=train_step,
-        state=state, embedding_ids=embedding_ids)
+        state=state, embedding_ids=embedding_ids,
+        group_schedules=group_schedules)
 
 
 def make_sd3_encode_fns(setup: SD3Setup):

@@ -43,6 +43,7 @@ class SDSetup:
     train_step: object
     state: object = None
     embedding_ids: dict = field(default_factory=dict)   # uuid -> (start, count)
+    group_schedules: dict = field(default_factory=dict)
 
     def merged_inference_params(self, params=None):
         """(unet, te, extra_embeddings) with adapters applied, for
@@ -251,7 +252,8 @@ def create_sd_setup(
     return SDSetup(
         model=model, config=config, tokenizer=tokenizer, peft_cfg=peft_cfg,
         step_cfg=step_cfg, trainable=trainable, frozen=frozen, tx=tx,
-        train_step=train_step, state=state, embedding_ids=embedding_ids)
+        train_step=train_step, state=state, embedding_ids=embedding_ids,
+        group_schedules=group_schedules)
 
 
 def make_encode_fns(setup: SDSetup):

@@ -37,6 +37,7 @@ class SDXLSetup:
     train_step: object
     state: object = None
     embedding_ids: dict = field(default_factory=dict)
+    group_schedules: dict = field(default_factory=dict)
 
     def merged_inference_params(self, params=None):
         params = params if params is not None else self.state.params
@@ -165,7 +166,8 @@ def create_sdxl_setup(model: StableDiffusionXLModel, config: TrainConfig,
     return SDXLSetup(
         model=model, config=config, tokenizer=tokenizer, tokenizer_2=tokenizer_2,
         peft_cfg=peft_cfg, step_cfg=step_cfg, trainable=trainable, frozen=frozen,
-        tx=tx, train_step=train_step, state=state, embedding_ids=embedding_ids)
+        tx=tx, train_step=train_step, state=state, embedding_ids=embedding_ids,
+        group_schedules=group_schedules)
 
 
 def make_sdxl_encode_fns(setup: SDXLSetup):

@@ -47,12 +47,19 @@ def maybe_update_ema(
         max_decay: float,
         global_step: jnp.ndarray,
         update_interval: int,
+        accum: int = 1,
 ) -> EMAState:
-    """Interval-gated EMA update, usable inside jit (lax.cond)."""
-    if update_interval <= 1:
+    """Interval-gated EMA update, usable inside jit (lax.cond).
+
+    With gradient accumulation (accum > 1) params only change every
+    `accum` micro-steps; the EMA advances on that boundary only, so the
+    effective decay matches the reference's per-optimizer-step EMA
+    (reference: GenericTrainer per-update EMA.step)."""
+    period = max(update_interval, 1) * max(accum, 1)
+    if period <= 1:
         return update_ema(state, params, max_decay)
     return jax.lax.cond(
-        (global_step % update_interval) == 0,
+        ((global_step + 1) % period) == 0,
         lambda s: update_ema(s, params, max_decay),
         lambda s: s,
         state,

@@ -17,7 +17,7 @@ from onetrainer_tpu.models.flux import (
     pack_latents, prepare_latent_image_ids, unpack_latents,
 )
 from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
-from onetrainer_tpu.peft.lora import PeftConfig, apply_peft
+from onetrainer_tpu.peft.lora import PeftConfig, as_variables, lora_variables
 from onetrainer_tpu.train.ema import maybe_update_ema
 from onetrainer_tpu.train.sd_train_step import SDStepConfig
 from onetrainer_tpu.train.train_state import TrainState
@@ -30,10 +30,10 @@ def flux_text_conditioning(model, te_params, te2_params, batch,
     if "t5_hidden_state" in batch and "clip_pooled_state" in batch:
         return batch["t5_hidden_state"], batch["clip_pooled_state"]
     out_clip = model.text_encoder.apply(
-        {"params": te_params}, batch["tokens"], None, extra_embeddings)
+        as_variables(te_params), batch["tokens"], None, extra_embeddings)
     pooled = out_clip["pooled_output"]
     t5_states = model.text_encoder_2.apply(
-        {"params": te2_params}, batch["tokens_2"])
+        as_variables(te2_params), batch["tokens_2"])
     return t5_states, pooled
 
 
@@ -76,7 +76,7 @@ def flux_predict(model, transformer_params, te_params, te2_params, batch, rng,
     guidance = jnp.full((b,), guidance_scale, jnp.float32)
 
     predicted_packed = model.transformer.apply(
-        {"params": transformer_params}, packed, t, pooled, t5_states,
+        as_variables(transformer_params), packed, t, pooled, t5_states,
         img_ids, None, guidance)
     predicted = unpack_latents(predicted_packed, h, w)
 
@@ -99,13 +99,12 @@ def make_flux_train_step(model, cfg: SDStepConfig, tx,
     def resolve(trainable, frozen, rng):
         method = cfg.training_method
         if method == TrainingMethod.LORA:
-            transformer = apply_peft(frozen["transformer"],
-                                     trainable["transformer_lora"], peft_cfg, rng) \
+            transformer = lora_variables(frozen["transformer"], trainable["transformer_lora"], peft_cfg, rng) \
                 if "transformer_lora" in trainable else frozen["transformer"]
             te = frozen.get("text_encoder")
             te2 = frozen.get("text_encoder_2")
             if "te_lora" in trainable and te is not None:
-                te = apply_peft(te, trainable["te_lora"], peft_cfg, rng)
+                te = lora_variables(te, trainable["te_lora"], peft_cfg, rng)
             return transformer, te, te2, trainable.get("embeddings")
         if method == TrainingMethod.EMBEDDING:
             return (frozen["transformer"], frozen["text_encoder"],
@@ -135,7 +134,8 @@ def make_flux_train_step(model, cfg: SDStepConfig, tx,
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema, params, cfg.ema_decay, state.step,
-                                   cfg.ema_update_interval)
+                                   cfg.ema_update_interval,
+                                   cfg.accum)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, ema=ema)
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}

@@ -279,15 +279,18 @@ def create_optimizer(
                 clip_threshold=_d(cfg.clip_threshold, 1.0),
                 weight_decay=_d(cfg.weight_decay, 1e-2))
         case Optimizer.SCHEDULE_FREE_ADAMW:
+            # optax.contrib.schedule_free_* accept a ScalarOrSchedule —
+            # the user's configured LR/warmup passes straight through
+            # (reference: create.py:755-774 passes config LR)
             return optax.contrib.schedule_free_adamw(
-                lr if isinstance(lr, float) else 1e-3,
+                lr,
                 b1=_d(cfg.beta1, 0.9), b2=_d(cfg.beta2, 0.999),
                 eps=_d(cfg.eps, 1e-8),
                 weight_decay=_d(cfg.weight_decay, 0.0),
                 weight_lr_power=_d(cfg.weight_lr_power, 2.0))
         case Optimizer.SCHEDULE_FREE_SGD:
             return optax.contrib.schedule_free_sgd(
-                lr if isinstance(lr, float) else 1.0,
+                lr,
                 b1=_d(cfg.beta1, 0.9),
                 weight_decay=_d(cfg.weight_decay, 0.0),
                 weight_lr_power=_d(cfg.weight_lr_power, 2.0))
@@ -295,7 +298,7 @@ def create_optimizer(
             return optax.contrib.dadapt_adamw(
                 learning_rate=lr, betas=(_d(cfg.beta1, 0.9), _d(cfg.beta2, 0.999)),
                 eps=_d(cfg.eps, 1e-8), weight_decay=_d(cfg.weight_decay, 0.0))
-        case Optimizer.PRODIGY | Optimizer.PRODIGY_PLUS_SCHEDULE_FREE:
+        case Optimizer.PRODIGY:
             return optax.contrib.prodigy(
                 learning_rate=lr, betas=(_d(cfg.beta1, 0.9), _d(cfg.beta2, 0.999)),
                 beta3=cfg.beta3,
@@ -304,6 +307,23 @@ def create_optimizer(
                 estim_lr_coef=_d(cfg.d_coef, 1.0),
                 weight_decay=_d(cfg.weight_decay, 0.0),
                 safeguard_warmup=cfg.safeguard_warmup)
+        case Optimizer.PRODIGY_PLUS_SCHEDULE_FREE:
+            # prodigy's d-adaptive step sizes with schedule-free averaging
+            # in place of momentum: the inner prodigy runs with b1=0 (no
+            # EMA of gradients — schedule-free owns the averaging), the
+            # wrapper interpolates y/z iterates with the same LR schedule
+            # (reference: prodigyplus package, create.py:886-916)
+            inner = optax.contrib.prodigy(
+                learning_rate=lr, betas=(0.0, _d(cfg.beta2, 0.999)),
+                beta3=cfg.beta3,
+                eps=_d(cfg.eps, 1e-8),
+                estim_lr0=_d(cfg.d0, 1e-6),
+                estim_lr_coef=_d(cfg.d_coef, 1.0),
+                weight_decay=_d(cfg.weight_decay, 0.0),
+                safeguard_warmup=cfg.safeguard_warmup)
+            return optax.contrib.schedule_free(
+                inner, learning_rate=lr, b1=_d(cfg.beta1, 0.9),
+                weight_lr_power=_d(cfg.weight_lr_power, 2.0))
         case _:
             hint = _UNIMPLEMENTED.get(optimizer, "")
             raise NotImplementedError(

@@ -12,7 +12,7 @@ from onetrainer_tpu.math.losses import diffusion_losses
 from onetrainer_tpu.math.noise import add_noise_discrete, create_noise
 from onetrainer_tpu.math.timesteps import sample_timesteps_discrete
 from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
-from onetrainer_tpu.peft.lora import PeftConfig, apply_peft
+from onetrainer_tpu.peft.lora import PeftConfig, as_variables, lora_variables
 from onetrainer_tpu.train.ema import maybe_update_ema
 from onetrainer_tpu.train.sd_train_step import SDStepConfig
 from onetrainer_tpu.train.train_state import TrainState
@@ -43,10 +43,10 @@ def pixart_predict(model, transformer_params, te_params, batch, rng,
     if "t5_hidden_state" in batch and not cfg.train_text_encoder:
         context = batch["t5_hidden_state"]
     else:
-        context = model.text_encoder.apply({"params": te_params}, batch["tokens_2"])
+        context = model.text_encoder.apply(as_variables(te_params), batch["tokens_2"])
 
     out = model.transformer.apply(
-        {"params": transformer_params}, noisy, timestep, context)
+        as_variables(transformer_params), noisy, timestep, context)
     latent_ch = scaled.shape[-1]
     predicted = out[..., :latent_ch]
     predicted_var = out[..., latent_ch:]
@@ -69,8 +69,7 @@ def make_pixart_train_step(model, cfg: SDStepConfig, tx,
 
     def resolve(trainable, frozen, rng):
         if cfg.training_method == TrainingMethod.LORA:
-            transformer = apply_peft(frozen["transformer"],
-                                     trainable["transformer_lora"], peft_cfg, rng) \
+            transformer = lora_variables(frozen["transformer"], trainable["transformer_lora"], peft_cfg, rng) \
                 if "transformer_lora" in trainable else frozen["transformer"]
             return transformer, frozen.get("text_encoder"), \
                 trainable.get("embeddings")
@@ -98,7 +97,8 @@ def make_pixart_train_step(model, cfg: SDStepConfig, tx,
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema, params, cfg.ema_decay, state.step,
-                                   cfg.ema_update_interval)
+                                   cfg.ema_update_interval,
+                                   cfg.accum)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, ema=ema)
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}

@@ -13,7 +13,7 @@ from onetrainer_tpu.math.timesteps import sample_timesteps_discrete
 from onetrainer_tpu.models.clip import encode_clip_text
 from onetrainer_tpu.models.sd3 import sd3_text_context
 from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
-from onetrainer_tpu.peft.lora import PeftConfig, apply_peft
+from onetrainer_tpu.peft.lora import PeftConfig, as_variables, lora_variables
 from onetrainer_tpu.train.ema import maybe_update_ema
 from onetrainer_tpu.train.sd_train_step import SDStepConfig
 from onetrainer_tpu.train.train_state import TrainState
@@ -24,11 +24,11 @@ def sd3_conditioning(model, te, te2, te3, batch, layer_skip: int,
                      extra_embeddings=None):
     if "sd3_context" in batch and "sd3_pooled" in batch:
         return batch["sd3_context"], batch["sd3_pooled"]
-    out_l = model.text_encoder.apply({"params": te}, batch["tokens"],
+    out_l = model.text_encoder.apply(as_variables(te), batch["tokens"],
                                      None, extra_embeddings)
-    out_g = model.text_encoder_2.apply({"params": te2}, batch["tokens_2"],
+    out_g = model.text_encoder_2.apply(as_variables(te2), batch["tokens_2"],
                                        None, extra_embeddings)
-    t5 = model.text_encoder_3.apply({"params": te3}, batch["tokens_3"])
+    t5 = model.text_encoder_3.apply(as_variables(te3), batch["tokens_3"])
     return sd3_text_context(
         encode_clip_text(out_l, layer_skip),
         encode_clip_text(out_g, layer_skip),
@@ -64,7 +64,7 @@ def sd3_predict(model, transformer_params, te, te2, te3, batch, rng,
         model, te, te2, te3, batch, cfg.text_encoder_layer_skip, extra_embeddings)
 
     predicted = model.transformer.apply(
-        {"params": transformer_params}, noisy,
+        as_variables(transformer_params), noisy,
         sigma * 1000.0, pooled, context)
 
     target = noise.astype(jnp.float32) - scaled.astype(jnp.float32)
@@ -83,15 +83,14 @@ def make_sd3_train_step(model, cfg: SDStepConfig, tx,
     def resolve(trainable, frozen, rng):
         method = cfg.training_method
         if method == TrainingMethod.LORA:
-            transformer = apply_peft(frozen["transformer"],
-                                     trainable["transformer_lora"], peft_cfg, rng) \
+            transformer = lora_variables(frozen["transformer"], trainable["transformer_lora"], peft_cfg, rng) \
                 if "transformer_lora" in trainable else frozen["transformer"]
             te = frozen.get("text_encoder")
             te2 = frozen.get("text_encoder_2")
             if "te_lora" in trainable and te is not None:
-                te = apply_peft(te, trainable["te_lora"], peft_cfg, rng)
+                te = lora_variables(te, trainable["te_lora"], peft_cfg, rng)
             if "te2_lora" in trainable and te2 is not None:
-                te2 = apply_peft(te2, trainable["te2_lora"], peft_cfg, rng)
+                te2 = lora_variables(te2, trainable["te2_lora"], peft_cfg, rng)
             return transformer, te, te2, frozen.get("text_encoder_3"), \
                 trainable.get("embeddings")
         return (trainable.get("transformer", frozen.get("transformer")),
@@ -120,7 +119,8 @@ def make_sd3_train_step(model, cfg: SDStepConfig, tx,
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema, params, cfg.ema_decay, state.step,
-                                   cfg.ema_update_interval)
+                                   cfg.ema_update_interval,
+                                   cfg.accum)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, ema=ema)
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}

@@ -26,7 +26,7 @@ from onetrainer_tpu.math.schedules import DiffusionScheduleCoefficients
 from onetrainer_tpu.math.timesteps import TimestepConfig, sample_timesteps_discrete
 from onetrainer_tpu.models.clip import encode_clip_text
 from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
-from onetrainer_tpu.peft.lora import PeftConfig, apply_peft
+from onetrainer_tpu.peft.lora import PeftConfig, as_variables, lora_variables
 from onetrainer_tpu.train.ema import maybe_update_ema
 from onetrainer_tpu.train.train_state import TrainState
 from onetrainer_tpu.util.enums import TrainingMethod
@@ -48,6 +48,7 @@ class SDStepConfig:
     stochastic_rounding: bool = True
     ema_decay: float = 0.0              # 0 = EMA off
     ema_update_interval: int = 1
+    accum: int = 1                      # gradient accumulation micro-steps
     num_train_timesteps: int = 1000
     # prior preservation: predict with the frozen base (adapters detached)
     # and use it as target for PRIOR_PREDICTION samples / masked prior loss
@@ -70,6 +71,7 @@ class SDStepConfig:
             stochastic_rounding=config.optimizer.stochastic_rounding,
             ema_decay=config.ema_decay if config.ema.value != "OFF" else 0.0,
             ema_update_interval=config.ema_update_step_interval,
+            accum=max(config.gradient_accumulation_steps, 1),
         )
 
 
@@ -116,7 +118,7 @@ def sd_predict(
         context = batch["text_encoder_hidden_state"]
     else:
         extra = batch.get("extra_embeddings")
-        out = te_apply({"params": te_params}, batch["tokens"],
+        out = te_apply(as_variables(te_params), batch["tokens"],
                        None, extra)
         context = encode_clip_text(out, cfg.text_encoder_layer_skip)
 
@@ -132,7 +134,7 @@ def sd_predict(
         unet_in = jnp.concatenate(
             [noisy, batch["latent_depth"].astype(noisy.dtype)], axis=-1)
 
-    predicted = unet_apply({"params": unet_params}, unet_in, timestep, context)
+    predicted = unet_apply(as_variables(unet_params), unet_in, timestep, context)
 
     if cfg.prediction_type == "v_prediction":
         sac = coefficients.sqrt_alphas_cumprod[timestep].reshape(-1, 1, 1, 1)
@@ -179,11 +181,15 @@ def make_sd_train_step(
         """Merge trainable + frozen into concrete unet/te params."""
         method = cfg.training_method
         if method == TrainingMethod.LORA:
-            unet_params = apply_peft(frozen["unet"], trainable["unet_lora"],
-                                     peft_cfg, rng)
+            # functional LoRA: adapters ride a separate flax collection and
+            # the low-rank term is applied inside each layer — no merged
+            # weight copy, no dense per-layer dW in the backward pass
+            unet_params = lora_variables(
+                frozen["unet"], trainable.get("unet_lora"), peft_cfg, rng)
             te_params = frozen.get("text_encoder")
             if "te_lora" in trainable and te_params is not None:
-                te_params = apply_peft(te_params, trainable["te_lora"], peft_cfg, rng)
+                te_params = lora_variables(
+                    te_params, trainable["te_lora"], peft_cfg, rng)
             extra = trainable.get("embeddings")
             return unet_params, te_params, extra
         if method == TrainingMethod.EMBEDDING:
@@ -231,7 +237,8 @@ def make_sd_train_step(
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema, params, cfg.ema_decay,
-                                   state.step, cfg.ema_update_interval)
+                                   state.step, cfg.ema_update_interval,
+                                   cfg.accum)
 
         new_state = TrainState(
             step=state.step + 1, params=params, opt_state=opt_state, ema=ema)

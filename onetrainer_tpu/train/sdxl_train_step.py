@@ -17,7 +17,7 @@ from onetrainer_tpu.math.noise import add_noise_discrete, create_noise
 from onetrainer_tpu.math.timesteps import sample_timesteps_discrete
 from onetrainer_tpu.models.clip import encode_clip_text
 from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
-from onetrainer_tpu.peft.lora import PeftConfig, apply_peft
+from onetrainer_tpu.peft.lora import PeftConfig, as_variables, lora_variables
 from onetrainer_tpu.train.ema import maybe_update_ema
 from onetrainer_tpu.train.sd_train_step import SDStepConfig
 from onetrainer_tpu.train.train_state import TrainState
@@ -35,9 +35,9 @@ def sdxl_text_conditioning(model, te_params, te2_params, batch, layer_skip: int,
         pooled = batch["text_encoder_2_pooled_state"]
         return context, pooled
     out1 = model.text_encoder.apply(
-        {"params": te_params}, batch["tokens"], None, extra_embeddings)
+        as_variables(te_params), batch["tokens"], None, extra_embeddings)
     out2 = model.text_encoder_2.apply(
-        {"params": te2_params}, batch["tokens_2"], None, extra_embeddings)
+        as_variables(te2_params), batch["tokens_2"], None, extra_embeddings)
     h1 = encode_clip_text(out1, layer_skip)
     h2 = encode_clip_text(out2, layer_skip)
     context = jnp.concatenate([h1, h2], axis=-1)
@@ -84,7 +84,7 @@ def sdxl_predict(model, unet_params, te_params, te2_params, batch, rng,
         ], axis=-1)
 
     predicted = model.unet.apply(
-        {"params": unet_params}, unet_in, timestep, context,
+        as_variables(unet_params), unet_in, timestep, context,
         pooled, add_time_ids)
 
     if cfg.prediction_type == "v_prediction":
@@ -111,14 +111,14 @@ def make_sdxl_train_step(model, cfg: SDStepConfig, tx, peft_cfg: PeftConfig | No
     def resolve_params(trainable, frozen, rng):
         method = cfg.training_method
         if method == TrainingMethod.LORA:
-            unet = apply_peft(frozen["unet"], trainable["unet_lora"], peft_cfg, rng) \
+            unet = lora_variables(frozen["unet"], trainable["unet_lora"], peft_cfg, rng) \
                 if "unet_lora" in trainable else frozen["unet"]
             te = frozen.get("text_encoder")
             te2 = frozen.get("text_encoder_2")
             if "te_lora" in trainable and te is not None:
-                te = apply_peft(te, trainable["te_lora"], peft_cfg, rng)
+                te = lora_variables(te, trainable["te_lora"], peft_cfg, rng)
             if "te2_lora" in trainable and te2 is not None:
-                te2 = apply_peft(te2, trainable["te2_lora"], peft_cfg, rng)
+                te2 = lora_variables(te2, trainable["te2_lora"], peft_cfg, rng)
             return unet, te, te2, trainable.get("embeddings")
         if method == TrainingMethod.EMBEDDING:
             return (frozen["unet"], frozen["text_encoder"],
@@ -148,7 +148,8 @@ def make_sdxl_train_step(model, cfg: SDStepConfig, tx, peft_cfg: PeftConfig | No
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema, params, cfg.ema_decay, state.step,
-                                   cfg.ema_update_interval)
+                                   cfg.ema_update_interval,
+                                   cfg.accum)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, ema=ema)
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}

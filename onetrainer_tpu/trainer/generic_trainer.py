@@ -37,6 +37,34 @@ from onetrainer_tpu.util.enums import (
 from onetrainer_tpu.util.train_progress import TrainProgress
 
 
+def _adaptive_d(opt_state) -> float | None:
+    """Mean of the d-adaptation estimate (optax prodigy/dadapt state field
+    `estim_lr`) across groups — the reference multiplies each group's LR
+    by the optimizer's d before logging (BaseModelSetup.py:96-119)."""
+    values: list[float] = []
+
+    def walk(node):
+        if hasattr(node, "_fields"):
+            for field_name in node._fields:
+                child = getattr(node, field_name)
+                if field_name == "estim_lr":
+                    try:
+                        values.append(float(np.asarray(child)))
+                    except Exception:
+                        pass
+                else:
+                    walk(child)
+        elif isinstance(node, (list, tuple)):
+            for child in node:
+                walk(child)
+        elif isinstance(node, dict):
+            for child in node.values():
+                walk(child)
+
+    walk(opt_state)
+    return float(np.mean(values)) if values else None
+
+
 class GenericTrainer(BaseTrainer):
     def __init__(self, config: TrainConfig,
                  callbacks: TrainCallbacks | None = None,
@@ -49,7 +77,6 @@ class GenericTrainer(BaseTrainer):
         self.mesh = None
         self.data_loader: Text2ImageDataLoader | None = None
         self.train_progress = TrainProgress()
-        self.grad_hash = None
         self._loss_ema = None
 
     # -- lifecycle ----------------------------------------------------------------
@@ -236,6 +263,34 @@ class GenericTrainer(BaseTrainer):
         for p in backups[:-self.config.rolling_backup_count]:
             shutil.rmtree(os.path.join(backups_dir, p), ignore_errors=True)
 
+    def _export_params(self):
+        """Context manager: swap EMA weights (or schedule-free eval params)
+        into state.params for export, restore after
+        (reference: GenericTrainer.py:467-495 copies EMA into the model
+        before every save and the final save :779-780; schedule-free
+        eval() before save :414-417)."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _ctx():
+            state = self.setup.state
+            real_params = state.params
+            if state.ema is not None:
+                self.setup.state = state.replace(params=state.ema.params)
+            elif self.config.optimizer.optimizer.is_schedule_free():
+                from onetrainer_tpu.train.optimizers import (
+                    schedule_free_eval_params,
+                )
+                self.setup.state = state.replace(
+                    params=schedule_free_eval_params(
+                        state.opt_state, state.params))
+            try:
+                yield
+            finally:
+                self.setup.state = self.setup.state.replace(params=real_params)
+
+        return _ctx()
+
     def save(self, destination: str | None = None):
         self.callbacks.on_update_status("saving")
         config = self.config
@@ -243,7 +298,8 @@ class GenericTrainer(BaseTrainer):
         if config.backup_before_save and destination == config.output_model_destination:
             pass  # backup handled by caller cadence; avoid doubling in save loops
         try:
-            self._save_output(destination)
+            with self._export_params():
+                self._save_output(destination)
         except Exception:
             traceback.print_exc()
 
@@ -282,7 +338,11 @@ class GenericTrainer(BaseTrainer):
         self.validation_loader.ensure_cached(batches)
         for batch_samples in batches:
             batch_np = self.validation_loader.materialize_batch(batch_samples)
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            if self.mesh is not None:
+                from onetrainer_tpu.parallel.mesh import shard_batch
+                batch = shard_batch(batch_np, self.mesh)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
             losses = np.asarray(self._eval_loss_fn(batch))
             for sample, value in zip(batch_samples, losses):
                 entry = self.validation_loader.entries[sample.entry_index]
@@ -360,7 +420,6 @@ class GenericTrainer(BaseTrainer):
         config = self.config
         progress = self.train_progress
         rng = jax.random.PRNGKey(42)
-        accum = max(config.gradient_accumulation_steps, 1)
 
         for epoch in range(progress.epoch, config.epochs):
             self.callbacks.on_update_status(f"epoch {epoch}: caching")
@@ -430,10 +489,32 @@ class GenericTrainer(BaseTrainer):
             self._loss_ema = loss
         decay = min(0.99, 1 - 1 / (progress.global_step + 1))
         self._loss_ema = self._loss_ema * decay + loss * (1 - decay)
-        if self.tensorboard:
-            self.tensorboard.add_scalar("loss/train_step", loss, progress.global_step)
-            self.tensorboard.add_scalar("smooth_loss/train_step", self._loss_ema,
-                                        progress.global_step)
+        if not self.tensorboard:
+            return
+        step = progress.global_step
+        self.tensorboard.add_scalar("loss/train_step", loss, step)
+        self.tensorboard.add_scalar("smooth_loss/train_step", self._loss_ema, step)
+        # per-group lr/* with adaptive-d adjustment, plus ema_decay
+        # (reference: BaseModelSetup.report_to_tensorboard:96-119,
+        # GenericTrainer.py:725-748)
+        opt_step = step // max(self.config.gradient_accumulation_steps, 1)
+        d = None
+        if self.config.optimizer.optimizer.is_adaptive():
+            d = _adaptive_d(self.setup.state.opt_state)
+        for name, schedule in getattr(self.setup, "group_schedules", {}).items():
+            try:
+                lr = float(schedule(opt_step)) if callable(schedule) else float(schedule)
+            except Exception:
+                continue
+            if d is not None:
+                lr *= d
+            self.tensorboard.add_scalar(f"lr/{name}", lr, step)
+        state = self.setup.state
+        if state.ema is not None:
+            from onetrainer_tpu.train.ema import ema_decay as _ema_decay
+            self.tensorboard.add_scalar(
+                "ema_decay",
+                float(_ema_decay(state.ema.step, self.config.ema_decay)), step)
 
     def end(self):
         try:

@@ -1,0 +1,79 @@
+"""Attention dispatch: fallback correctness on CPU, flash-vs-XLA numerics
+on TPU (VERDICT r1 #3: the SD head dims 40/80/160 must take the Pallas
+flash path via head-dim padding)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onetrainer_tpu.ops import attention as attn_mod
+
+
+def _reference_attention(q, k, v):
+    # [B, S, H, D] manual softmax attention in fp32
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) / (d ** 0.5)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
+
+
+def test_attention_matches_reference_cpu():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 64, 4, 40)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 64, 4, 40)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 64, 4, 40)), jnp.float32)
+    out = attn_mod.dot_product_attention(q, k, v)
+    ref = _reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_eligibility_covers_sd_head_dims():
+    # SD1.5/2.x/SDXL self-attention head dims must be flash-eligible
+    for d in (40, 64, 80, 128, 160):
+        assert attn_mod._round_up(d, 128) in (128, 256)
+        if jax.default_backend() == "tpu":
+            assert attn_mod._can_use_flash(4096, 4096, d)
+    # tiny text sequences stay on the XLA path
+    assert not attn_mod._can_use_flash(77, 77, 64)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="flash kernel needs a TPU")
+def test_flash_matches_xla_on_sd_head_dims():
+    rng = np.random.default_rng(0)
+    for d in (40, 80, 160):
+        q = jnp.asarray(rng.standard_normal((1, 256, 2, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((1, 256, 2, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((1, 256, 2, d)), jnp.bfloat16)
+        before = attn_mod.STATS["flash"]
+        out = attn_mod.dot_product_attention(q, k, v)
+        assert attn_mod.STATS["flash"] == before + 1, f"flash not taken d={d}"
+        ref = _reference_attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref),
+            rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="flash kernel needs a TPU")
+def test_flash_gradients_match_xla():
+    rng = np.random.default_rng(1)
+    d = 40
+    q = jnp.asarray(rng.standard_normal((1, 256, 2, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 256, 2, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 256, 2, d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return attn_mod.dot_product_attention(q, k, v).sum()
+
+    def loss_ref(q, k, v):
+        return _reference_attention(q, k, v).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2)

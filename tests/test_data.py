@@ -196,3 +196,49 @@ def test_loader_resume_mid_epoch(tmp_path):
     assert len(resumed) == len(full) - 1
     np.testing.assert_allclose(
         full[1]["latent_image"], resumed[0]["latent_image"])
+
+
+def test_loader_determinism_across_processes(tmp_path):
+    """Epoch plans, crop jitter, and augmentations must not depend on
+    python's per-process salted str hash (VERDICT r1 weak #2): run the
+    same plan in two subprocesses with different PYTHONHASHSEED."""
+    import json
+    import subprocess
+    import sys
+
+    root = make_dataset(str(tmp_path / "ds"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = f"""
+import json, sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+from onetrainer_tpu.config.concept_config import ConceptConfig
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.data.loader import Text2ImageDataLoader
+c = ConceptConfig.default_values(); c.path = {root!r}; c.seed = 42
+c.image.enable_crop_jitter = True
+cfg = TrainConfig.default_values()
+cfg.concepts = [c]; cfg.batch_size = 2
+cfg.resolution = "512"; cfg.latent_caching = False
+def enc_i(images):
+    return {{"latent_image": images[..., :1].astype(np.float32)}}
+def enc_t(p):
+    return {{"tokens": np.zeros((4,), np.int32)}}
+loader = Text2ImageDataLoader(cfg, enc_i, enc_t, quantization=64)
+batches = loader.batches_for_epoch(3)
+plan = [[(s.entry_index, s.image_variation, list(s.bucket)) for s in b]
+        for b in batches]
+img, mask, info = loader._load_pixels(batches[0][0])
+prompt = loader._prompt(batches[0][0])
+print(json.dumps({{"plan": plan, "pix": float(np.abs(img).sum()),
+                   "crop": list(info.crop_offset), "prompt": prompt}}))
+"""
+    outs = []
+    for hashseed in ("1", "31337"):
+        env = dict(os.environ, PYTHONHASHSEED=hashseed, JAX_PLATFORMS="cpu")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        outs.append(json.loads(r.stdout.strip().splitlines()[-1]))
+    assert outs[0] == outs[1]

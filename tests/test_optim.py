@@ -124,11 +124,16 @@ def test_ema_update_and_interval():
     state = update_ema(state, new_params, max_decay=0.5)
     # decay at step 0 is 0.1 -> ema = 0*0.1 + 1*0.9
     np.testing.assert_allclose(np.asarray(state.params["w"]), 0.9)
-    # interval gating: step not divisible -> unchanged
+    # interval gating: updates fire when (step+1) % interval == 0
     state2 = maybe_update_ema(state, params, 0.5, jnp.asarray(3), 5)
     np.testing.assert_allclose(np.asarray(state2.params["w"]), 0.9)
-    state3 = maybe_update_ema(state, params, 0.5, jnp.asarray(5), 5)
+    state3 = maybe_update_ema(state, params, 0.5, jnp.asarray(4), 5)
     assert float(state3.params["w"][0]) != pytest.approx(0.9)
+    # gradient accumulation: EMA advances only on the optimizer-step boundary
+    state4 = maybe_update_ema(state, params, 0.5, jnp.asarray(0), 1, accum=4)
+    np.testing.assert_allclose(np.asarray(state4.params["w"]), 0.9)
+    state5 = maybe_update_ema(state, params, 0.5, jnp.asarray(3), 1, accum=4)
+    assert float(state5.params["w"][0]) != pytest.approx(0.9)
 
 
 def test_stochastic_rounding_unbiased():

@@ -148,3 +148,96 @@ def test_gradients_flow_to_adapters_only():
     grads = jax.grad(loss_fn)(adapters)
     # up receives gradient even though it's zero-init (down != 0)
     assert float(jnp.abs(grads["block/attn/to_q"]["lora_up"]).max()) > 0
+
+
+# -- functional (in-layer) application vs weight-space merge ------------------------
+
+def _tiny_net():
+    import flax.linen as nn
+    from onetrainer_tpu.peft.layers import LoraConv, LoraDense
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = LoraConv(8, (3, 3), padding=1, dtype=jnp.float32, name="conv1")(x)
+            h = h.reshape(h.shape[0], h.shape[1] * h.shape[2], 8)
+            h = LoraDense(16, dtype=jnp.float32, name="to_q")(h)
+            return LoraDense(4, use_bias=False, dtype=jnp.float32, name="to_out")(h)
+
+    return Net()
+
+
+def _functional_equivalence(cfg):
+    from onetrainer_tpu.peft.lora import lora_variables
+
+    net = _tiny_net()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 4))
+    params = net.init(rng, x)["params"]
+    adapters = init_peft_params(jax.random.PRNGKey(2), params, cfg)
+    # make adapters non-trivial (up is zero-init)
+    for entry in adapters.values():
+        for name, value in entry.items():
+            if name in ("lora_up", "hada_w2_a"):
+                entry[name] = jax.random.normal(
+                    jax.random.PRNGKey(3), value.shape) * 0.3
+
+    merged = apply_peft(params, adapters, cfg)
+    want = net.apply({"params": merged}, x)
+    got = net.apply(lora_variables(params, adapters, cfg), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # gradients w.r.t. adapters agree between the two formulations
+    def loss_functional(a):
+        return net.apply(lora_variables(params, a, cfg), x).sum()
+
+    def loss_merged(a):
+        return net.apply({"params": apply_peft(params, a, cfg)}, x).sum()
+
+    g1 = jax.grad(loss_functional)(adapters)
+    g2 = jax.grad(loss_merged)(adapters)
+    for key in adapters:
+        for name in g1[key]:
+            np.testing.assert_allclose(
+                np.asarray(g1[key][name]), np.asarray(g2[key][name]),
+                rtol=2e-3, atol=2e-3, err_msg=f"{key}.{name}")
+
+
+def test_functional_lora_matches_merged():
+    _functional_equivalence(PeftConfig(rank=4, alpha=2.0))
+
+
+def test_functional_dora_matches_merged():
+    _functional_equivalence(PeftConfig(rank=4, alpha=2.0, decompose=True))
+
+
+def test_functional_dora_output_axis_matches_merged():
+    _functional_equivalence(PeftConfig(rank=4, alpha=2.0, decompose=True,
+                                       decompose_output_axis=True))
+
+
+def test_functional_loha_matches_merged():
+    _functional_equivalence(PeftConfig(rank=4, alpha=2.0,
+                                       peft_type=PeftType.LOHA))
+
+
+def test_lora_layers_identical_without_collection():
+    """LoraDense/LoraConv == nn.Dense/nn.Conv when no adapters are given."""
+    import flax.linen as nn
+    net = _tiny_net()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 4))
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.Conv(8, (3, 3), padding=1, dtype=jnp.float32, name="conv1")(x)
+            h = h.reshape(h.shape[0], h.shape[1] * h.shape[2], 8)
+            h = nn.Dense(16, dtype=jnp.float32, name="to_q")(h)
+            return nn.Dense(4, use_bias=False, dtype=jnp.float32, name="to_out")(h)
+
+    want = Ref().apply({"params": params}, x)
+    got = net.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)

@@ -1,0 +1,153 @@
+"""Würstchen v2 end-to-end trainer run: continuous-timestep eps prediction
+in EfficientNet latent space (reference: BaseWuerstchenSetup.py:183-270)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onetrainer_tpu.config.concept_config import ConceptConfig
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.io.safetensors_io import load_safetensors, save_safetensors
+from onetrainer_tpu.io.torch_flax import clip_flax_to_state_dict
+from onetrainer_tpu.io.wuerstchen_checkpoints import (
+    effnet_flax_key_map, effnet_state_dict_to_flax, prior_flax_to_state_dict,
+)
+from onetrainer_tpu.io.torch_flax import flax_params_to_torch
+from onetrainer_tpu.models.clip import CLIPTextConfig
+from onetrainer_tpu.models.wuerstchen import (
+    EffnetConfig, WuerstchenPriorConfig,
+)
+from onetrainer_tpu.models.wuerstchen_model import WuerstchenModel
+from onetrainer_tpu.trainer.generic_trainer import GenericTrainer
+from onetrainer_tpu.util.enums import (
+    EMAMode, ModelType, TimeUnit, TrainingMethod,
+)
+from tests.test_data import make_dataset
+
+
+def tiny_wuerstchen_model():
+    return WuerstchenModel(
+        model_type=ModelType.WUERSTCHEN_2,
+        prior_config=WuerstchenPriorConfig(
+            c=48, c_cond=32, c_r=64, depth=2, nhead=4, dtype=jnp.float32),
+        effnet_config=EffnetConfig(dtype=jnp.float32),
+        te_config=CLIPTextConfig(
+            vocab_size=100, hidden_size=32, intermediate_size=64,
+            num_layers=2, num_heads=4, max_position_embeddings=16,
+            eos_token_id=99, dtype=jnp.float32),
+    )
+
+
+def write_tiny_wuerstchen_checkpoint(base_dir, model):
+    rng = jax.random.PRNGKey(0)
+    prior_params = model.prior.init(
+        rng, jnp.zeros((1, 4, 4, 16)), jnp.asarray([0.5]),
+        jnp.zeros((1, 6, 32)))["params"]
+    te = model.text_encoder.init(rng, jnp.zeros((1, 6), jnp.int32))["params"]
+
+    def write(component, sd, config,
+              weights_name="diffusion_pytorch_model.safetensors"):
+        d = os.path.join(base_dir, component)
+        os.makedirs(d, exist_ok=True)
+        save_safetensors(os.path.join(d, weights_name),
+                         {k: np.asarray(v) for k, v in sd.items()})
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(config, f)
+
+    write("prior", prior_flax_to_state_dict(jax.device_get(prior_params)), {
+        "c_in": 16, "c": 48, "c_cond": 32, "c_r": 64, "depth": 2, "nhead": 4,
+    })
+    write("text_encoder", clip_flax_to_state_dict(jax.device_get(te)), {
+        "vocab_size": 100, "hidden_size": 32, "intermediate_size": 64,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "max_position_embeddings": 16, "eos_token_id": 99,
+        "hidden_act": "gelu",
+    }, weights_name="model.safetensors")
+
+    # effnet: a real (tiny-weights) efficientnet_v2_s state dict
+    effnet = WuerstchenModel(
+        model_type=ModelType.WUERSTCHEN_2,
+        prior_config=model.prior_config,
+        effnet_config=model.effnet_config,
+        te_config=model.te_config).effnet
+    effnet_params = jax.jit(lambda r: effnet.init(
+        r, jnp.zeros((1, 64, 64, 3))))(rng)["params"]
+    sd = flax_params_to_torch(jax.device_get(effnet_params),
+                              key_map=effnet_flax_key_map)
+    effnet_path = os.path.join(base_dir, "effnet_encoder.safetensors")
+    save_safetensors(effnet_path, {k: np.asarray(v) for k, v in sd.items()})
+    return effnet_path
+
+
+def test_effnet_key_roundtrip():
+    model = tiny_wuerstchen_model()
+    rng = jax.random.PRNGKey(0)
+    effnet_params = jax.jit(lambda r: model.effnet.init(
+        r, jnp.zeros((1, 64, 64, 3))))(rng)["params"]
+    sd = flax_params_to_torch(jax.device_get(effnet_params),
+                              key_map=effnet_flax_key_map)
+    # torchvision-style keys present
+    assert any(k.startswith("backbone.0.0.") for k in sd)
+    assert any(".block.2.fc1." in k for k in sd)
+    assert "mapper.0.weight" in sd
+    back = effnet_state_dict_to_flax(sd)
+    flat_a = jax.tree.leaves(jax.device_get(effnet_params))
+    flat_b = jax.tree.leaves(back)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_wuerstchen_e2e_lora(tmp_path):
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    model = tiny_wuerstchen_model()
+    effnet_path = write_tiny_wuerstchen_checkpoint(base, model)
+
+    config = TrainConfig.default_values()
+    config.model_type = ModelType.WUERSTCHEN_2
+    config.training_method = TrainingMethod.LORA
+    config.base_model_name = base
+    config.effnet_encoder.model_name = effnet_path
+    config.workspace_dir = str(tmp_path / "ws")
+    config.cache_dir = str(tmp_path / "cache")
+    config.epochs = 1
+    config.batch_size = 2
+    config.resolution = "128"
+    config.aspect_ratio_bucketing = False
+    config.lora_rank = 4
+    config.lora_layers = "attention"
+    config.learning_rate = 1e-3
+    config.learning_rate_warmup_steps = 0.0
+    config.tensorboard = False
+    config.sample_after_unit = TimeUnit.NEVER
+    config.backup_after_unit = TimeUnit.NEVER
+    config.save_every_unit = TimeUnit.NEVER
+    config.ema = EMAMode.OFF
+    config.optimizer.stochastic_rounding = False
+    config.prior.train = True
+    config.samples = []
+    concept = ConceptConfig.default_values()
+    concept.path = ds
+    concept.seed = 3
+    config.concepts = [concept]
+    config.output_model_destination = str(tmp_path / "out_w2.safetensors")
+    config.backup_before_save = False
+
+    trainer = GenericTrainer(config)
+    trainer.start()
+    # latent cache shape: 128px -> x0.75=96 -> /32 = 3x3x16
+    batches = trainer.data_loader.batches_for_epoch(0)
+    trainer.data_loader.ensure_cached(batches)
+    batch = trainer.data_loader.materialize_batch(batches[0])
+    assert batch["latent_image"].shape[1:] == (3, 3, 16)
+    trainer.train()
+    trainer.end()
+
+    assert trainer.train_progress.global_step >= 2
+    sd = load_safetensors(config.output_model_destination)
+    assert any(k.startswith("lora_prior_") for k in sd)
