@@ -87,12 +87,17 @@ class Text2ImageDataLoader:
             model_tag: str = "sd",
             latent_scale: int = 8,
             conditioning_image: bool = False,
+            fill_mask_channels: bool = False,
     ):
         self.latent_scale = latent_scale
         # inpainting models: generate a masked conditioning image per sample
         # (image with the masked region blanked; a -condlabel file wins —
         # reference: mgds GenerateMaskedConditioningImage + SelectFirstInput)
         self.conditioning_image = conditioning_image
+        # FLUX-fill: the latent mask carries the 8x8 pixel-mask patch as 64
+        # channels per latent cell instead of a downsampled single channel
+        # (reference: modules/dataLoader/flux/ShuffleFluxFillMaskChannels.py)
+        self.fill_mask_channels = fill_mask_channels
         self.config = config
         self.encode_images = encode_images
         self.encode_text = encode_text
@@ -299,6 +304,9 @@ class Text2ImageDataLoader:
         }
 
     def _latent_mask(self, mask: np.ndarray) -> np.ndarray:
+        if self.fill_mask_channels:
+            from onetrainer_tpu.sampling.inpaint import flux_fill_mask_channels
+            return flux_fill_mask_channels(mask, int(self.latent_scale))
         h, w = mask.shape[:2]
         s = self.latent_scale   # may be fractional (Würstchen: 128/3)
         pil = Image.fromarray((mask[..., 0] * 255).astype(np.uint8))

@@ -1,0 +1,339 @@
+"""HunyuanVideo transformer (3D dual/single-stream DiT) in flax
+(reference: modules/model/HunyuanVideoModel.py imports diffusers
+HunyuanVideoTransformer3DModel; weight contract follows the diffusers
+module tree, which shares FLUX's block naming: transformer_blocks /
+single_transformer_blocks / time_text_embed / norm_out / proj_out, plus
+x_embedder.proj (conv3d patchify) and the llama token refiner under
+context_embedder.*).
+
+TPU notes: video latents [B, T, H, W, 16] patchify to tokens with
+patch (1, 2, 2) — a Dense over 2×2-packed channels (the conv3d kernel is
+1 in time, so it reshapes losslessly to a [64, dim] matrix at load).
+3D RoPE over (t, y, x) with axes (16, 56, 56) on image tokens only; text
+tokens ride behind the image tokens (reference order: img then txt).
+Flow-matching target: flow = noise − x0
+(reference: BaseHunyuanVideoSetup.py:232-277).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from onetrainer_tpu.models.flux import (
+    AdaLayerNormZero, AdaLayerNormZeroSingle, AdaNormContinuous, MLPEmbedder,
+    RMSNorm, apply_rope, rope_tables,
+)
+from onetrainer_tpu.models.unet import timestep_embedding
+from onetrainer_tpu.peft.layers import LoraDense
+
+# the llama prompt template crop (reference: HunyuanVideoModel.py
+# DEFAULT_PROMPT_TEMPLATE_CROP_START)
+PROMPT_TEMPLATE_CROP_START = 95
+DEFAULT_PROMPT_TEMPLATE = (
+    "<|start_header_id|>system<|end_header_id|>\n\nDescribe the video by "
+    "detailing the following aspects: 1. The main content and theme of the "
+    "video.2. The color, shape, size, texture, quantity, text, and spatial "
+    "relationships of the objects.3. Actions, events, behaviors temporal "
+    "relationships, physical movement changes of the objects.4. background "
+    "environment, light, style and atmosphere.5. camera angles, movements, "
+    "and transitions used in the video:<|eot_id|>"
+    "<|start_header_id|>user<|end_header_id|>\n\n{}<|eot_id|>"
+)
+
+
+@dataclass(frozen=True)
+class HunyuanVideoConfig:
+    in_channels: int = 16
+    out_channels: int = 16
+    num_layers: int = 20
+    num_single_layers: int = 40
+    num_refiner_layers: int = 2
+    hidden_size: int = 3072
+    num_heads: int = 24
+    head_dim: int = 128
+    text_embed_dim: int = 4096        # llama
+    pooled_projection_dim: int = 768  # CLIP-L pooled
+    guidance_embeds: bool = True
+    axes_dims_rope: tuple[int, ...] = (16, 56, 56)
+    rope_theta: float = 256.0
+    patch_size: int = 2
+    patch_size_t: int = 1
+    gradient_checkpointing: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+def hunyuan_video_config(**overrides) -> HunyuanVideoConfig:
+    return HunyuanVideoConfig(**overrides)
+
+
+def pack_video_latents(latents: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, H, W, C] -> [B, T*(H/2)*(W/2), C*4] (patch 1×2×2)."""
+    b, t, h, w, c = latents.shape
+    x = latents.reshape(b, t, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 2, 4, 6, 3, 5)
+    return x.reshape(b, t * (h // 2) * (w // 2), c * 4)
+
+
+def unpack_video_latents(packed: jnp.ndarray, t: int, h: int, w: int) -> jnp.ndarray:
+    b, _, c4 = packed.shape
+    c = c4 // 4
+    x = packed.reshape(b, t, h // 2, w // 2, c, 2, 2)
+    x = x.transpose(0, 1, 2, 5, 3, 6, 4)
+    return x.reshape(b, t, h, w, c)
+
+
+def prepare_video_ids(t: int, height: int, width: int) -> jnp.ndarray:
+    """[T*(H/2)*(W/2), 3] (t, y, x) position ids."""
+    h2, w2 = height // 2, width // 2
+    ids = jnp.zeros((t, h2, w2, 3), jnp.float32)
+    ids = ids.at[..., 0].set(jnp.arange(t, dtype=jnp.float32)[:, None, None])
+    ids = ids.at[..., 1].set(jnp.arange(h2, dtype=jnp.float32)[None, :, None])
+    ids = ids.at[..., 2].set(jnp.arange(w2, dtype=jnp.float32)[None, None, :])
+    return ids.reshape(t * h2 * w2, 3)
+
+
+class TokenRefinerBlock(nn.Module):
+    """Self-attention + MLP with timestep/pooled gating over the llama
+    states (diffusers HunyuanVideoIndividualTokenRefinerBlock)."""
+    cfg: HunyuanVideoConfig
+
+    @nn.compact
+    def __call__(self, x, temb, mask):
+        c = self.cfg
+        gates = LoraDense(2 * c.hidden_size, dtype=c.dtype,
+                          name="norm_out_linear")(nn.silu(temb))
+        gate_msa, gate_mlp = jnp.split(gates, 2, axis=-1)
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=c.dtype, name="norm1")(x)
+        b, s, _ = h.shape
+        q = LoraDense(c.hidden_size, dtype=c.dtype, name="attn_to_q")(h)
+        k = LoraDense(c.hidden_size, dtype=c.dtype, name="attn_to_k")(h)
+        v = LoraDense(c.hidden_size, dtype=c.dtype, name="attn_to_v")(h)
+        from onetrainer_tpu.ops.attention import dot_product_attention
+        nh = c.num_heads
+        attn_mask = None
+        if mask is not None:
+            attn_mask = mask[:, None, None, :].astype(bool)
+        out = dot_product_attention(
+            q.reshape(b, s, nh, -1), k.reshape(b, s, nh, -1),
+            v.reshape(b, s, nh, -1), mask=attn_mask).reshape(b, s, -1)
+        out = LoraDense(c.hidden_size, dtype=c.dtype, name="attn_to_out_0")(out)
+        x = x + gate_msa * out
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=c.dtype, name="norm2")(x)
+        h = LoraDense(4 * c.hidden_size, dtype=c.dtype, name="ff_net_0_proj")(h)
+        h = nn.silu(h)
+        h = LoraDense(c.hidden_size, dtype=c.dtype, name="ff_net_2")(h)
+        return x + gate_mlp * h
+
+
+class TokenRefiner(nn.Module):
+    """Llama-context refiner conditioned on timestep + mask-mean-pooled
+    text states (diffusers HunyuanVideoTokenRefiner)."""
+    cfg: HunyuanVideoConfig
+
+    @nn.compact
+    def __call__(self, text_states, timestep, mask):
+        c = self.cfg
+        if mask is None:
+            pooled = text_states.mean(axis=1)
+        else:
+            m = mask.astype(jnp.float32)[..., None]
+            pooled = (text_states.astype(jnp.float32) * m).sum(axis=1) \
+                / jnp.maximum(m.sum(axis=1), 1.0)
+        t_emb = timestep_embedding(timestep, 256, flip_sin_to_cos=True,
+                                   downscale_freq_shift=0)
+        temb = MLPEmbedder(c.hidden_size, c.dtype,
+                           name="time_text_embed_timestep_embedder")(
+            t_emb.astype(c.dtype))
+        temb = temb + MLPEmbedder(c.hidden_size, c.dtype,
+                                  name="time_text_embed_text_embedder")(
+            pooled.astype(c.dtype))
+        x = LoraDense(c.hidden_size, dtype=c.dtype, name="proj_in")(
+            text_states.astype(c.dtype))
+        for i in range(c.num_refiner_layers):
+            x = TokenRefinerBlock(c, name=f"token_refiner_refiner_blocks_{i}")(
+                x, temb[:, None, :], mask)
+        return x
+
+
+class HunyuanJointAttention(nn.Module):
+    """Joint attention over [img tokens | txt tokens]; rope on img only,
+    padded txt tokens masked (diffusers HunyuanVideoAttnProcessor2_0)."""
+    cfg: HunyuanVideoConfig
+
+    @nn.compact
+    def __call__(self, img_n, txt_n, rope, txt_mask):
+        from onetrainer_tpu.ops.attention import dot_product_attention
+        c = self.cfg
+        b, s_img, _ = img_n.shape
+        s_txt = txt_n.shape[1]
+        cos, sin = rope
+
+        def heads(x):
+            return x.reshape(b, x.shape[1], c.num_heads, c.head_dim)
+
+        q_i = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="to_q")(img_n))
+        k_i = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="to_k")(img_n))
+        v_i = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="to_v")(img_n))
+        q_i = RMSNorm(c.head_dim, c.dtype, name="norm_q")(q_i)
+        k_i = RMSNorm(c.head_dim, c.dtype, name="norm_k")(k_i)
+        q_i = apply_rope(q_i, cos, sin)
+        k_i = apply_rope(k_i, cos, sin)
+
+        q_t = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="add_q_proj")(txt_n))
+        k_t = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="add_k_proj")(txt_n))
+        v_t = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="add_v_proj")(txt_n))
+        q_t = RMSNorm(c.head_dim, c.dtype, name="norm_added_q")(q_t)
+        k_t = RMSNorm(c.head_dim, c.dtype, name="norm_added_k")(k_t)
+
+        q = jnp.concatenate([q_i, q_t], axis=1)
+        k = jnp.concatenate([k_i, k_t], axis=1)
+        v = jnp.concatenate([v_i, v_t], axis=1)
+        mask = None
+        if txt_mask is not None:
+            keep = jnp.concatenate(
+                [jnp.ones((b, s_img), bool), txt_mask.astype(bool)], axis=1)
+            mask = keep[:, None, None, :]
+        out = dot_product_attention(q, k, v, mask=mask)
+        out = out.reshape(b, s_img + s_txt, c.hidden_size)
+        out_img = LoraDense(c.hidden_size, dtype=c.dtype,
+                            name="to_out_0")(out[:, :s_img])
+        out_txt = LoraDense(c.hidden_size, dtype=c.dtype,
+                            name="to_add_out")(out[:, s_img:])
+        return out_img, out_txt
+
+
+class HunyuanDoubleBlock(nn.Module):
+    cfg: HunyuanVideoConfig
+
+    @nn.compact
+    def __call__(self, img, txt, temb, rope, txt_mask):
+        c = self.cfg
+        img_n, img_gate, img_shift_mlp, img_scale_mlp, img_gate_mlp = \
+            AdaLayerNormZero(c.hidden_size, c.dtype, name="norm1")(img, temb)
+        txt_n, txt_gate, txt_shift_mlp, txt_scale_mlp, txt_gate_mlp = \
+            AdaLayerNormZero(c.hidden_size, c.dtype, name="norm1_context")(txt, temb)
+
+        out_img, out_txt = HunyuanJointAttention(c, name="attn")(
+            img_n, txt_n, rope, txt_mask)
+        img = img + img_gate[:, None] * out_img
+        txt = txt + txt_gate[:, None] * out_txt
+
+        def pre_norm(x, shift, scale):
+            n = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                             dtype=c.dtype)(x)
+            return n * (1 + scale[:, None]) + shift[:, None]
+
+        from onetrainer_tpu.models.flux import GeluMLP
+        img = img + img_gate_mlp[:, None] * GeluMLP(
+            c.hidden_size, c.dtype, name="ff")(
+            pre_norm(img, img_shift_mlp, img_scale_mlp))
+        txt = txt + txt_gate_mlp[:, None] * GeluMLP(
+            c.hidden_size, c.dtype, name="ff_context")(
+            pre_norm(txt, txt_shift_mlp, txt_scale_mlp))
+        return img, txt
+
+
+class HunyuanSingleBlock(nn.Module):
+    cfg: HunyuanVideoConfig
+
+    @nn.compact
+    def __call__(self, x, temb, rope, keep_mask, s_img: int):
+        from onetrainer_tpu.ops.attention import dot_product_attention
+        c = self.cfg
+        normed, gate = AdaLayerNormZeroSingle(c.hidden_size, c.dtype,
+                                              name="norm")(x, temb)
+        b, s, _ = normed.shape
+        cos, sin = rope
+
+        def heads(t):
+            return t.reshape(b, s, c.num_heads, c.head_dim)
+
+        q = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="attn_to_q")(normed))
+        k = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="attn_to_k")(normed))
+        v = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="attn_to_v")(normed))
+        q = RMSNorm(c.head_dim, c.dtype, name="attn_norm_q")(q)
+        k = RMSNorm(c.head_dim, c.dtype, name="attn_norm_k")(k)
+        # rope on the image prefix only
+        q = jnp.concatenate([apply_rope(q[:, :s_img], cos, sin), q[:, s_img:]], 1)
+        k = jnp.concatenate([apply_rope(k[:, :s_img], cos, sin), k[:, s_img:]], 1)
+        mask = keep_mask[:, None, None, :] if keep_mask is not None else None
+        attn = dot_product_attention(q, k, v, mask=mask).reshape(b, s, -1)
+
+        mlp = LoraDense(4 * c.hidden_size, dtype=c.dtype, name="proj_mlp")(normed)
+        mlp = nn.gelu(mlp, approximate=True)
+        out = LoraDense(c.hidden_size, dtype=c.dtype, name="proj_out")(
+            jnp.concatenate([attn, mlp], axis=-1))
+        return x + gate[:, None] * out
+
+
+class HunyuanVideoTransformer3D(nn.Module):
+    cfg: HunyuanVideoConfig
+
+    @nn.compact
+    def __call__(
+            self,
+            latents: jnp.ndarray,            # [B, T, H, W, 16]
+            timestep: jnp.ndarray,           # [B] in [0, 1000)
+            text_states: jnp.ndarray,        # [B, S_txt, 4096] llama (cropped)
+            text_mask: jnp.ndarray | None,   # [B, S_txt]
+            pooled: jnp.ndarray,             # [B, 768] CLIP pooled
+            guidance: jnp.ndarray | None = None,  # [B] (×1000 upstream)
+    ) -> jnp.ndarray:
+        c = self.cfg
+        b, t, h, w, _ = latents.shape
+        packed = pack_video_latents(latents)
+
+        img = LoraDense(c.hidden_size, dtype=c.dtype, name="x_embedder_proj")(
+            packed.astype(c.dtype))
+        txt = TokenRefiner(c, name="context_embedder")(
+            text_states, timestep.astype(jnp.float32), text_mask)
+
+        if guidance is None:
+            guidance = jnp.full((b,), 1000.0, jnp.float32)
+        t_emb = timestep_embedding(timestep.astype(jnp.float32), 256,
+                                   flip_sin_to_cos=True, downscale_freq_shift=0)
+        g_emb = timestep_embedding(guidance.astype(jnp.float32), 256,
+                                   flip_sin_to_cos=True, downscale_freq_shift=0)
+        temb = MLPEmbedder(c.hidden_size, c.dtype,
+                           name="time_text_embed_timestep_embedder")(
+            t_emb.astype(c.dtype))
+        if c.guidance_embeds:
+            temb = temb + MLPEmbedder(
+                c.hidden_size, c.dtype,
+                name="time_text_embed_guidance_embedder")(g_emb.astype(c.dtype))
+        temb = temb + MLPEmbedder(c.hidden_size, c.dtype,
+                                  name="time_text_embed_text_embedder")(
+            pooled.astype(c.dtype))
+
+        ids = prepare_video_ids(t, h, w)
+        rope = rope_tables(ids, c.axes_dims_rope, c.rope_theta)
+        s_img = img.shape[1]
+        keep_mask = None
+        if text_mask is not None:
+            keep_mask = jnp.concatenate(
+                [jnp.ones((b, s_img), bool), text_mask.astype(bool)], axis=1)
+
+        double_cls, single_cls = HunyuanDoubleBlock, HunyuanSingleBlock
+        if c.gradient_checkpointing:
+            double_cls = nn.remat(HunyuanDoubleBlock)
+            single_cls = nn.remat(HunyuanSingleBlock, static_argnums=(5,))
+
+        for i in range(c.num_layers):
+            img, txt = double_cls(c, name=f"transformer_blocks_{i}")(
+                img, txt, temb, rope, text_mask)
+
+        x = jnp.concatenate([img, txt], axis=1)   # img first (hunyuan order)
+        for i in range(c.num_single_layers):
+            x = single_cls(c, name=f"single_transformer_blocks_{i}")(
+                x, temb, rope, keep_mask, s_img)
+        img = x[:, :s_img]
+
+        img = AdaNormContinuous(c.hidden_size, c.dtype, name="norm_out")(img, temb)
+        out = LoraDense(c.patch_size * c.patch_size * c.patch_size_t
+                        * c.out_channels, dtype=jnp.float32, name="proj_out")(img)
+        return unpack_video_latents(out, t, h, w)

@@ -75,8 +75,10 @@ class StableDiffusionXLModel:
 
 
 def create_sdxl_model(model_type: ModelType, dtype=jnp.bfloat16,
-                      gradient_checkpointing: bool = False) -> StableDiffusionXLModel:
-    common = dict(dtype=dtype, gradient_checkpointing=gradient_checkpointing)
+                      gradient_checkpointing: bool = False,
+                      remat_policy: str = "full") -> StableDiffusionXLModel:
+    common = dict(dtype=dtype, gradient_checkpointing=gradient_checkpointing,
+                  remat_policy=remat_policy)
     if model_type == ModelType.STABLE_DIFFUSION_XL_10_BASE_INPAINTING:
         unet_cfg = sdxl_inpaint_unet_config(**common)
     else:

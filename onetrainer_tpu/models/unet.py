@@ -46,7 +46,19 @@ class UNetConfig:
     addition_pooled_dim: int | None = None       # SDXL: 1280 (TE2 pooled)
     addition_time_ids: int = 6                   # SDXL micro-conditioning ids
     gradient_checkpointing: bool = False
+    # remat policy when checkpointing: "full" recomputes everything,
+    # "dots" saves matmul outputs and recomputes only elementwise ops
+    # (less recompute FLOPs, more HBM)
+    remat_policy: str = "full"
     dtype: jnp.dtype = jnp.bfloat16
+
+
+def _remat(cls, policy: str = "full"):
+    if policy == "dots":
+        import jax
+        return nn.remat(
+            cls, policy=jax.checkpoint_policies.checkpoint_dots)
+    return nn.remat(cls)
 
 
 def sd15_unet_config(**overrides) -> UNetConfig:
@@ -200,6 +212,7 @@ class Transformer2D(nn.Module):
     num_layers: int
     use_linear_projection: bool
     gradient_checkpointing: bool = False
+    remat_policy: str = "full"
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -216,7 +229,7 @@ class Transformer2D(nn.Module):
 
         block_cls = BasicTransformerBlock
         if self.gradient_checkpointing:
-            block_cls = nn.remat(BasicTransformerBlock)
+            block_cls = _remat(BasicTransformerBlock, self.remat_policy)
         for i in range(self.num_layers):
             x = block_cls(self.num_heads, dtype=self.dtype,
                           name=f"transformer_blocks_{i}")(x, context)
@@ -268,7 +281,7 @@ class DownBlock(nn.Module):
 
         resnet_cls = ResnetBlock
         if cfg.gradient_checkpointing:
-            resnet_cls = nn.remat(ResnetBlock)
+            resnet_cls = _remat(ResnetBlock, cfg.remat_policy)
 
         hidden_states = []
         for i in range(cfg.layers_per_block):
@@ -279,6 +292,7 @@ class DownBlock(nn.Module):
                     cfg.transformer_layers_per_block[self.block_index],
                     cfg.use_linear_projection,
                     cfg.gradient_checkpointing,
+                    remat_policy=cfg.remat_policy,
                     dtype=cfg.dtype,
                     name=f"attentions_{i}",
                 )(x, context)
@@ -298,13 +312,14 @@ class MidBlock(nn.Module):
         out_ch = cfg.block_out_channels[-1]
         resnet_cls = ResnetBlock
         if cfg.gradient_checkpointing:
-            resnet_cls = nn.remat(ResnetBlock)
+            resnet_cls = _remat(ResnetBlock, cfg.remat_policy)
         x = resnet_cls(out_ch, dtype=cfg.dtype, name="resnets_0")(x, temb)
         x = Transformer2D(
             cfg.num_heads[-1],
             cfg.transformer_layers_per_block[-1],
             cfg.use_linear_projection,
             cfg.gradient_checkpointing,
+            remat_policy=cfg.remat_policy,
             dtype=cfg.dtype,
             name="attentions_0",
         )(x, context)
@@ -330,7 +345,7 @@ class UpBlock(nn.Module):
 
         resnet_cls = ResnetBlock
         if cfg.gradient_checkpointing:
-            resnet_cls = nn.remat(ResnetBlock)
+            resnet_cls = _remat(ResnetBlock, cfg.remat_policy)
 
         for i in range(cfg.layers_per_block + 1):
             skip = skips.pop()
@@ -342,6 +357,7 @@ class UpBlock(nn.Module):
                     transformer_layers,
                     cfg.use_linear_projection,
                     cfg.gradient_checkpointing,
+                    remat_policy=cfg.remat_policy,
                     dtype=cfg.dtype,
                     name=f"attentions_{i}",
                 )(x, context)

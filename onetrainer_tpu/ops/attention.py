@@ -34,8 +34,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _can_use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
-    # Pallas flash kernel wants lane-aligned sequence blocks; fall back for
-    # the tiny text-encoder sequences where the XLA path is already optimal.
+    # Measured on v5e (r2, /tmp/attn_bench.py): XLA's fused attention beats
+    # the stock Pallas flash kernel 2-3x at every SD/SDXL shape —
+    #   b4 s4096 d40:  fwd 7.6 vs 15.9 ms, grad 22 vs 52 ms
+    #   b2 s4096 d64:  fwd 5.6 vs  9.8 ms, grad 15 vs 33 ms
+    #   b2 s16384 d64: fwd 47 vs  75 ms, grad 129 vs 248 ms
+    # so the XLA path is the default; OT_FORCE_FLASH=1 opts into the Pallas
+    # kernel (numerics stay covered by tests/test_attention.py).
+    import os
+    if os.environ.get("OT_FORCE_FLASH") != "1":
+        return False
     return (
         jax.default_backend() == "tpu"
         and q_len >= 256 and q_len % 128 == 0

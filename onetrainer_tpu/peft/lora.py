@@ -303,9 +303,19 @@ def as_variables(params_or_variables: dict) -> dict:
 
 # -- kohya-format safetensors interop ---------------------------------------------
 
+# CLIP text-encoder adapter groups: the kohya ecosystem names TE modules
+# through the HF module tree ('lora_te_text_model_encoder_layers_0_mlp_fc1');
+# our flax CLIP tree drops the text_model/encoder nesting, so re-insert it.
+_CLIP_TE_PREFIXES = frozenset({"lora_te", "lora_te1", "lora_te2",
+                               "lora_prior_te"})
+
+
 def _module_key_to_kohya(prefix: str, module_key: str) -> str:
     # 'down_blocks_0/attentions_0/.../to_q' -> prefix + '_down_blocks_0_...'
-    return prefix + "_" + module_key.replace(SEP, "_")
+    key = module_key
+    if prefix in _CLIP_TE_PREFIXES and key.startswith("layers_"):
+        key = "text_model_encoder_" + key
+    return prefix + "_" + key.replace(SEP, "_")
 
 
 def peft_to_kohya_state_dict(
@@ -343,6 +353,55 @@ def peft_to_kohya_state_dict(
     return out
 
 
+def apply_lora_checkpoint(
+        path: str,
+        trainable: dict,
+        lora_prefixes: dict[str, str],
+        peft_cfg: PeftConfig,
+) -> PeftConfig:
+    """Continue training from an existing kohya-format LoRA file: overwrite
+    the freshly-initialized adapter groups in `trainable` with the file's
+    tensors and adopt the file's rank/alpha
+    (reference: modules/modelLoader/mixin/LoRALoaderMixin.py:14-90).
+
+    Modules present in the model but missing from the file keep their fresh
+    initialization (up=0 ⇒ identity), matching the reference's behavior of
+    creating-then-loading the wrapper state dict."""
+    from dataclasses import replace as _replace
+
+    from onetrainer_tpu.io.safetensors_io import load_safetensors
+
+    state_dict = load_safetensors(path)
+    alpha = None
+    rank = None
+    loaded_any = False
+    for group, prefix in lora_prefixes.items():
+        adapters = trainable.get(group)
+        if adapters is None:
+            continue
+        loaded, group_alpha = kohya_state_dict_to_peft(
+            state_dict, prefix, list(adapters.keys()))
+        for key, entry in loaded.items():
+            adapters[key] = {
+                name: jnp.asarray(value, jnp.float32)
+                for name, value in {**adapters[key], **entry}.items()
+            }
+            if "lora_down" in entry:
+                rank = int(entry["lora_down"].shape[0])
+            elif "hada_w1_b" in entry:
+                rank = int(entry["hada_w1_b"].shape[0])
+            loaded_any = True
+        if group_alpha is not None:
+            alpha = group_alpha
+    if not loaded_any:
+        raise ValueError(
+            f"LoRA file {path} contains no tensors matching prefixes "
+            f"{sorted(lora_prefixes.values())}")
+    return _replace(peft_cfg,
+                    rank=rank if rank is not None else peft_cfg.rank,
+                    alpha=alpha if alpha is not None else peft_cfg.alpha)
+
+
 def kohya_state_dict_to_peft(
         state_dict: dict,
         prefix: str,
@@ -376,5 +435,6 @@ def kohya_state_dict_to_peft(
         elif leaf in ("hada_w1_a", "hada_w1_b", "hada_w2_a", "hada_w2_b"):
             entry[leaf] = jnp.asarray(tensor)
         elif leaf == "alpha":
-            alpha = float(jnp.asarray(tensor))
+            import numpy as _np
+            alpha = float(_np.asarray(tensor).reshape(-1)[0])
     return adapters, alpha

@@ -54,8 +54,31 @@ def sample_flux(
     img_ids = prepare_latent_image_ids(lh, lw)
     guidance = jnp.asarray([sample_config.cfg_scale], jnp.float32)
 
+    # FLUX-fill: packed conditioning channels appended every step
+    # (reference: FluxSampler.__sample_inpainting:221-360 — eroded mask,
+    # masked conditioning image, 8x8 mask channel shuffle)
+    extra_packed = None
+    if model.transformer_config.in_channels > 64:
+        from onetrainer_tpu.sampling.inpaint import (
+            flux_fill_mask_channels, load_inpainting_inputs,
+        )
+        image, mask, conditioning = load_inpainting_inputs(
+            sample_config, height, width)
+        cond_latent, _ = model.vae.apply(
+            {"params": vae_params}, jnp.asarray(conditioning)[None],
+            method=model.vae.encode)
+        cond_latent = (cond_latent - model.vae_config.shift_factor) \
+            * model.vae_config.scaling_factor
+        mask64 = jnp.asarray(flux_fill_mask_channels(mask))[None]
+        extra_packed = jnp.concatenate([
+            pack_latents(cond_latent.astype(jnp.float32)),
+            pack_latents(mask64.astype(jnp.float32)),
+        ], axis=-1)
+
     @jax.jit
     def velocity(packed, t):
+        if extra_packed is not None:
+            packed = jnp.concatenate([packed, extra_packed], axis=-1)
         return model.transformer.apply(
             {"params": transformer_params}, packed,
             jnp.full((1,), t, jnp.float32), pooled, t5_states, img_ids,

@@ -61,8 +61,27 @@ def sample_stable_diffusion_xl(
     latents = latents * state.init_noise_sigma
     cfg_scale = sample_config.cfg_scale
 
+    # SDXL-inpaint (9ch unet): per-step conditioning channels
+    # (reference: FluxSampler.__sample_inpainting pattern)
+    extra_channels = None
+    if model.unet_config.in_channels == 9:
+        from onetrainer_tpu.sampling.inpaint import (
+            downsample_mask, load_inpainting_inputs,
+        )
+        image, mask, conditioning = load_inpainting_inputs(
+            sample_config, height, width)
+        cond_latent, _ = model.vae.apply(
+            {"params": vae_params}, jnp.asarray(conditioning)[None],
+            method=model.vae.encode)
+        cond_latent = cond_latent * model.vae_config.scaling_factor
+        latent_mask = jnp.asarray(downsample_mask(mask, scale))[None]
+        extra_channels = jnp.concatenate(
+            [latent_mask, cond_latent.astype(jnp.float32)], axis=-1)
+
     @jax.jit
     def unet_step(latents, t):
+        if extra_channels is not None:
+            latents = jnp.concatenate([latents, extra_channels], axis=-1)
         both = jnp.concatenate([latents, latents], axis=0)
         ts = jnp.full((2,), t, jnp.int32)
         out = model.unet.apply({"params": unet_params}, both, ts, context,

@@ -284,6 +284,61 @@ def _pixart_save_single_file(setup, path):
         "PixArt single-file export not implemented yet; use DIFFUSERS format")
 
 
+# -- Sana -------------------------------------------------------------------------------
+
+def _sana_load(base_dir, config):
+    import jax.numpy as jnp
+    from onetrainer_tpu.io.sana_checkpoints import load_sana_diffusers
+    from onetrainer_tpu.models.sana_model import SanaModel
+    loaded = load_sana_diffusers(
+        base_dir,
+        weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
+        compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
+        gradient_checkpointing=config.gradient_checkpointing.enabled(),
+    )
+    return SanaModel(
+        model_type=config.model_type,
+        transformer_config=loaded["transformer_config"],
+        vae_config=loaded["vae_config"],
+        te_config=loaded["te_config"],
+        transformer_params=loaded["transformer_params"],
+        vae_params=loaded["vae_params"],
+        te_params=loaded["te_params"],
+        tokenizer=loaded["tokenizer_dir"],
+    )
+
+
+def _sana_create_setup(model, config, total_steps, steps_per_epoch=100):
+    from onetrainer_tpu.setup.sana_setup import create_sana_setup
+    return create_sana_setup(model, config, total_steps, steps_per_epoch)
+
+
+def _sana_encode_fns(setup):
+    from onetrainer_tpu.setup.sana_setup import make_sana_encode_fns
+    return make_sana_encode_fns(setup)
+
+
+def _sana_sample(setup, sample_config, on_progress):
+    from onetrainer_tpu.sampling.sana_sampler import sample_sana
+    transformer, te, extra = setup.merged_inference_params()
+    return sample_sana(
+        setup.model, transformer, te, setup.model.vae_params,
+        setup.tokenizer, sample_config,
+        extra_embeddings=extra, on_update_progress=on_progress)
+
+
+def _sana_save_model(setup, out_dir, source_dir):
+    from onetrainer_tpu.io.sana_checkpoints import save_sana_diffusers
+    transformer, te, _ = setup.merged_inference_params()
+    save_sana_diffusers(out_dir, setup.model, transformer, te,
+                        source_dir=source_dir)
+
+
+def _sana_save_single_file(setup, path):
+    raise NotImplementedError(
+        "Sana single-file export not implemented; use DIFFUSERS format")
+
+
 # -- Würstchen v2 / Stable Cascade -----------------------------------------------------
 
 def _wuerstchen_load(base_dir, config):
@@ -444,6 +499,22 @@ def make_eval_loss(setup, family_name: str):
             return eval_loss_sd3(setup.merged_inference_params(), batch)
         return run_sd3
 
+    if family_name == "sana":
+        from onetrainer_tpu.math.losses import flow_matching_losses
+        from onetrainer_tpu.train.sana_train_step import sana_predict
+
+        @jax.jit
+        def eval_loss_sana(params, batch):
+            transformer, te, extra = params
+            data = sana_predict(model, transformer, te, batch,
+                                jax.random.PRNGKey(0), cfg,
+                                extra_embeddings=extra, deterministic=True)
+            return flow_matching_losses(batch, data, cfg.loss)
+
+        def run_sana(batch):
+            return eval_loss_sana(setup.merged_inference_params(), batch)
+        return run_sana
+
     if family_name == "wuerstchen":
         from onetrainer_tpu.train.wuerstchen_train_step import (
             ContinuousCoefficients, wuerstchen_predict,
@@ -547,6 +618,16 @@ def get_family(model_type: ModelType) -> ModelFamily:
             save_model=_sd3_save_model, save_single_file=_sd3_save_single_file,
             lora_prefixes={"transformer_lora": "lora_transformer",
                            "te_lora": "lora_te1", "te2_lora": "lora_te2"},
+        )
+    if model_type.is_sana():
+        return ModelFamily(
+            name="sana", quantization=32,
+            load=_sana_load, create_setup=_sana_create_setup,
+            make_encode_fns=_sana_encode_fns, sample=_sana_sample,
+            save_model=_sana_save_model,
+            save_single_file=_sana_save_single_file,
+            lora_prefixes={"transformer_lora": "lora_transformer",
+                           "te_lora": "lora_te1"},
         )
     if model_type.is_wuerstchen():
         return ModelFamily(

@@ -151,6 +151,14 @@ def create_flux_setup(model: FluxModel, config: TrainConfig,
             labels["text_encoder"] = jax.tree.map(
                 lambda _: "text_encoder", trainable["text_encoder"])
 
+    if method == TrainingMethod.LORA and config.lora_model_name:
+        # continue training from an existing kohya LoRA file
+        # (reference: LoRALoaderMixin.py:14-90)
+        from onetrainer_tpu.peft.lora import apply_lora_checkpoint
+        peft_cfg = apply_lora_checkpoint(
+            config.lora_model_name, trainable,
+            {"transformer_lora": "lora_transformer", "te_lora": "lora_te1"}, peft_cfg)
+
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)
     if config.clip_grad_norm is not None and config.clip_grad_norm > 0:

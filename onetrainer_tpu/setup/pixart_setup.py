@@ -95,6 +95,14 @@ def create_pixart_setup(model: PixArtAlphaModel, config: TrainConfig,
             labels["transformer"] = jax.tree.map(
                 lambda _: "transformer", trainable["transformer"])
 
+    if method == TrainingMethod.LORA and config.lora_model_name:
+        # continue training from an existing kohya LoRA file
+        # (reference: LoRALoaderMixin.py:14-90)
+        from onetrainer_tpu.peft.lora import apply_lora_checkpoint
+        peft_cfg = apply_lora_checkpoint(
+            config.lora_model_name, trainable,
+            {"transformer_lora": "lora_transformer"}, peft_cfg)
+
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)
     if config.clip_grad_norm is not None and config.clip_grad_norm > 0:

@@ -57,7 +57,12 @@ class SDSetup:
                 te = apply_peft(te, params["te_lora"], self.peft_cfg)
             return unet, te, params.get("embeddings")
         if method == TrainingMethod.EMBEDDING:
-            return self.frozen["unet"], self.frozen["text_encoder"], params["embeddings"]
+            extra = params.get("embeddings")
+            if "embedding_inputs" in self.frozen:
+                rows = [extra] if extra is not None else []
+                rows.append(self.frozen["embedding_inputs"])
+                extra = jnp.concatenate(rows, axis=0)
+            return self.frozen["unet"], self.frozen["text_encoder"], extra
         unet = params.get("unet", self.frozen.get("unet"))
         te = params.get("text_encoder", self.frozen.get("text_encoder"))
         return unet, te, params.get("embeddings")
@@ -113,7 +118,8 @@ def _init_embedding_vectors(model, te_params, tokenizer: SDTokenizer,
                             config: TrainConfig) -> tuple[jnp.ndarray | None, dict]:
     """Create trained-embedding vectors from initial text token embeddings
     (reference: ModelSetupEmbeddingMixin.py:37-80)."""
-    embedding_configs = config.all_embedding_configs()
+    embedding_configs = [e for e in config.all_embedding_configs()
+                         if not e.is_output_embedding]
     if not embedding_configs:
         return None, {}
     table = np.asarray(te_params["token_embedding"])
@@ -122,15 +128,81 @@ def _init_embedding_vectors(model, te_params, tokenizer: SDTokenizer,
     offset = 0
     for e in embedding_configs:
         count = e.token_count or 1
-        init_ids = tokenizer._encode_words(e.initial_embedding_text)
-        if not init_ids:
-            init_ids = [0]
-        init = np.stack([table[init_ids[i % len(init_ids)]] for i in range(count)])
+        init = _load_embedding_file(e.model_name, table.shape[-1])
+        if init is not None:
+            count = init.shape[0]
+        else:
+            init_ids = tokenizer._encode_words(e.initial_embedding_text)
+            if not init_ids:
+                init_ids = [0]
+            init = np.stack([table[init_ids[i % len(init_ids)]]
+                             for i in range(count)])
         vectors.append(init)
         tokenizer.register_placeholder(e.placeholder, count)
         ids_map[e.uuid] = (offset, count)
         offset += count
     return jnp.asarray(np.concatenate(vectors, 0), jnp.float32), ids_map
+
+
+def _init_output_embeddings(model, te_params, tokenizer: SDTokenizer,
+                            config: TrainConfig, input_count: int):
+    """Output embeddings: trained vectors patched into the TE *output* at
+    the placeholder positions; the input-level rows stay frozen at their
+    initial-text values (reference: BaseModel._apply_output_embeddings
+    :119-143, ModelSetupEmbeddingMixin:37-110 incl. norm preservation).
+
+    Placeholders register after the input-embedding ones, so their token
+    ids start at vocab_size + input_count. Returns (frozen input rows,
+    trainable output vectors, ids map, spans, original stds)."""
+    output_configs = [e for e in config.all_embedding_configs()
+                      if e.is_output_embedding]
+    if not output_configs:
+        return None, None, {}, (), ()
+    table = np.asarray(te_params["token_embedding"])
+    input_rows, out_vectors = [], []
+    ids_map: dict = {}
+    spans: list[tuple[int, int]] = []
+    stds: list[float] = []
+    offset = 0
+    for e in output_configs:
+        count = e.token_count or 1
+        init_ids = tokenizer._encode_words(e.initial_embedding_text) or [0]
+        input_rows.append(np.stack(
+            [table[init_ids[i % len(init_ids)]] for i in range(count)]))
+        # output init: the TE's own output for the initial text
+        tokens = tokenizer(e.initial_embedding_text)
+        out = model.text_encoder.apply(
+            {"params": te_params}, jnp.asarray(tokens)[None])
+        hidden = np.asarray(out["last_hidden_state"][0], np.float32)
+        vec = hidden[1:count + 1]
+        out_vectors.append(vec)
+        tokenizer.register_placeholder(e.placeholder, count)
+        ids_map[e.uuid] = (input_count + offset, count)
+        spans.append((offset, count))
+        stds.append(float(vec.std(axis=1).mean()))
+        offset += count
+    return (jnp.asarray(np.concatenate(input_rows, 0), jnp.float32),
+            jnp.asarray(np.concatenate(out_vectors, 0), jnp.float32),
+            ids_map, tuple(spans), tuple(stds))
+
+
+def _load_embedding_file(path: str, hidden: int) -> np.ndarray | None:
+    """Standalone embedding file (continue training / fixed init) —
+    reference: modules/modelLoader/mixin/EmbeddingLoaderMixin.py:14-68.
+    Accepts our own 'emp_params' format, bundled 'bundle_emb.*' keys, or
+    any single [n, hidden] tensor."""
+    if not path:
+        return None
+    from onetrainer_tpu.io.safetensors_io import load_safetensors
+    sd = load_safetensors(path)
+    for key in ("emp_params", "string_to_param"):
+        if key in sd:
+            return np.asarray(sd[key], np.float32)
+    candidates = [v for v in sd.values()
+                  if getattr(v, "ndim", 0) == 2 and v.shape[-1] == hidden]
+    if len(candidates) == 1:
+        return np.asarray(candidates[0], np.float32)
+    raise ValueError(f"could not find an embedding tensor in {path}")
 
 
 def create_sd_setup(
@@ -186,15 +258,34 @@ def create_sd_setup(
                 config, config.text_encoder.learning_rate, total_steps,
                 config.text_encoder, steps_per_epoch)
             labels["te_lora"] = jax.tree.map(lambda _: "te_lora", trainable["te_lora"])
+        if config.lora_model_name:
+            # continue training from an existing kohya LoRA file
+            # (reference: LoRALoaderMixin.py:14-90)
+            from onetrainer_tpu.peft.lora import apply_lora_checkpoint
+            peft_cfg = apply_lora_checkpoint(
+                config.lora_model_name, trainable,
+                {"unet_lora": "lora_unet", "te_lora": "lora_te"}, peft_cfg)
         frozen["unet"] = model.unet_params
         frozen["text_encoder"] = model.te_params
     elif method == TrainingMethod.EMBEDDING:
         vectors, embedding_ids = _init_embedding_vectors(
             model, model.te_params, tokenizer, config)
-        trainable["embeddings"] = vectors
         lr = config.embedding_learning_rate or config.learning_rate
-        group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
-        labels["embeddings"] = "embeddings"
+        if vectors is not None:
+            trainable["embeddings"] = vectors
+            group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
+            labels["embeddings"] = "embeddings"
+        n_input = int(vectors.shape[0]) if vectors is not None else 0
+        out_inputs, out_vectors, out_ids, out_spans, out_stds = \
+            _init_output_embeddings(model, model.te_params, tokenizer,
+                                    config, n_input)
+        if out_vectors is not None:
+            trainable["output_embeddings"] = out_vectors
+            frozen["embedding_inputs"] = out_inputs
+            group_schedules["output_embeddings"] = _group_schedule(
+                config, lr, total_steps)
+            labels["output_embeddings"] = "output_embeddings"
+            embedding_ids.update(out_ids)
         frozen["unet"] = model.unet_params
         frozen["text_encoder"] = model.te_params
     else:  # FINE_TUNE (and FINE_TUNE_VAE handled by vae setup)
@@ -238,6 +329,11 @@ def create_sd_setup(
     if method == TrainingMethod.EMBEDDING or embedding_ids:
         # live TE encode required when embeddings train
         overrides["train_text_encoder"] = True
+    if "output_embeddings" in trainable:
+        overrides["output_embedding_base_id"] = \
+            model.te_config.vocab_size + n_input
+        overrides["output_embedding_spans"] = out_spans
+        overrides["output_embedding_stds"] = out_stds
     from onetrainer_tpu.util.enums import ConceptType
     has_prior_concepts = any(
         c.type == ConceptType.PRIOR_PREDICTION for c in (config.concepts or []))

@@ -143,6 +143,14 @@ def create_sdxl_setup(model: StableDiffusionXLModel, config: TrainConfig,
             labels["text_encoder_2"] = jax.tree.map(
                 lambda _: "text_encoder_2", trainable["text_encoder_2"])
 
+    if method == TrainingMethod.LORA and config.lora_model_name:
+        # continue training from an existing kohya LoRA file
+        # (reference: LoRALoaderMixin.py:14-90)
+        from onetrainer_tpu.peft.lora import apply_lora_checkpoint
+        peft_cfg = apply_lora_checkpoint(
+            config.lora_model_name, trainable,
+            {"unet_lora": "lora_unet", "te_lora": "lora_te1", "te2_lora": "lora_te2"}, peft_cfg)
+
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)
     if config.clip_grad_norm is not None and config.clip_grad_norm > 0:

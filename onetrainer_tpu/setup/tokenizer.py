@@ -145,3 +145,46 @@ class T5TokenizerWrapper:
         ids = pieces[: self.max_length - 1] + [self.eos]
         ids = ids + [self.pad] * (self.max_length - len(ids))
         return np.asarray(ids, np.int32)
+
+
+class GemmaTokenizerWrapper(T5TokenizerWrapper):
+    """Gemma tokenization (BOS=2, EOS=1, PAD=0; BOS prepended, no EOS —
+    transformers GemmaTokenizer defaults, as Sana uses it with
+    padding='max_length'). Also produces the attention mask the Sana DiT
+    threads into its cross attention (reference: SanaModel.encode_text)."""
+
+    def __init__(self, tokenizer_dir: str | None = None, max_length: int = 300,
+                 vocab_size: int = 256000):
+        self.max_length = max_length
+        self.vocab_size = vocab_size
+        self.bos = 2
+        self.eos = 1
+        self.pad = 0
+        self._tokenizer = None
+        if tokenizer_dir:
+            try:
+                from transformers import AutoTokenizer
+                self._tokenizer = AutoTokenizer.from_pretrained(tokenizer_dir)
+                self.vocab_size = self._tokenizer.vocab_size
+                self.bos = self._tokenizer.bos_token_id or 2
+                self.pad = self._tokenizer.pad_token_id or 0
+            except Exception as e:
+                print(f"gemma tokenizer load failed ({e}); using hash fallback")
+        self.placeholders: dict[str, list[int]] = {}
+
+    def __call__(self, text: str) -> "np.ndarray":
+        pieces: list[int] = []
+        rest = text
+        for ph, ids in self.placeholders.items():
+            if ph in rest:
+                before, _, rest2 = rest.partition(ph)
+                pieces.extend(self._encode_words(before))
+                pieces.extend(ids)
+                rest = rest2
+        pieces.extend(self._encode_words(rest))
+        ids = [self.bos] + pieces[: self.max_length - 1]
+        ids = ids + [self.pad] * (self.max_length - len(ids))
+        return np.asarray(ids, np.int32)
+
+    def mask(self, tokens: "np.ndarray") -> "np.ndarray":
+        return (tokens != self.pad).astype(np.int32)

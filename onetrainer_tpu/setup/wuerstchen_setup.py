@@ -112,6 +112,14 @@ def create_wuerstchen_setup(
                 config.text_encoder, steps_per_epoch)
             labels["te_lora"] = jax.tree.map(
                 lambda _: "te_lora", trainable["te_lora"])
+        if config.lora_model_name:
+            # continue training from an existing kohya LoRA file
+            # (reference: LoRALoaderMixin.py:14-90)
+            from onetrainer_tpu.peft.lora import apply_lora_checkpoint
+            peft_cfg = apply_lora_checkpoint(
+                config.lora_model_name, trainable,
+                {"prior_lora": "lora_prior", "te_lora": "lora_prior_te"},
+                peft_cfg)
         frozen["prior"] = model.prior_params
         frozen["text_encoder"] = model.te_params
     elif method == TrainingMethod.EMBEDDING:

@@ -72,6 +72,17 @@ def flux_predict(model, transformer_params, te_params, te2_params, batch, rng,
         model, te_params, te2_params, batch, extra_embeddings)
 
     packed = pack_latents(noisy)
+    if "latent_conditioning_image" in batch:
+        # FLUX-fill: packed [noisy(64) | cond latent(64) | 8x8-shuffled
+        # pixel mask(256)] = 384 input channels (reference:
+        # BaseFluxSetup predict for FILL + ShuffleFluxFillMaskChannels)
+        cond = (batch["latent_conditioning_image"] - cfg.vae_shift_factor) \
+            * cfg.vae_scaling_factor
+        packed = jnp.concatenate([
+            packed,
+            pack_latents(cond.astype(packed.dtype)),
+            pack_latents(batch["latent_mask"].astype(packed.dtype)),
+        ], axis=-1)
     img_ids = prepare_latent_image_ids(h, w)
     guidance = jnp.full((b,), guidance_scale, jnp.float32)
 

@@ -54,6 +54,12 @@ class SDStepConfig:
     # and use it as target for PRIOR_PREDICTION samples / masked prior loss
     # (reference: GenericTrainer.py:672-686, BaseModelSetup.prior_model)
     prior_preservation: bool = False
+    # output embeddings: trained vectors patched into the TE output at the
+    # placeholder positions; token ids >= base_id index them
+    # (reference: BaseModel._apply_output_embeddings:119-143)
+    output_embedding_base_id: int = 0
+    output_embedding_spans: tuple = ()
+    output_embedding_stds: tuple = ()
 
     @staticmethod
     def from_train_config(config, prediction_type: str = "epsilon",
@@ -121,6 +127,17 @@ def sd_predict(
         out = te_apply(as_variables(te_params), batch["tokens"],
                        None, extra)
         context = encode_clip_text(out, cfg.text_encoder_layer_skip)
+
+    output_embeddings = batch.get("output_embeddings")
+    if output_embeddings is not None:
+        # patch trained vectors into the TE output where placeholder
+        # tokens sit (reference: BaseModel._apply_output_embeddings)
+        ids = batch["tokens"] - cfg.output_embedding_base_id
+        is_placeholder = ids >= 0
+        gathered = output_embeddings[
+            jnp.clip(ids, 0, output_embeddings.shape[0] - 1)]
+        context = jnp.where(is_placeholder[..., None],
+                            gathered.astype(context.dtype), context)
 
     unet_in = noisy
     if "latent_conditioning_image" in batch:
@@ -193,7 +210,12 @@ def make_sd_train_step(
             extra = trainable.get("embeddings")
             return unet_params, te_params, extra
         if method == TrainingMethod.EMBEDDING:
-            return frozen["unet"], frozen["text_encoder"], trainable["embeddings"]
+            extra = trainable.get("embeddings")
+            if "embedding_inputs" in frozen:
+                rows = [extra] if extra is not None else []
+                rows.append(frozen["embedding_inputs"])
+                extra = jnp.concatenate(rows, axis=0)
+            return frozen["unet"], frozen["text_encoder"], extra
         # FINE_TUNE
         unet_params = trainable.get("unet", frozen.get("unet"))
         te_params = trainable.get("text_encoder", frozen.get("text_encoder"))
@@ -204,6 +226,8 @@ def make_sd_train_step(
         unet_params, te_params, extra = resolve_params(trainable, frozen, rng_peft)
         if extra is not None:
             batch = dict(batch, extra_embeddings=extra)
+        if "output_embeddings" in trainable:
+            batch = dict(batch, output_embeddings=trainable["output_embeddings"])
         data, _ = sd_predict(
             unet_apply, te_apply, unet_params, te_params, batch,
             rng_predict, cfg, coefficients)
@@ -233,6 +257,20 @@ def make_sd_train_step(
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
+
+        if cfg.output_embedding_stds and "output_embeddings" in params:
+            # norm preservation: rescale each output embedding back to its
+            # original per-row std (reference:
+            # ModelSetupEmbeddingMixin._normalize_output_embeddings:105-110)
+            oe = params["output_embeddings"].astype(jnp.float32)
+            segments = []
+            for (start, count), orig in zip(cfg.output_embedding_spans,
+                                            cfg.output_embedding_stds):
+                seg = jax.lax.dynamic_slice_in_dim(oe, start, count, 0)
+                std = seg.std(axis=1).mean()
+                segments.append(seg * (orig / (std + 1e-8)))
+            params = {**params,
+                      "output_embeddings": jnp.concatenate(segments, 0)}
 
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:

@@ -32,7 +32,7 @@ from onetrainer_tpu.train.train_state import TrainState
 from onetrainer_tpu.util.callbacks import TrainCallbacks
 from onetrainer_tpu.util.commands import TrainCommands
 from onetrainer_tpu.util.enums import (
-    EMAMode, ModelFormat, TimeUnit, TrainingMethod,
+    EMAMode, ModelFormat, ModelType, TimeUnit, TrainingMethod,
 )
 from onetrainer_tpu.util.train_progress import TrainProgress
 
@@ -108,7 +108,8 @@ class GenericTrainer(BaseTrainer):
             model_tag=str(config.model_type),
             latent_scale=self.model.vae_config.spatial_scale,
             conditioning_image=(config.model_type.has_conditioning_image_input()
-                                or config.custom_conditioning_image))
+                                or config.custom_conditioning_image),
+            fill_mask_channels=(config.model_type == ModelType.FLUX_FILL_DEV_1))
 
         # rebuild schedules with the real epoch length
         steps_per_epoch = max(len(self.data_loader), 1)
@@ -308,12 +309,19 @@ class GenericTrainer(BaseTrainer):
         if config.training_method == TrainingMethod.LORA:
             save_lora_output(self.setup, destination, self.family.lora_prefixes)
         elif config.training_method == TrainingMethod.EMBEDDING:
-            vectors = np.asarray(jax.device_get(
-                self.setup.state.params["embeddings"]))
+            params = self.setup.state.params
+            tensors = {}
+            if "embeddings" in params:
+                tensors["emp_params"] = np.asarray(
+                    jax.device_get(params["embeddings"]))
+            if "output_embeddings" in params:
+                # output-embedding vectors (reference: BaseModelEmbedding
+                # output_vector save path)
+                tensors["output_emp_params"] = np.asarray(
+                    jax.device_get(params["output_embeddings"]))
             if not destination.endswith(".safetensors"):
                 destination = destination + ".safetensors"
-            save_safetensors(destination, {"emp_params": vectors},
-                             metadata={"format": "pt"})
+            save_safetensors(destination, tensors, metadata={"format": "pt"})
         elif config.output_model_format.is_single_file():
             if not destination.endswith((".safetensors", ".ckpt")):
                 destination += config.output_model_format.file_extension()

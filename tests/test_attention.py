@@ -32,17 +32,27 @@ def test_attention_matches_reference_cpu():
 
 def test_flash_eligibility_covers_sd_head_dims():
     # SD1.5/2.x/SDXL self-attention head dims must be flash-eligible
+    import os
     for d in (40, 64, 80, 128, 160):
         assert attn_mod._round_up(d, 128) in (128, 256)
+    # flash is opt-in (XLA fused attention measured faster on v5e)
+    assert not attn_mod._can_use_flash(4096, 4096, 64)
+    os.environ["OT_FORCE_FLASH"] = "1"
+    try:
         if jax.default_backend() == "tpu":
-            assert attn_mod._can_use_flash(4096, 4096, d)
-    # tiny text sequences stay on the XLA path
-    assert not attn_mod._can_use_flash(77, 77, 64)
+            for d in (40, 64, 80, 128, 160):
+                assert attn_mod._can_use_flash(4096, 4096, d)
+        # tiny text sequences stay on the XLA path regardless
+        assert not attn_mod._can_use_flash(77, 77, 64)
+    finally:
+        del os.environ["OT_FORCE_FLASH"]
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="flash kernel needs a TPU")
 def test_flash_matches_xla_on_sd_head_dims():
+    import os
+    os.environ["OT_FORCE_FLASH"] = "1"
     rng = np.random.default_rng(0)
     for d in (40, 80, 160):
         q = jnp.asarray(rng.standard_normal((1, 256, 2, d)), jnp.bfloat16)
@@ -60,6 +70,8 @@ def test_flash_matches_xla_on_sd_head_dims():
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="flash kernel needs a TPU")
 def test_flash_gradients_match_xla():
+    import os
+    os.environ["OT_FORCE_FLASH"] = "1"
     rng = np.random.default_rng(1)
     d = 40
     q = jnp.asarray(rng.standard_normal((1, 256, 2, d)), jnp.float32)

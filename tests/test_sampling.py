@@ -79,3 +79,73 @@ def test_sd_sampler_end_to_end():
         model, unet_params, te_params, vae_params, tokenize, cfg)
     assert out.image.shape == (32, 32, 3)
     assert out.image.dtype == np.uint8
+
+
+def test_sd_inpaint_sampler_end_to_end(tmp_path):
+    """9-channel inpaint unet sampling: mask erode + conditioning latent
+    channels per step (reference: FluxSampler.__sample_inpainting pattern)."""
+    from PIL import Image
+
+    from onetrainer_tpu.models.sd import StableDiffusionModel
+    from onetrainer_tpu.models.unet import UNetConfig
+    from onetrainer_tpu.models.vae import VAEConfig
+    from onetrainer_tpu.models.clip import CLIPTextConfig
+    from onetrainer_tpu.sampling.sd_sampler import sample_stable_diffusion
+    from onetrainer_tpu.util.enums import ModelType
+
+    model = StableDiffusionModel(
+        model_type=ModelType.STABLE_DIFFUSION_15_INPAINTING,
+        unet_config=UNetConfig(
+            in_channels=9, block_out_channels=(32, 64),
+            cross_attn_blocks=(True, False), layers_per_block=1,
+            transformer_layers_per_block=(1, 1), num_heads=(4, 4),
+            cross_attention_dim=32, dtype=jnp.float32),
+        vae_config=VAEConfig(block_out_channels=(32, 64), layers_per_block=1,
+                             dtype=jnp.float32),
+        te_config=CLIPTextConfig(
+            vocab_size=100, hidden_size=32, intermediate_size=64, num_layers=2,
+            num_heads=4, max_position_embeddings=16, eos_token_id=99,
+            dtype=jnp.float32),
+    )
+    rng = jax.random.PRNGKey(0)
+    unet_params = model.unet.init(
+        rng, jnp.zeros((1, 4, 4, 9)), jnp.asarray([1]),
+        jnp.zeros((1, 8, 32)))["params"]
+    te_params = model.text_encoder.init(rng, jnp.zeros((1, 8), jnp.int32))["params"]
+    vae_params = model.vae.init(
+        rng, jnp.zeros((1, 32, 32, 3)), rng)["params"]
+
+    base = tmp_path / "base.png"
+    maskp = tmp_path / "mask.png"
+    Image.fromarray(np.full((32, 32, 3), 128, np.uint8)).save(base)
+    m = np.zeros((32, 32), np.uint8)
+    m[8:24, 8:24] = 255
+    Image.fromarray(m).save(maskp)
+
+    def tokenize(prompt):
+        ids = np.zeros((8,), np.int32)
+        ids[-1] = 99
+        return ids
+
+    cfg = SampleConfig.default_values()
+    cfg.height = 32
+    cfg.width = 32
+    cfg.diffusion_steps = 3
+    cfg.sample_inpainting = True
+    cfg.base_image_path = str(base)
+    cfg.mask_image_path = str(maskp)
+    out = sample_stable_diffusion(
+        model, unet_params, te_params, vae_params, tokenize, cfg)
+    assert out.image.shape == (32, 32, 3)
+
+
+def test_flux_fill_mask_channels():
+    from onetrainer_tpu.sampling.inpaint import flux_fill_mask_channels
+    mask = np.zeros((16, 16, 1), np.float32)
+    mask[0:8, 0:8] = 1.0   # top-left latent cell fully masked
+    out = flux_fill_mask_channels(mask, scale=8)
+    assert out.shape == (2, 2, 64)
+    np.testing.assert_allclose(out[0, 0], 1.0)
+    np.testing.assert_allclose(out[0, 1], 0.0)
+    # mean is preserved (loss-normalization invariant)
+    assert abs(out.mean() - mask.mean()) < 1e-6

@@ -145,3 +145,104 @@ def test_e2e_backup_and_resume(trained_workspace):
     trainer2.start()
     assert trainer2.train_progress.global_step == trainer.train_progress.global_step
     trainer2.train()  # completes immediately (epochs exhausted)
+
+
+def test_lora_continue_training_roundtrip(tmp_path):
+    """Train -> save kohya LoRA -> new run with lora_model_name picks up the
+    trained adapters (reference: LoRALoaderMixin continue-training path)."""
+    import numpy as np
+
+    from onetrainer_tpu.io.safetensors_io import load_safetensors
+
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    model = tiny_sd_model()
+    write_tiny_checkpoint(base, model)
+
+    def make_config():
+        config = tiny_train_config(base, ds, str(tmp_path / "ws"),
+                                   str(tmp_path / "cache"))
+        config.training_method = TrainingMethod.LORA
+        config.lora_rank = 4
+        config.unet.train = True
+        config.text_encoder.train = True
+        return config
+
+    config = make_config()
+    config.output_model_destination = str(tmp_path / "first.safetensors")
+    trainer = GenericTrainer(config)
+    trainer.start()
+    trainer.train()
+    trainer.end()
+    sd_first = load_safetensors(config.output_model_destination)
+    # TE keys carry the HF module path for ecosystem compatibility
+    assert any(k.startswith("lora_te_text_model_encoder_layers_")
+               for k in sd_first)
+
+    config2 = make_config()
+    config2.lora_model_name = config.output_model_destination
+    config2.output_model_destination = str(tmp_path / "second.safetensors")
+    trainer2 = GenericTrainer(config2)
+    trainer2.start()
+    # adapters must equal the saved ones before any training
+    loaded = trainer2.setup.state.params["unet_lora"]
+    some_key = next(iter(loaded))
+    from onetrainer_tpu.peft.lora import _module_key_to_kohya
+    kohya_key = _module_key_to_kohya("lora_unet", some_key)
+    np.testing.assert_allclose(
+        np.asarray(loaded[some_key]["lora_down"]),
+        np.asarray(sd_first[kohya_key + ".lora_down.weight"]), atol=1e-6)
+    trainer2.train()
+    trainer2.end()
+    assert os.path.exists(config2.output_model_destination)
+
+
+def test_output_embedding_e2e(tmp_path):
+    """Output-embedding training: trained vectors patched into the TE
+    output, norm preserved, saved to the embedding artifact
+    (reference: BaseModel._apply_output_embeddings:119-143,
+    ModelSetupEmbeddingMixin:37-110)."""
+    from onetrainer_tpu.config.train_config import TrainEmbeddingConfig
+
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    model = tiny_sd_model()
+    write_tiny_checkpoint(base, model)
+    # put the placeholder into the prompts
+    for name in os.listdir(ds):
+        if name.endswith(".txt"):
+            path = os.path.join(ds, name)
+            with open(path) as f:
+                text = f.read()
+            with open(path, "w") as f:
+                f.write("<embedding> " + text)
+
+    config = tiny_train_config(base, ds, str(tmp_path / "ws"),
+                               str(tmp_path / "cache"))
+    config.training_method = TrainingMethod.EMBEDDING
+    config.epochs = 1
+    emb = TrainEmbeddingConfig.default_values()
+    emb.placeholder = "<embedding>"
+    emb.token_count = 2
+    emb.initial_embedding_text = "thing"
+    emb.is_output_embedding = True
+    config.embedding = emb
+    config.output_model_destination = str(tmp_path / "out_emb.safetensors")
+
+    trainer = GenericTrainer(config)
+    trainer.start()
+    assert "output_embeddings" in trainer.setup.state.params
+    before = np.asarray(trainer.setup.state.params["output_embeddings"]).copy()
+    stds_before = before.std(axis=1).mean()
+    trainer.train()
+    trainer.end()
+
+    after = np.asarray(jax.device_get(
+        trainer.setup.state.params["output_embeddings"]))
+    assert not np.allclose(before, after)           # it trained
+    # norm preservation keeps the per-row std scale
+    np.testing.assert_allclose(after.std(axis=1).mean(), stds_before,
+                               rtol=0.05)
+    sd = load_safetensors(config.output_model_destination)
+    assert "output_emp_params" in sd
+    assert sd["output_emp_params"].shape == (2, 32)
