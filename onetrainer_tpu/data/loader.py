@@ -30,13 +30,41 @@ from onetrainer_tpu.data.bucketing import (
     sort_into_batches,
 )
 from onetrainer_tpu.data.cache import DiskCache
-from onetrainer_tpu.data.concepts import SampleEntry, balance_entries, scan_concepts
+from onetrainer_tpu.data.concepts import (
+    SUPPORTED_VIDEO_EXTENSIONS, SampleEntry, balance_entries, scan_concepts,
+)
 from onetrainer_tpu.util.enums import ConceptType
 
 
 def load_image_rgb(path: str) -> np.ndarray:
     with Image.open(path) as img:
         return np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+
+
+def load_video_frames(path: str, n_frames: int,
+                      rng: np.random.Generator) -> np.ndarray:
+    """Sample `n_frames` consecutive frames from a deterministic random
+    start (reference: mgds LoadVideo target_frame_count semantics)."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) or 0
+    # always draw once so per-frame augmentation rngs stay aligned
+    draw = int(rng.integers(0, 1 << 30))
+    start = draw % (total - n_frames + 1) if total > n_frames else 0
+    cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+    frames = []
+    for _ in range(n_frames):
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                      .astype(np.float32) / 255.0)
+    cap.release()
+    if not frames:
+        raise OSError(f"could not read frames from {path}")
+    while len(frames) < n_frames:
+        frames.append(frames[-1])
+    return np.stack(frames)
 
 
 def load_mask(path: str) -> np.ndarray:
@@ -63,6 +91,7 @@ class PreparedSample:
     image_variation: int
     text_variation: int
     bucket: tuple[int, int]
+    frames: int = 1
     cache_key: str | None = None
 
 
@@ -88,6 +117,8 @@ class Text2ImageDataLoader:
             latent_scale: int = 8,
             conditioning_image: bool = False,
             fill_mask_channels: bool = False,
+            video_mode: bool = False,
+            cache_pixels: bool = False,
     ):
         self.latent_scale = latent_scale
         # inpainting models: generate a masked conditioning image per sample
@@ -98,6 +129,15 @@ class Text2ImageDataLoader:
         # channels per latent cell instead of a downsampled single channel
         # (reference: modules/dataLoader/flux/ShuffleFluxFillMaskChannels.py)
         self.fill_mask_channels = fill_mask_channels
+        # video families: sample config.frames consecutive frames per video
+        # file; images stay 1-frame clips (reference: mgds LoadVideo +
+        # ImageToVideo, HunyuanVideoBaseDataLoader)
+        self.video_mode = video_mode
+        self.frames = max(int(float(config.frames or 1)), 1) if video_mode else 1
+        # VAE fine-tune: the step needs the original pixels as the target
+        # (reference: StableDiffusionFineTuneVaeSetup.predict uses
+        # batch['image'])
+        self.cache_pixels = cache_pixels
         self.config = config
         self.encode_images = encode_images
         self.encode_text = encode_text
@@ -109,6 +149,7 @@ class Text2ImageDataLoader:
             masked_training=config.masked_training or config.model_type.has_mask_input(),
             custom_conditioning_image=config.custom_conditioning_image,
             include_validation=include_validation,
+            allow_videos=video_mode,
         )
 
         self.resolutions = parse_resolutions(config.resolution)
@@ -124,8 +165,17 @@ class Text2ImageDataLoader:
         self._sizes: list[tuple[int, int]] = []
         for e in self.entries:
             try:
-                with Image.open(e.image_path) as img:
-                    w, h = img.size
+                if self._is_video(e.image_path):
+                    import cv2
+                    cap = cv2.VideoCapture(e.image_path)
+                    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+                    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+                    cap.release()
+                    if not (w and h):
+                        raise OSError(e.image_path)
+                else:
+                    with Image.open(e.image_path) as img:
+                        w, h = img.size
             except OSError:
                 w = h = max(self.resolutions[0]) if self.resolutions else 512
             self._sizes.append((h, w))
@@ -170,16 +220,23 @@ class Text2ImageDataLoader:
             else:
                 buckets = self.buckets
             bucket = assign_bucket(h, w, buckets)
+            n_frames = self.frames if self._is_video(e.image_path) else 1
             samples.append(PreparedSample(
                 entry_index=idx, image_variation=image_variation,
-                text_variation=text_variation, bucket=bucket))
+                text_variation=text_variation, bucket=bucket,
+                frames=n_frames))
         return samples
+
+    @staticmethod
+    def _is_video(path: str) -> bool:
+        return os.path.splitext(path)[1].lower() in SUPPORTED_VIDEO_EXTENSIONS
 
     def batches_for_epoch(self, epoch: int) -> list[list[PreparedSample]]:
         samples = self.plan_epoch(epoch)
         rng = self._epoch_rng(epoch * 2 + 1)
         batch_idx = sort_into_batches(
-            [s.bucket for s in samples], self.config.batch_size, rng)
+            [(s.bucket, s.frames) for s in samples],
+            self.config.batch_size, rng)
         return [[samples[i] for i in batch] for batch in batch_idx]
 
     def __len__(self):
@@ -197,6 +254,8 @@ class Text2ImageDataLoader:
     def _load_pixels(self, sample: PreparedSample):
         e = self.entries[sample.entry_index]
         rng = self._sample_rng(e, sample.image_variation)
+        if sample.frames > 1 or (self.video_mode and self._is_video(e.image_path)):
+            return self._load_video_pixels(sample, e, rng)
         image = load_image_rgb(e.image_path)
         mask = load_mask(e.mask_path) if e.mask_path else None
         image, mask = augment_image(image, e.concept, rng, mask)
@@ -208,6 +267,23 @@ class Text2ImageDataLoader:
         else:
             mask = resize_crop(mask, info)
         return image * 2.0 - 1.0, mask, info
+
+    def _load_video_pixels(self, sample: PreparedSample, e, rng):
+        """[F, H, W, 3] clip in [-1, 1]; identical augmentation/crop per
+        frame (fresh identically-seeded rng per frame)."""
+        video = load_video_frames(e.image_path, sample.frames, rng)
+        out_frames = []
+        info = None
+        for frame in video:
+            frng = self._sample_rng(e, sample.image_variation)
+            frng.integers(0, 1 << 30)   # consume the start-frame draw
+            img, _ = augment_image(frame, e.concept, frng, None)
+            info = scale_crop(img.shape[0], img.shape[1], sample.bucket,
+                              e.concept.image.enable_crop_jitter, frng)
+            out_frames.append(resize_crop(img, info))
+        clip = np.stack(out_frames)
+        mask = np.ones(clip.shape[1:3] + (1,), np.float32)
+        return clip * 2.0 - 1.0, mask, info
 
     def _conditioning_pixels(self, sample: PreparedSample,
                              image: np.ndarray, mask: np.ndarray,
@@ -232,6 +308,7 @@ class Text2ImageDataLoader:
         e = self.entries[sample.entry_index]
         return {
             "bucket": sample.bucket,
+            "frames": sample.frames,
             "text_variation": sample.text_variation,
             "aug": e.concept.image.to_dict(),
             "text": e.concept.text.to_dict(),
@@ -251,10 +328,10 @@ class Text2ImageDataLoader:
                 s.cache_key = key
                 if not self.cache.has(key):
                     missing.append(s)
-        # group by bucket for static-shape encode batches
+        # group by (bucket, frames) for static-shape encode batches
         by_bucket: dict = {}
         for s in missing:
-            by_bucket.setdefault(s.bucket, []).append(s)
+            by_bucket.setdefault((s.bucket, s.frames), []).append(s)
         done = 0
         total = len(missing)
         pool = ThreadPoolExecutor(self._threads) if self._threads > 1 else None
@@ -279,6 +356,8 @@ class Text2ImageDataLoader:
                     encoded_cond = self.encode_images(np.stack(conds))
                 for j, s in enumerate(chunk):
                     tensors = {k: np.asarray(v[j]) for k, v in encoded.items()}
+                    if self.cache_pixels:
+                        tensors["image"] = np.asarray(pixels[j], np.float32)
                     tensors["latent_mask"] = self._latent_mask(masks[j])
                     tensors.update(self._crop_metadata(s, infos[j]))
                     if encoded_cond is not None:

@@ -1,0 +1,376 @@
+"""Single-file checkpoint conversion for SD3 / FLUX / PixArt
+(reference: modules/util/convert/convert_sd3_diffusers_to_ckpt.py,
+convert_flux_diffusers_to_ckpt.py, convert_pixart_diffusers_to_ckpt.py —
+same key tables, numpy instead of torch; both directions so files
+round-trip exactly).
+
+Input/output dicts are flat diffusers-style torch state dicts (as produced
+by the per-family *_flax_to_state_dict converters)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _combine(left: str, right: str) -> str:
+    if not left:
+        return right
+    if not right:
+        return left
+    return f"{left}.{right}"
+
+
+def _swap_chunks(t: np.ndarray) -> np.ndarray:
+    a, b = np.split(t, 2, axis=0)
+    return np.concatenate([b, a], axis=0)
+
+
+def _map_wb(out, ins, out_prefix, in_prefix):
+    out[_combine(out_prefix, "weight")] = ins[_combine(in_prefix, "weight")]
+    out[_combine(out_prefix, "bias")] = ins[_combine(in_prefix, "bias")]
+
+
+def _unmap_wb(out, ins, out_prefix, in_prefix):
+    out[_combine(out_prefix, "weight")] = ins[_combine(in_prefix, "weight")]
+    out[_combine(out_prefix, "bias")] = ins[_combine(in_prefix, "bias")]
+
+
+def _cat(ins, keys):
+    return np.concatenate([np.asarray(ins[k]) for k in keys], axis=0)
+
+
+def _split3(out, ins, key, out_keys):
+    parts = np.split(np.asarray(ins[key]), len(out_keys), axis=0)
+    for name, part in zip(out_keys, parts):
+        out[name] = part
+
+
+# -- FLUX (BFL single-file layout) ---------------------------------------------------
+
+def flux_transformer_to_bfl(sd: dict) -> dict:
+    """diffusers FluxTransformer2DModel keys -> BFL keys
+    (reference: convert_flux_diffusers_to_ckpt.py:11-118)."""
+    out: dict = {}
+    _map_wb(out, sd, "txt_in", "context_embedder")
+    if "time_text_embed.guidance_embedder.linear_1.weight" in sd:
+        _map_wb(out, sd, "guidance_in.in_layer",
+                "time_text_embed.guidance_embedder.linear_1")
+        _map_wb(out, sd, "guidance_in.out_layer",
+                "time_text_embed.guidance_embedder.linear_2")
+    _map_wb(out, sd, "vector_in.in_layer",
+            "time_text_embed.text_embedder.linear_1")
+    _map_wb(out, sd, "vector_in.out_layer",
+            "time_text_embed.text_embedder.linear_2")
+    _map_wb(out, sd, "time_in.in_layer",
+            "time_text_embed.timestep_embedder.linear_1")
+    _map_wb(out, sd, "time_in.out_layer",
+            "time_text_embed.timestep_embedder.linear_2")
+    out["final_layer.adaLN_modulation.1.weight"] = \
+        _swap_chunks(sd["norm_out.linear.weight"])
+    out["final_layer.adaLN_modulation.1.bias"] = \
+        _swap_chunks(sd["norm_out.linear.bias"])
+    _map_wb(out, sd, "final_layer.linear", "proj_out")
+    _map_wb(out, sd, "img_in", "x_embedder")
+
+    i = 0
+    while f"transformer_blocks.{i}.attn.to_q.weight" in sd:
+        ip, op = f"transformer_blocks.{i}", f"double_blocks.{i}"
+        for wb in ("weight", "bias"):
+            out[f"{op}.img_attn.qkv.{wb}"] = _cat(sd, [
+                f"{ip}.attn.to_q.{wb}", f"{ip}.attn.to_k.{wb}",
+                f"{ip}.attn.to_v.{wb}"])
+            out[f"{op}.txt_attn.qkv.{wb}"] = _cat(sd, [
+                f"{ip}.attn.add_q_proj.{wb}", f"{ip}.attn.add_k_proj.{wb}",
+                f"{ip}.attn.add_v_proj.{wb}"])
+        out[f"{op}.img_attn.norm.query_norm.scale"] = sd[f"{ip}.attn.norm_q.weight"]
+        out[f"{op}.img_attn.norm.key_norm.scale"] = sd[f"{ip}.attn.norm_k.weight"]
+        out[f"{op}.txt_attn.norm.query_norm.scale"] = sd[f"{ip}.attn.norm_added_q.weight"]
+        out[f"{op}.txt_attn.norm.key_norm.scale"] = sd[f"{ip}.attn.norm_added_k.weight"]
+        _map_wb(out, sd, f"{op}.img_attn.proj", f"{ip}.attn.to_out.0")
+        _map_wb(out, sd, f"{op}.img_mlp.0", f"{ip}.ff.net.0.proj")
+        _map_wb(out, sd, f"{op}.img_mlp.2", f"{ip}.ff.net.2")
+        _map_wb(out, sd, f"{op}.img_mod.lin", f"{ip}.norm1.linear")
+        _map_wb(out, sd, f"{op}.txt_attn.proj", f"{ip}.attn.to_add_out")
+        _map_wb(out, sd, f"{op}.txt_mlp.0", f"{ip}.ff_context.net.0.proj")
+        _map_wb(out, sd, f"{op}.txt_mlp.2", f"{ip}.ff_context.net.2")
+        _map_wb(out, sd, f"{op}.txt_mod.lin", f"{ip}.norm1_context.linear")
+        i += 1
+
+    i = 0
+    while f"single_transformer_blocks.{i}.attn.to_q.weight" in sd:
+        ip, op = f"single_transformer_blocks.{i}", f"single_blocks.{i}"
+        for wb in ("weight", "bias"):
+            out[f"{op}.linear1.{wb}"] = _cat(sd, [
+                f"{ip}.attn.to_q.{wb}", f"{ip}.attn.to_k.{wb}",
+                f"{ip}.attn.to_v.{wb}", f"{ip}.proj_mlp.{wb}"])
+        out[f"{op}.norm.query_norm.scale"] = sd[f"{ip}.attn.norm_q.weight"]
+        out[f"{op}.norm.key_norm.scale"] = sd[f"{ip}.attn.norm_k.weight"]
+        _map_wb(out, sd, f"{op}.linear2", f"{ip}.proj_out")
+        _map_wb(out, sd, f"{op}.modulation.lin", f"{ip}.norm.linear")
+        i += 1
+    return out
+
+
+def flux_bfl_to_transformer(sd: dict) -> dict:
+    """Inverse of flux_transformer_to_bfl."""
+    out: dict = {}
+    _map_wb(out, sd, "context_embedder", "txt_in")
+    if "guidance_in.in_layer.weight" in sd:
+        _map_wb(out, sd, "time_text_embed.guidance_embedder.linear_1",
+                "guidance_in.in_layer")
+        _map_wb(out, sd, "time_text_embed.guidance_embedder.linear_2",
+                "guidance_in.out_layer")
+    _map_wb(out, sd, "time_text_embed.text_embedder.linear_1",
+            "vector_in.in_layer")
+    _map_wb(out, sd, "time_text_embed.text_embedder.linear_2",
+            "vector_in.out_layer")
+    _map_wb(out, sd, "time_text_embed.timestep_embedder.linear_1",
+            "time_in.in_layer")
+    _map_wb(out, sd, "time_text_embed.timestep_embedder.linear_2",
+            "time_in.out_layer")
+    out["norm_out.linear.weight"] = \
+        _swap_chunks(sd["final_layer.adaLN_modulation.1.weight"])
+    out["norm_out.linear.bias"] = \
+        _swap_chunks(sd["final_layer.adaLN_modulation.1.bias"])
+    _map_wb(out, sd, "proj_out", "final_layer.linear")
+    _map_wb(out, sd, "x_embedder", "img_in")
+
+    i = 0
+    while f"double_blocks.{i}.img_attn.qkv.weight" in sd:
+        ip, op = f"double_blocks.{i}", f"transformer_blocks.{i}"
+        for wb in ("weight", "bias"):
+            _split3(out, sd, f"{ip}.img_attn.qkv.{wb}",
+                    [f"{op}.attn.to_q.{wb}", f"{op}.attn.to_k.{wb}",
+                     f"{op}.attn.to_v.{wb}"])
+            _split3(out, sd, f"{ip}.txt_attn.qkv.{wb}",
+                    [f"{op}.attn.add_q_proj.{wb}", f"{op}.attn.add_k_proj.{wb}",
+                     f"{op}.attn.add_v_proj.{wb}"])
+        out[f"{op}.attn.norm_q.weight"] = sd[f"{ip}.img_attn.norm.query_norm.scale"]
+        out[f"{op}.attn.norm_k.weight"] = sd[f"{ip}.img_attn.norm.key_norm.scale"]
+        out[f"{op}.attn.norm_added_q.weight"] = sd[f"{ip}.txt_attn.norm.query_norm.scale"]
+        out[f"{op}.attn.norm_added_k.weight"] = sd[f"{ip}.txt_attn.norm.key_norm.scale"]
+        _map_wb(out, sd, f"{op}.attn.to_out.0", f"{ip}.img_attn.proj")
+        _map_wb(out, sd, f"{op}.ff.net.0.proj", f"{ip}.img_mlp.0")
+        _map_wb(out, sd, f"{op}.ff.net.2", f"{ip}.img_mlp.2")
+        _map_wb(out, sd, f"{op}.norm1.linear", f"{ip}.img_mod.lin")
+        _map_wb(out, sd, f"{op}.attn.to_add_out", f"{ip}.txt_attn.proj")
+        _map_wb(out, sd, f"{op}.ff_context.net.0.proj", f"{ip}.txt_mlp.0")
+        _map_wb(out, sd, f"{op}.ff_context.net.2", f"{ip}.txt_mlp.2")
+        _map_wb(out, sd, f"{op}.norm1_context.linear", f"{ip}.txt_mod.lin")
+        i += 1
+
+    i = 0
+    while f"single_blocks.{i}.linear1.weight" in sd:
+        ip, op = f"single_blocks.{i}", f"single_transformer_blocks.{i}"
+        for wb in ("weight", "bias"):
+            fused = np.asarray(sd[f"{ip}.linear1.{wb}"])
+            hidden = np.asarray(sd[f"{ip}.linear2.weight"]).shape[0]
+            q, k, v, mlp = np.split(fused, [hidden, 2 * hidden, 3 * hidden],
+                                    axis=0)
+            out[f"{op}.attn.to_q.{wb}"] = q
+            out[f"{op}.attn.to_k.{wb}"] = k
+            out[f"{op}.attn.to_v.{wb}"] = v
+            out[f"{op}.proj_mlp.{wb}"] = mlp
+        out[f"{op}.attn.norm_q.weight"] = sd[f"{ip}.norm.query_norm.scale"]
+        out[f"{op}.attn.norm_k.weight"] = sd[f"{ip}.norm.key_norm.scale"]
+        _map_wb(out, sd, f"{op}.proj_out", f"{ip}.linear2")
+        _map_wb(out, sd, f"{op}.norm.linear", f"{ip}.modulation.lin")
+        i += 1
+    return out
+
+
+# -- SD3 (SAI single-file layout) ------------------------------------------------------
+
+def sd3_transformer_to_sai(sd: dict) -> dict:
+    """diffusers SD3Transformer2DModel -> sai 'model.diffusion_model.*'
+    inner keys (reference: convert_sd3_diffusers_to_ckpt.py:11-107)."""
+    out: dict = {}
+    if "pos_embed.pos_embed" in sd:
+        out["pos_embed"] = sd["pos_embed.pos_embed"]
+    _map_wb(out, sd, "x_embedder.proj", "pos_embed.proj")
+    _map_wb(out, sd, "context_embedder", "context_embedder")
+    out["final_layer.adaLN_modulation.1.weight"] = \
+        _swap_chunks(sd["norm_out.linear.weight"])
+    out["final_layer.adaLN_modulation.1.bias"] = \
+        _swap_chunks(sd["norm_out.linear.bias"])
+    _map_wb(out, sd, "final_layer.linear", "proj_out")
+    _map_wb(out, sd, "t_embedder.mlp.0",
+            "time_text_embed.timestep_embedder.linear_1")
+    _map_wb(out, sd, "t_embedder.mlp.2",
+            "time_text_embed.timestep_embedder.linear_2")
+    _map_wb(out, sd, "y_embedder.mlp.0",
+            "time_text_embed.text_embedder.linear_1")
+    _map_wb(out, sd, "y_embedder.mlp.2",
+            "time_text_embed.text_embedder.linear_2")
+
+    i = 0
+    while f"transformer_blocks.{i}.attn.to_q.weight" in sd:
+        ip, op = f"transformer_blocks.{i}", f"joint_blocks.{i}"
+        is_last = f"transformer_blocks.{i + 1}.attn.to_q.weight" not in sd
+        for wb in ("weight", "bias"):
+            out[f"{op}.x_block.attn.qkv.{wb}"] = _cat(sd, [
+                f"{ip}.attn.to_q.{wb}", f"{ip}.attn.to_k.{wb}",
+                f"{ip}.attn.to_v.{wb}"])
+            out[f"{op}.context_block.attn.qkv.{wb}"] = _cat(sd, [
+                f"{ip}.attn.add_q_proj.{wb}", f"{ip}.attn.add_k_proj.{wb}",
+                f"{ip}.attn.add_v_proj.{wb}"])
+        _map_wb(out, sd, f"{op}.x_block.attn.proj", f"{ip}.attn.to_out.0")
+        _map_wb(out, sd, f"{op}.x_block.adaLN_modulation.1", f"{ip}.norm1.linear")
+        if not is_last:
+            _map_wb(out, sd, f"{op}.context_block.attn.proj",
+                    f"{ip}.attn.to_add_out")
+            _map_wb(out, sd, f"{op}.context_block.adaLN_modulation.1",
+                    f"{ip}.norm1_context.linear")
+            _map_wb(out, sd, f"{op}.context_block.mlp.fc1",
+                    f"{ip}.ff_context.net.0.proj")
+            _map_wb(out, sd, f"{op}.context_block.mlp.fc2",
+                    f"{ip}.ff_context.net.2")
+        else:
+            out[f"{op}.context_block.adaLN_modulation.1.weight"] = \
+                _swap_chunks(sd[f"{ip}.norm1_context.linear.weight"])
+            out[f"{op}.context_block.adaLN_modulation.1.bias"] = \
+                _swap_chunks(sd[f"{ip}.norm1_context.linear.bias"])
+        if f"{ip}.attn.norm_q.weight" in sd:          # SD3.5 qk norms
+            out[f"{op}.x_block.attn.ln_q.weight"] = sd[f"{ip}.attn.norm_q.weight"]
+            out[f"{op}.x_block.attn.ln_k.weight"] = sd[f"{ip}.attn.norm_k.weight"]
+        if f"{ip}.attn.norm_added_q.weight" in sd:
+            out[f"{op}.context_block.attn.ln_q.weight"] = \
+                sd[f"{ip}.attn.norm_added_q.weight"]
+            out[f"{op}.context_block.attn.ln_k.weight"] = \
+                sd[f"{ip}.attn.norm_added_k.weight"]
+        _map_wb(out, sd, f"{op}.x_block.mlp.fc1", f"{ip}.ff.net.0.proj")
+        _map_wb(out, sd, f"{op}.x_block.mlp.fc2", f"{ip}.ff.net.2")
+        i += 1
+    return out
+
+
+def sd3_sai_to_transformer(sd: dict) -> dict:
+    """Inverse of sd3_transformer_to_sai."""
+    out: dict = {}
+    if "pos_embed" in sd:
+        out["pos_embed.pos_embed"] = sd["pos_embed"]
+    _map_wb(out, sd, "pos_embed.proj", "x_embedder.proj")
+    _map_wb(out, sd, "context_embedder", "context_embedder")
+    out["norm_out.linear.weight"] = \
+        _swap_chunks(sd["final_layer.adaLN_modulation.1.weight"])
+    out["norm_out.linear.bias"] = \
+        _swap_chunks(sd["final_layer.adaLN_modulation.1.bias"])
+    _map_wb(out, sd, "proj_out", "final_layer.linear")
+    _map_wb(out, sd, "time_text_embed.timestep_embedder.linear_1",
+            "t_embedder.mlp.0")
+    _map_wb(out, sd, "time_text_embed.timestep_embedder.linear_2",
+            "t_embedder.mlp.2")
+    _map_wb(out, sd, "time_text_embed.text_embedder.linear_1",
+            "y_embedder.mlp.0")
+    _map_wb(out, sd, "time_text_embed.text_embedder.linear_2",
+            "y_embedder.mlp.2")
+
+    i = 0
+    while f"joint_blocks.{i}.x_block.attn.qkv.weight" in sd:
+        ip, op = f"joint_blocks.{i}", f"transformer_blocks.{i}"
+        is_last = f"joint_blocks.{i + 1}.x_block.attn.qkv.weight" not in sd
+        for wb in ("weight", "bias"):
+            _split3(out, sd, f"{ip}.x_block.attn.qkv.{wb}",
+                    [f"{op}.attn.to_q.{wb}", f"{op}.attn.to_k.{wb}",
+                     f"{op}.attn.to_v.{wb}"])
+            _split3(out, sd, f"{ip}.context_block.attn.qkv.{wb}",
+                    [f"{op}.attn.add_q_proj.{wb}", f"{op}.attn.add_k_proj.{wb}",
+                     f"{op}.attn.add_v_proj.{wb}"])
+        _map_wb(out, sd, f"{op}.attn.to_out.0", f"{ip}.x_block.attn.proj")
+        _map_wb(out, sd, f"{op}.norm1.linear", f"{ip}.x_block.adaLN_modulation.1")
+        if not is_last:
+            _map_wb(out, sd, f"{op}.attn.to_add_out",
+                    f"{ip}.context_block.attn.proj")
+            _map_wb(out, sd, f"{op}.norm1_context.linear",
+                    f"{ip}.context_block.adaLN_modulation.1")
+            _map_wb(out, sd, f"{op}.ff_context.net.0.proj",
+                    f"{ip}.context_block.mlp.fc1")
+            _map_wb(out, sd, f"{op}.ff_context.net.2",
+                    f"{ip}.context_block.mlp.fc2")
+        else:
+            out[f"{op}.norm1_context.linear.weight"] = \
+                _swap_chunks(sd[f"{ip}.context_block.adaLN_modulation.1.weight"])
+            out[f"{op}.norm1_context.linear.bias"] = \
+                _swap_chunks(sd[f"{ip}.context_block.adaLN_modulation.1.bias"])
+        if f"{ip}.x_block.attn.ln_q.weight" in sd:
+            out[f"{op}.attn.norm_q.weight"] = sd[f"{ip}.x_block.attn.ln_q.weight"]
+            out[f"{op}.attn.norm_k.weight"] = sd[f"{ip}.x_block.attn.ln_k.weight"]
+        if f"{ip}.context_block.attn.ln_q.weight" in sd:
+            out[f"{op}.attn.norm_added_q.weight"] = \
+                sd[f"{ip}.context_block.attn.ln_q.weight"]
+            out[f"{op}.attn.norm_added_k.weight"] = \
+                sd[f"{ip}.context_block.attn.ln_k.weight"]
+        _map_wb(out, sd, f"{op}.ff.net.0.proj", f"{ip}.x_block.mlp.fc1")
+        _map_wb(out, sd, f"{op}.ff.net.2", f"{ip}.x_block.mlp.fc2")
+        i += 1
+    return out
+
+
+# -- PixArt (original repo single-file layout) -----------------------------------------
+
+def pixart_transformer_to_ckpt(sd: dict) -> dict:
+    """diffusers PixArtTransformer2DModel -> original PixArt repo keys
+    (reference: convert_pixart_diffusers_to_ckpt.py:10-110; the y_embedding
+    and pos_embed buffers are re-generated downstream)."""
+    out: dict = {}
+    _map_wb(out, sd, "y_embedder.y_proj.fc1", "caption_projection.linear_1")
+    _map_wb(out, sd, "y_embedder.y_proj.fc2", "caption_projection.linear_2")
+    _map_wb(out, sd, "x_embedder.proj", "pos_embed.proj")
+    _map_wb(out, sd, "t_embedder.mlp.0",
+            "adaln_single.emb.timestep_embedder.linear_1")
+    _map_wb(out, sd, "t_embedder.mlp.2",
+            "adaln_single.emb.timestep_embedder.linear_2")
+    _map_wb(out, sd, "t_block.1", "adaln_single.linear")
+    i = 0
+    while f"transformer_blocks.{i}.attn1.to_q.weight" in sd:
+        ip, op = f"transformer_blocks.{i}", f"blocks.{i}"
+        for wb in ("weight", "bias"):
+            out[f"{op}.attn.qkv.{wb}"] = _cat(sd, [
+                f"{ip}.attn1.to_q.{wb}", f"{ip}.attn1.to_k.{wb}",
+                f"{ip}.attn1.to_v.{wb}"])
+            out[f"{op}.cross_attn.kv_linear.{wb}"] = _cat(sd, [
+                f"{ip}.attn2.to_k.{wb}", f"{ip}.attn2.to_v.{wb}"])
+        _map_wb(out, sd, f"{op}.attn.proj", f"{ip}.attn1.to_out.0")
+        _map_wb(out, sd, f"{op}.cross_attn.q_linear", f"{ip}.attn2.to_q")
+        _map_wb(out, sd, f"{op}.cross_attn.proj", f"{ip}.attn2.to_out.0")
+        _map_wb(out, sd, f"{op}.mlp.fc1", f"{ip}.ff.net.0.proj")
+        _map_wb(out, sd, f"{op}.mlp.fc2", f"{ip}.ff.net.2")
+        out[f"{op}.scale_shift_table"] = sd[f"{ip}.scale_shift_table"]
+        i += 1
+    _map_wb(out, sd, "final_layer.linear", "proj_out")
+    out["final_layer.scale_shift_table"] = sd["scale_shift_table"]
+    return out
+
+
+def pixart_ckpt_to_transformer(sd: dict) -> dict:
+    """Inverse of pixart_transformer_to_ckpt (generated buffers dropped)."""
+    out: dict = {}
+    _map_wb(out, sd, "caption_projection.linear_1", "y_embedder.y_proj.fc1")
+    _map_wb(out, sd, "caption_projection.linear_2", "y_embedder.y_proj.fc2")
+    _map_wb(out, sd, "pos_embed.proj", "x_embedder.proj")
+    _map_wb(out, sd, "adaln_single.emb.timestep_embedder.linear_1",
+            "t_embedder.mlp.0")
+    _map_wb(out, sd, "adaln_single.emb.timestep_embedder.linear_2",
+            "t_embedder.mlp.2")
+    _map_wb(out, sd, "adaln_single.linear", "t_block.1")
+    i = 0
+    while f"blocks.{i}.attn.qkv.weight" in sd:
+        ip, op = f"blocks.{i}", f"transformer_blocks.{i}"
+        for wb in ("weight", "bias"):
+            _split3(out, sd, f"{ip}.attn.qkv.{wb}",
+                    [f"{op}.attn1.to_q.{wb}", f"{op}.attn1.to_k.{wb}",
+                     f"{op}.attn1.to_v.{wb}"])
+            kv = np.split(np.asarray(sd[f"{ip}.cross_attn.kv_linear.{wb}"]),
+                          2, axis=0)
+            out[f"{op}.attn2.to_k.{wb}"] = kv[0]
+            out[f"{op}.attn2.to_v.{wb}"] = kv[1]
+        _map_wb(out, sd, f"{op}.attn1.to_out.0", f"{ip}.attn.proj")
+        _map_wb(out, sd, f"{op}.attn2.to_q", f"{ip}.cross_attn.q_linear")
+        _map_wb(out, sd, f"{op}.attn2.to_out.0", f"{ip}.cross_attn.proj")
+        _map_wb(out, sd, f"{op}.ff.net.0.proj", f"{ip}.mlp.fc1")
+        _map_wb(out, sd, f"{op}.ff.net.2", f"{ip}.mlp.fc2")
+        out[f"{op}.scale_shift_table"] = sd[f"{ip}.scale_shift_table"]
+        i += 1
+    _map_wb(out, sd, "proj_out", "final_layer.linear")
+    out["scale_shift_table"] = sd["final_layer.scale_shift_table"]
+    return out

@@ -28,8 +28,24 @@ from onetrainer_tpu.models.wuerstchen import EffnetConfig, WuerstchenPriorConfig
 
 
 def prior_config_from_diffusers(config: dict, dtype=jnp.bfloat16,
-                                gradient_checkpointing=False,
-                                ) -> WuerstchenPriorConfig:
+                                gradient_checkpointing=False):
+    if "block_out_channels" in config or "down_num_layers_per_block" in config \
+            or str(config.get("_class_name", "")) == "StableCascadeUNet":
+        from onetrainer_tpu.models.cascade import CascadePriorConfig
+        hidden = tuple(config.get("block_out_channels", (2048, 2048)))
+        return CascadePriorConfig(
+            c_in=config.get("in_channels", 16),
+            c_hidden=hidden,
+            nhead=tuple(config.get("num_attention_heads", (32, 32))),
+            blocks=tuple(config.get("down_num_layers_per_block", (8, 24))),
+            c_cond=config.get("c_cond", hidden[0]),
+            clip_text_in=config.get("clip_text_in_channels", 1280),
+            clip_text_pooled_in=config.get("clip_text_pooled_in_channels", 1280),
+            clip_image_in=config.get("clip_image_in_channels", 768),
+            patch_size=config.get("patch_size", 1),
+            gradient_checkpointing=gradient_checkpointing,
+            dtype=dtype,
+        )
     return WuerstchenPriorConfig(
         c_in=config.get("c_in", 16),
         c=config.get("c", 1536),

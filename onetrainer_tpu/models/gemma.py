@@ -167,13 +167,17 @@ class Gemma2Encoder(nn.Module):
         else:
             mask = causal
 
-        hidden_states = [x]
+        # transformers convention: states collected BEFORE each layer,
+        # the final entry is the post-norm output — the pre-norm last-layer
+        # output never appears (verified against torch in
+        # tests/test_torch_parity.py)
+        hidden_states = []
         for i in range(c.num_layers):
-            x = Gemma2Layer(c, name=f"layers_{i}")(x, mask)
             hidden_states.append(x)
+            x = Gemma2Layer(c, name=f"layers_{i}")(x, mask)
 
         final = GemmaRMSNorm(c.hidden_size, c.rms_norm_eps, name="norm")(x)
-        hidden_states.append(final)   # transformers appends the post-norm state
+        hidden_states.append(final)
         return {"hidden_states": hidden_states, "last_hidden_state": final}
 
 

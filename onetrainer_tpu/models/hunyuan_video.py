@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from onetrainer_tpu.models.flux import (
     AdaLayerNormZero, AdaLayerNormZeroSingle, AdaNormContinuous, MLPEmbedder,
-    RMSNorm, apply_rope, rope_tables,
+    RMSNorm, TimeTextEmbed, apply_rope, rope_tables,
 )
 from onetrainer_tpu.models.unet import timestep_embedding
 from onetrainer_tpu.peft.layers import LoraDense
@@ -95,6 +95,56 @@ def prepare_video_ids(t: int, height: int, width: int) -> jnp.ndarray:
     return ids.reshape(t * h2 * w2, 3)
 
 
+class _RefinerAttention(nn.Module):
+    cfg: HunyuanVideoConfig
+
+    @nn.compact
+    def __call__(self, h, mask):
+        from onetrainer_tpu.ops.attention import dot_product_attention
+        c = self.cfg
+        b, s, _ = h.shape
+        q = LoraDense(c.hidden_size, dtype=c.dtype, name="to_q")(h)
+        k = LoraDense(c.hidden_size, dtype=c.dtype, name="to_k")(h)
+        v = LoraDense(c.hidden_size, dtype=c.dtype, name="to_v")(h)
+        attn_mask = mask[:, None, None, :].astype(bool) \
+            if mask is not None else None
+        nh = c.num_heads
+        out = dot_product_attention(
+            q.reshape(b, s, nh, -1), k.reshape(b, s, nh, -1),
+            v.reshape(b, s, nh, -1), mask=attn_mask).reshape(b, s, -1)
+        return LoraDense(c.hidden_size, dtype=c.dtype, name="to_out_0")(out)
+
+
+class _SiluProj(nn.Module):
+    hidden: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = LoraDense(4 * self.hidden, dtype=self.dtype, name="proj")(x)
+        return nn.silu(x)
+
+
+class _RefinerFF(nn.Module):
+    hidden: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = _SiluProj(self.hidden, self.dtype, name="net_0")(x)
+        return LoraDense(self.hidden, dtype=self.dtype, name="net_2")(x)
+
+
+class _GateLinear(nn.Module):
+    hidden: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, temb):
+        return LoraDense(2 * self.hidden, dtype=self.dtype,
+                         name="linear")(nn.silu(temb))
+
+
 class TokenRefinerBlock(nn.Module):
     """Self-attention + MLP with timestep/pooled gating over the llama
     states (diffusers HunyuanVideoIndividualTokenRefinerBlock)."""
@@ -103,31 +153,39 @@ class TokenRefinerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb, mask):
         c = self.cfg
-        gates = LoraDense(2 * c.hidden_size, dtype=c.dtype,
-                          name="norm_out_linear")(nn.silu(temb))
+        gates = _GateLinear(c.hidden_size, c.dtype, name="norm_out")(temb)
         gate_msa, gate_mlp = jnp.split(gates, 2, axis=-1)
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=c.dtype, name="norm1")(x)
-        b, s, _ = h.shape
-        q = LoraDense(c.hidden_size, dtype=c.dtype, name="attn_to_q")(h)
-        k = LoraDense(c.hidden_size, dtype=c.dtype, name="attn_to_k")(h)
-        v = LoraDense(c.hidden_size, dtype=c.dtype, name="attn_to_v")(h)
-        from onetrainer_tpu.ops.attention import dot_product_attention
-        nh = c.num_heads
-        attn_mask = None
-        if mask is not None:
-            attn_mask = mask[:, None, None, :].astype(bool)
-        out = dot_product_attention(
-            q.reshape(b, s, nh, -1), k.reshape(b, s, nh, -1),
-            v.reshape(b, s, nh, -1), mask=attn_mask).reshape(b, s, -1)
-        out = LoraDense(c.hidden_size, dtype=c.dtype, name="attn_to_out_0")(out)
-        x = x + gate_msa * out
-
+        x = x + gate_msa * _RefinerAttention(c, name="attn")(h, mask)
         h = nn.LayerNorm(epsilon=1e-6, dtype=c.dtype, name="norm2")(x)
-        h = LoraDense(4 * c.hidden_size, dtype=c.dtype, name="ff_net_0_proj")(h)
-        h = nn.silu(h)
-        h = LoraDense(c.hidden_size, dtype=c.dtype, name="ff_net_2")(h)
-        return x + gate_mlp * h
+        return x + gate_mlp * _RefinerFF(c.hidden_size, c.dtype,
+                                         name="ff")(h)
+
+
+class _RefinerTimeText(nn.Module):
+    cfg: HunyuanVideoConfig
+
+    @nn.compact
+    def __call__(self, timestep, pooled):
+        c = self.cfg
+        t_emb = timestep_embedding(timestep, 256, flip_sin_to_cos=True,
+                                   downscale_freq_shift=0)
+        temb = MLPEmbedder(c.hidden_size, c.dtype,
+                           name="timestep_embedder")(t_emb.astype(c.dtype))
+        return temb + MLPEmbedder(c.hidden_size, c.dtype,
+                                  name="text_embedder")(pooled.astype(c.dtype))
+
+
+class _RefinerStack(nn.Module):
+    cfg: HunyuanVideoConfig
+
+    @nn.compact
+    def __call__(self, x, temb, mask):
+        for i in range(self.cfg.num_refiner_layers):
+            x = TokenRefinerBlock(self.cfg, name=f"refiner_blocks_{i}")(
+                x, temb, mask)
+        return x
 
 
 class TokenRefiner(nn.Module):
@@ -144,20 +202,11 @@ class TokenRefiner(nn.Module):
             m = mask.astype(jnp.float32)[..., None]
             pooled = (text_states.astype(jnp.float32) * m).sum(axis=1) \
                 / jnp.maximum(m.sum(axis=1), 1.0)
-        t_emb = timestep_embedding(timestep, 256, flip_sin_to_cos=True,
-                                   downscale_freq_shift=0)
-        temb = MLPEmbedder(c.hidden_size, c.dtype,
-                           name="time_text_embed_timestep_embedder")(
-            t_emb.astype(c.dtype))
-        temb = temb + MLPEmbedder(c.hidden_size, c.dtype,
-                                  name="time_text_embed_text_embedder")(
-            pooled.astype(c.dtype))
+        temb = _RefinerTimeText(c, name="time_text_embed")(timestep, pooled)
         x = LoraDense(c.hidden_size, dtype=c.dtype, name="proj_in")(
             text_states.astype(c.dtype))
-        for i in range(c.num_refiner_layers):
-            x = TokenRefinerBlock(c, name=f"token_refiner_refiner_blocks_{i}")(
-                x, temb[:, None, :], mask)
-        return x
+        return _RefinerStack(c, name="token_refiner")(
+            x, temb[:, None, :], mask)
 
 
 class HunyuanJointAttention(nn.Module):
@@ -238,37 +287,58 @@ class HunyuanDoubleBlock(nn.Module):
         return img, txt
 
 
-class HunyuanSingleBlock(nn.Module):
+class _HunyuanSingleAttention(nn.Module):
     cfg: HunyuanVideoConfig
 
     @nn.compact
-    def __call__(self, x, temb, rope, keep_mask, s_img: int):
+    def __call__(self, normed, rope, keep_mask, s_img: int):
         from onetrainer_tpu.ops.attention import dot_product_attention
         c = self.cfg
-        normed, gate = AdaLayerNormZeroSingle(c.hidden_size, c.dtype,
-                                              name="norm")(x, temb)
         b, s, _ = normed.shape
         cos, sin = rope
 
         def heads(t):
             return t.reshape(b, s, c.num_heads, c.head_dim)
 
-        q = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="attn_to_q")(normed))
-        k = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="attn_to_k")(normed))
-        v = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="attn_to_v")(normed))
-        q = RMSNorm(c.head_dim, c.dtype, name="attn_norm_q")(q)
-        k = RMSNorm(c.head_dim, c.dtype, name="attn_norm_k")(k)
+        q = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="to_q")(normed))
+        k = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="to_k")(normed))
+        v = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="to_v")(normed))
+        q = RMSNorm(c.head_dim, c.dtype, name="norm_q")(q)
+        k = RMSNorm(c.head_dim, c.dtype, name="norm_k")(k)
         # rope on the image prefix only
         q = jnp.concatenate([apply_rope(q[:, :s_img], cos, sin), q[:, s_img:]], 1)
         k = jnp.concatenate([apply_rope(k[:, :s_img], cos, sin), k[:, s_img:]], 1)
         mask = keep_mask[:, None, None, :] if keep_mask is not None else None
-        attn = dot_product_attention(q, k, v, mask=mask).reshape(b, s, -1)
+        return dot_product_attention(q, k, v, mask=mask).reshape(b, s, -1)
+
+
+class HunyuanSingleBlock(nn.Module):
+    cfg: HunyuanVideoConfig
+
+    @nn.compact
+    def __call__(self, x, temb, rope, keep_mask, s_img: int):
+        c = self.cfg
+        normed, gate = AdaLayerNormZeroSingle(c.hidden_size, c.dtype,
+                                              name="norm")(x, temb)
+        attn = _HunyuanSingleAttention(c, name="attn")(
+            normed, rope, keep_mask, s_img)
 
         mlp = LoraDense(4 * c.hidden_size, dtype=c.dtype, name="proj_mlp")(normed)
         mlp = nn.gelu(mlp, approximate=True)
         out = LoraDense(c.hidden_size, dtype=c.dtype, name="proj_out")(
             jnp.concatenate([attn, mlp], axis=-1))
         return x + gate[:, None] * out
+
+
+class _XEmbedder(nn.Module):
+    """Patchify projection; the diffusers conv3d (1,2,2) kernel reshapes
+    losslessly to this Dense at load (io/hunyuan_checkpoints)."""
+    cfg: HunyuanVideoConfig
+
+    @nn.compact
+    def __call__(self, packed):
+        return LoraDense(self.cfg.hidden_size, dtype=self.cfg.dtype,
+                         name="proj")(packed.astype(self.cfg.dtype))
 
 
 class HunyuanVideoTransformer3D(nn.Module):
@@ -288,27 +358,16 @@ class HunyuanVideoTransformer3D(nn.Module):
         b, t, h, w, _ = latents.shape
         packed = pack_video_latents(latents)
 
-        img = LoraDense(c.hidden_size, dtype=c.dtype, name="x_embedder_proj")(
-            packed.astype(c.dtype))
+        img = _XEmbedder(c, name="x_embedder")(packed)
         txt = TokenRefiner(c, name="context_embedder")(
             text_states, timestep.astype(jnp.float32), text_mask)
 
         if guidance is None:
             guidance = jnp.full((b,), 1000.0, jnp.float32)
-        t_emb = timestep_embedding(timestep.astype(jnp.float32), 256,
-                                   flip_sin_to_cos=True, downscale_freq_shift=0)
-        g_emb = timestep_embedding(guidance.astype(jnp.float32), 256,
-                                   flip_sin_to_cos=True, downscale_freq_shift=0)
-        temb = MLPEmbedder(c.hidden_size, c.dtype,
-                           name="time_text_embed_timestep_embedder")(
-            t_emb.astype(c.dtype))
-        if c.guidance_embeds:
-            temb = temb + MLPEmbedder(
-                c.hidden_size, c.dtype,
-                name="time_text_embed_guidance_embedder")(g_emb.astype(c.dtype))
-        temb = temb + MLPEmbedder(c.hidden_size, c.dtype,
-                                  name="time_text_embed_text_embedder")(
-            pooled.astype(c.dtype))
+        # flux TimeTextEmbed shares the diffusers layout exactly
+        # (timestep_embedder + guidance_embedder + text_embedder)
+        temb = TimeTextEmbed(c, name="time_text_embed")(
+            timestep.astype(jnp.float32), guidance.astype(jnp.float32), pooled)
 
         ids = prepare_video_ids(t, h, w)
         rope = rope_tables(ids, c.axes_dims_rope, c.rope_theta)

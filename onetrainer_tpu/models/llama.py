@@ -138,10 +138,14 @@ class LlamaEncoder(nn.Module):
         else:
             mask = causal
 
-        hidden_states = [x]
+        # transformers convention: states collected BEFORE each layer,
+        # the final entry is the post-norm output — the pre-norm last-layer
+        # output never appears (verified against torch in
+        # tests/test_torch_parity.py)
+        hidden_states = []
         for i in range(c.num_layers):
-            x = LlamaLayer(c, name=f"layers_{i}")(x, mask)
             hidden_states.append(x)
+            x = LlamaLayer(c, name=f"layers_{i}")(x, mask)
         final = LlamaRMSNorm(c.hidden_size, c.rms_norm_eps, name="norm")(x)
         hidden_states.append(final)
         return {"hidden_states": hidden_states, "last_hidden_state": final}

@@ -42,6 +42,12 @@ def sdxl_vae_config(**overrides) -> VAEConfig:
     return VAEConfig(scaling_factor=0.13025, **overrides)
 
 
+def flux_vae_config(**overrides) -> VAEConfig:
+    """FLUX / SD3 / HiDream 16-channel VAE."""
+    return VAEConfig(latent_channels=16, scaling_factor=0.3611,
+                     shift_factor=0.1159, **overrides)
+
+
 class VAEResnetBlock(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.bfloat16

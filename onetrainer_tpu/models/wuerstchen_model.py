@@ -10,6 +10,7 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 
 from onetrainer_tpu.models.clip import CLIPTextConfig, CLIPTextModel as CLIPTextEncoder
+from onetrainer_tpu.models.cascade import CascadePriorConfig, StableCascadePrior
 from onetrainer_tpu.models.wuerstchen import (
     EffnetConfig, WuerstchenEffnetEncoder, WuerstchenPrior,
     WuerstchenPriorConfig,
@@ -20,7 +21,7 @@ from onetrainer_tpu.util.enums import ModelType
 @dataclass
 class WuerstchenModel:
     model_type: ModelType
-    prior_config: WuerstchenPriorConfig
+    prior_config: WuerstchenPriorConfig | CascadePriorConfig
     effnet_config: EffnetConfig
     te_config: CLIPTextConfig
 
@@ -40,7 +41,9 @@ class WuerstchenModel:
     tokenizer: object | None = None
 
     @property
-    def prior(self) -> WuerstchenPrior:
+    def prior(self):
+        if isinstance(self.prior_config, CascadePriorConfig):
+            return StableCascadePrior(self.prior_config)
         return WuerstchenPrior(self.prior_config)
 
     @property

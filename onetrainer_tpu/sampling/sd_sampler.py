@@ -24,7 +24,8 @@ from onetrainer_tpu.util.enums import NoiseScheduler
 
 @dataclass
 class SamplerOutput:
-    image: np.ndarray  # HWC uint8
+    image: np.ndarray                     # HWC uint8 (video: first frame)
+    video: np.ndarray | None = None       # THWC uint8 when sampling video
 
 
 def sample_stable_diffusion(

@@ -28,6 +28,7 @@ class ModelFamily:
     save_model: Callable    # (setup, dir, source_dir) -> None (diffusers layout)
     save_single_file: Callable  # (setup, path) -> None (LDM safetensors)
     lora_prefixes: dict     # trainable key -> kohya prefix
+    video: bool = False     # data loader samples video clips
 
 
 # -- SD 1.5 / 2.x -------------------------------------------------------------------
@@ -75,14 +76,15 @@ def _sd_sample(setup, sample_config, on_progress):
     from onetrainer_tpu.sampling.sd_sampler import sample_stable_diffusion
     unet, te, extra = setup.merged_inference_params()
     return sample_stable_diffusion(
-        setup.model, unet, te, setup.model.vae_params, setup.tokenizer,
+        setup.model, unet, te, setup.effective_vae_params(), setup.tokenizer,
         sample_config, extra_embeddings=extra, on_update_progress=on_progress)
 
 
 def _sd_save_model(setup, out_dir, source_dir):
     from onetrainer_tpu.io.sd_checkpoints import save_sd_diffusers
     unet, te, _ = setup.merged_inference_params()
-    save_sd_diffusers(out_dir, setup.model, unet, setup.model.vae_params, te,
+    save_sd_diffusers(out_dir, setup.model, unet,
+                      setup.effective_vae_params(), te,
                       source_dir=source_dir)
 
 
@@ -94,8 +96,8 @@ def _sd_save_single_file(setup, path):
         setup.config.model_type, setup.config.training_method,
         resolution=setup.config.resolution,
         prediction_type=setup.model.prediction_type)
-    save_sd_single_file(path, setup.model, unet, setup.model.vae_params, te,
-                        metadata=meta)
+    save_sd_single_file(path, setup.model, unet,
+                        setup.effective_vae_params(), te, metadata=meta)
 
 
 # -- SDXL -----------------------------------------------------------------------------
@@ -223,10 +225,21 @@ def _flux_save_model(setup, out_dir, source_dir):
 
 
 def _flux_save_single_file(setup, path):
-    # BFL single-file layout lands with the round-2 flux convert tables;
-    # diffusers-layout output is the supported path for now
-    raise NotImplementedError(
-        "FLUX single-file export not implemented yet; use DIFFUSERS format")
+    """BFL single-file layout (reference:
+    modules/util/convert/convert_flux_diffusers_to_ckpt.py)."""
+    import numpy as _np
+    from onetrainer_tpu.io.sd_checkpoints import _to_numpy_tree
+    from onetrainer_tpu.io.single_file import flux_transformer_to_bfl
+    from onetrainer_tpu.io.torch_flax import unet_flax_to_state_dict
+    from onetrainer_tpu.util.model_spec import make_modelspec_metadata
+    transformer, *_ = setup.merged_inference_params()
+    sd = flux_transformer_to_bfl(
+        unet_flax_to_state_dict(_to_numpy_tree(transformer)))
+    meta = make_modelspec_metadata(
+        setup.config.model_type, setup.config.training_method,
+        resolution=setup.config.resolution)
+    save_safetensors(path, {k: _np.asarray(v) for k, v in sd.items()},
+                     metadata=meta)
 
 
 # -- PixArt ---------------------------------------------------------------------------
@@ -280,8 +293,140 @@ def _pixart_save_model(setup, out_dir, source_dir):
 
 
 def _pixart_save_single_file(setup, path):
+    """Original PixArt repo single-file layout (reference:
+    modules/util/convert/convert_pixart_diffusers_to_ckpt.py)."""
+    import numpy as _np
+    from onetrainer_tpu.io.sd_checkpoints import _to_numpy_tree
+    from onetrainer_tpu.io.single_file import pixart_transformer_to_ckpt
+    from onetrainer_tpu.io.torch_flax import unet_flax_to_state_dict
+    from onetrainer_tpu.util.model_spec import make_modelspec_metadata
+    transformer, *_ = setup.merged_inference_params()
+    sd = pixart_transformer_to_ckpt(
+        unet_flax_to_state_dict(_to_numpy_tree(transformer)))
+    meta = make_modelspec_metadata(
+        setup.config.model_type, setup.config.training_method,
+        resolution=setup.config.resolution)
+    save_safetensors(path, {k: _np.asarray(v) for k, v in sd.items()},
+                     metadata=meta)
+
+
+# -- HiDream ------------------------------------------------------------------------------
+
+def _hidream_load(base_dir, config):
+    import jax.numpy as jnp
+    from onetrainer_tpu.io.hidream_checkpoints import load_hidream_diffusers
+    from onetrainer_tpu.models.hidream_model import HiDreamModel
+    loaded = load_hidream_diffusers(
+        base_dir,
+        weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
+        compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
+        gradient_checkpointing=config.gradient_checkpointing.enabled(),
+    )
+    return HiDreamModel(
+        model_type=config.model_type,
+        transformer_config=loaded["transformer_config"],
+        vae_config=loaded["vae_config"],
+        te_config=loaded["te_config"], te2_config=loaded["te2_config"],
+        te3_config=loaded["te3_config"], te4_config=loaded["te4_config"],
+        transformer_params=loaded["transformer_params"],
+        vae_params=loaded["vae_params"],
+        te_params=loaded["te_params"], te2_params=loaded["te2_params"],
+        te3_params=loaded["te3_params"], te4_params=loaded["te4_params"],
+        tokenizer=loaded["tokenizer_dir"],
+        tokenizer_2=loaded["tokenizer_2_dir"],
+        tokenizer_3=loaded["tokenizer_3_dir"],
+        tokenizer_4=loaded["tokenizer_4_dir"],
+    )
+
+
+def _hidream_create_setup(model, config, total_steps, steps_per_epoch=100):
+    from onetrainer_tpu.setup.hidream_setup import create_hidream_setup
+    return create_hidream_setup(model, config, total_steps, steps_per_epoch)
+
+
+def _hidream_encode_fns(setup):
+    from onetrainer_tpu.setup.hidream_setup import make_hidream_encode_fns
+    return make_hidream_encode_fns(setup)
+
+
+def _hidream_sample(setup, sample_config, on_progress):
+    from onetrainer_tpu.sampling.hidream_sampler import sample_hidream
+    transformer, te, te2, te3, te4, extra = setup.merged_inference_params()
+    return sample_hidream(
+        setup.model, transformer, te, te2, te3, te4, setup.model.vae_params,
+        setup.tokenizer, setup.tokenizer_2, setup.tokenizer_3,
+        setup.tokenizer_4, sample_config,
+        extra_embeddings=extra, on_update_progress=on_progress)
+
+
+def _hidream_save_model(setup, out_dir, source_dir):
+    from onetrainer_tpu.io.hidream_checkpoints import save_hidream_diffusers
+    transformer, *_ = setup.merged_inference_params()
+    save_hidream_diffusers(out_dir, setup.model, transformer,
+                           source_dir=source_dir)
+
+
+def _hidream_save_single_file(setup, path):
     raise NotImplementedError(
-        "PixArt single-file export not implemented yet; use DIFFUSERS format")
+        "HiDream single-file export not implemented; use DIFFUSERS format")
+
+
+# -- HunyuanVideo ------------------------------------------------------------------------
+
+def _hunyuan_load(base_dir, config):
+    import jax.numpy as jnp
+    from onetrainer_tpu.io.hunyuan_checkpoints import load_hunyuan_diffusers
+    from onetrainer_tpu.models.hunyuan_video_model import HunyuanVideoModel
+    loaded = load_hunyuan_diffusers(
+        base_dir,
+        weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
+        compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
+        gradient_checkpointing=config.gradient_checkpointing.enabled(),
+    )
+    return HunyuanVideoModel(
+        model_type=config.model_type,
+        transformer_config=loaded["transformer_config"],
+        vae_config=loaded["vae_config"],
+        te_config=loaded["te_config"],
+        te2_config=loaded["te2_config"],
+        transformer_params=loaded["transformer_params"],
+        vae_params=loaded["vae_params"],
+        te_params=loaded["te_params"],
+        te2_params=loaded["te2_params"],
+        tokenizer=loaded["tokenizer_dir"],
+        tokenizer_2=loaded["tokenizer_2_dir"],
+    )
+
+
+def _hunyuan_create_setup(model, config, total_steps, steps_per_epoch=100):
+    from onetrainer_tpu.setup.hunyuan_setup import create_hunyuan_setup
+    return create_hunyuan_setup(model, config, total_steps, steps_per_epoch)
+
+
+def _hunyuan_encode_fns(setup):
+    from onetrainer_tpu.setup.hunyuan_setup import make_hunyuan_encode_fns
+    return make_hunyuan_encode_fns(setup)
+
+
+def _hunyuan_sample(setup, sample_config, on_progress):
+    from onetrainer_tpu.sampling.hunyuan_sampler import sample_hunyuan_video
+    transformer, te, te2, extra = setup.merged_inference_params()
+    return sample_hunyuan_video(
+        setup.model, transformer, te, te2, setup.model.vae_params,
+        setup.tokenizer, setup.tokenizer_2, sample_config,
+        extra_embeddings=extra, on_update_progress=on_progress)
+
+
+def _hunyuan_save_model(setup, out_dir, source_dir):
+    from onetrainer_tpu.io.hunyuan_checkpoints import save_hunyuan_diffusers
+    transformer, te, _, _ = setup.merged_inference_params()
+    save_hunyuan_diffusers(out_dir, setup.model, transformer, te,
+                           source_dir=source_dir)
+
+
+def _hunyuan_save_single_file(setup, path):
+    raise NotImplementedError(
+        "HunyuanVideo single-file export not implemented; use DIFFUSERS format")
 
 
 # -- Sana -------------------------------------------------------------------------------
@@ -453,8 +598,39 @@ def _sd3_save_model(setup, out_dir, source_dir):
 
 
 def _sd3_save_single_file(setup, path):
-    raise NotImplementedError(
-        "SD3 single-file export not implemented yet; use DIFFUSERS format")
+    """SAI single-file layout: vae + MMDiT + 3 TEs
+    (reference: modules/util/convert/convert_sd3_diffusers_to_ckpt.py)."""
+    import numpy as _np
+    from onetrainer_tpu.io.ldm import convert_vae_diffusers_to_ldm
+    from onetrainer_tpu.io.sd_checkpoints import _to_numpy_tree
+    from onetrainer_tpu.io.single_file import sd3_transformer_to_sai
+    from onetrainer_tpu.io.torch_flax import (
+        clip_flax_to_state_dict, t5_flax_to_state_dict,
+        unet_flax_to_state_dict, vae_flax_to_state_dict,
+    )
+    from onetrainer_tpu.util.model_spec import make_modelspec_metadata
+    transformer, te, te2, te3, _ = setup.merged_inference_params()
+    sd = {}
+    vae_sd = convert_vae_diffusers_to_ldm(
+        vae_flax_to_state_dict(_to_numpy_tree(setup.model.vae_params)))
+    sd.update({f"first_stage_model.{k}": v for k, v in vae_sd.items()})
+    sd.update({f"model.diffusion_model.{k}": v for k, v in
+               sd3_transformer_to_sai(unet_flax_to_state_dict(
+                   _to_numpy_tree(transformer))).items()})
+    if te is not None:
+        sd.update({f"text_encoders.clip_l.transformer.{k}": v for k, v in
+                   clip_flax_to_state_dict(_to_numpy_tree(te)).items()})
+    if te2 is not None:
+        sd.update({f"text_encoders.clip_g.transformer.{k}": v for k, v in
+                   clip_flax_to_state_dict(_to_numpy_tree(te2)).items()})
+    if te3 is not None:
+        sd.update({f"text_encoders.t5xxl.transformer.{k}": v for k, v in
+                   t5_flax_to_state_dict(_to_numpy_tree(te3)).items()})
+    meta = make_modelspec_metadata(
+        setup.config.model_type, setup.config.training_method,
+        resolution=setup.config.resolution)
+    save_safetensors(path, {k: _np.asarray(v) for k, v in sd.items()},
+                     metadata=meta)
 
 
 def make_eval_loss(setup, family_name: str):
@@ -498,6 +674,38 @@ def make_eval_loss(setup, family_name: str):
         def run_sd3(batch):
             return eval_loss_sd3(setup.merged_inference_params(), batch)
         return run_sd3
+
+    if family_name == "hidream":
+        from onetrainer_tpu.math.losses import flow_matching_losses
+        from onetrainer_tpu.train.hidream_train_step import hidream_predict
+
+        @jax.jit
+        def eval_loss_hd(params, batch):
+            transformer, te, te2, te3, te4, extra = params
+            data = hidream_predict(model, transformer, te, te2, te3, te4,
+                                   batch, jax.random.PRNGKey(0), cfg,
+                                   extra_embeddings=extra, deterministic=True)
+            return flow_matching_losses(batch, data, cfg.loss)
+
+        def run_hd(batch):
+            return eval_loss_hd(setup.merged_inference_params(), batch)
+        return run_hd
+
+    if family_name == "hunyuan":
+        from onetrainer_tpu.math.losses import flow_matching_losses
+        from onetrainer_tpu.train.hunyuan_train_step import hunyuan_predict
+
+        @jax.jit
+        def eval_loss_hv(params, batch):
+            transformer, te, te2, extra = params
+            data = hunyuan_predict(model, transformer, te, te2, batch,
+                                   jax.random.PRNGKey(0), cfg,
+                                   extra_embeddings=extra, deterministic=True)
+            return flow_matching_losses(batch, data, cfg.loss)
+
+        def run_hv(batch):
+            return eval_loss_hv(setup.merged_inference_params(), batch)
+        return run_hv
 
     if family_name == "sana":
         from onetrainer_tpu.math.losses import flow_matching_losses
@@ -618,6 +826,26 @@ def get_family(model_type: ModelType) -> ModelFamily:
             save_model=_sd3_save_model, save_single_file=_sd3_save_single_file,
             lora_prefixes={"transformer_lora": "lora_transformer",
                            "te_lora": "lora_te1", "te2_lora": "lora_te2"},
+        )
+    if model_type.is_hi_dream():
+        return ModelFamily(
+            name="hidream", quantization=16,
+            load=_hidream_load, create_setup=_hidream_create_setup,
+            make_encode_fns=_hidream_encode_fns, sample=_hidream_sample,
+            save_model=_hidream_save_model,
+            save_single_file=_hidream_save_single_file,
+            lora_prefixes={"transformer_lora": "lora_transformer"},
+        )
+    if model_type.is_hunyuan_video():
+        return ModelFamily(
+            name="hunyuan", quantization=32,
+            load=_hunyuan_load, create_setup=_hunyuan_create_setup,
+            make_encode_fns=_hunyuan_encode_fns, sample=_hunyuan_sample,
+            save_model=_hunyuan_save_model,
+            save_single_file=_hunyuan_save_single_file,
+            lora_prefixes={"transformer_lora": "lora_transformer",
+                           "te_lora": "lora_te1"},
+            video=True,
         )
     if model_type.is_sana():
         return ModelFamily(

@@ -1,0 +1,204 @@
+"""HiDream setup (reference: modules/modelSetup/HiDreamLoRASetup.py,
+BaseHiDreamSetup.py): 4 frozen text encoders, MoE DiT trainable."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.models.hidream_model import HiDreamModel
+from onetrainer_tpu.peft.lora import PeftConfig, apply_peft, init_peft_params
+from onetrainer_tpu.setup.sd_setup import _group_schedule
+from onetrainer_tpu.setup.tokenizer import (
+    LlamaTokenizerWrapper, SDTokenizer, T5TokenizerWrapper,
+)
+from onetrainer_tpu.train.hidream_train_step import make_hidream_train_step
+from onetrainer_tpu.train.optimizers import create_group_optimizer
+from onetrainer_tpu.train.sd_train_step import SDStepConfig
+from onetrainer_tpu.train.train_state import create_train_state
+from onetrainer_tpu.util.enums import EMAMode, TrainingMethod
+
+
+@dataclass
+class HiDreamSetup:
+    model: HiDreamModel
+    config: TrainConfig
+    tokenizer: SDTokenizer
+    tokenizer_2: SDTokenizer
+    tokenizer_3: T5TokenizerWrapper
+    tokenizer_4: LlamaTokenizerWrapper
+    peft_cfg: PeftConfig | None
+    step_cfg: SDStepConfig
+    trainable: dict
+    frozen: dict
+    tx: object
+    train_step: object
+    state: object = None
+    embedding_ids: dict = field(default_factory=dict)
+    group_schedules: dict = field(default_factory=dict)
+
+    def merged_inference_params(self, params=None):
+        params = params if params is not None else self.state.params
+        if self.config.training_method == TrainingMethod.LORA:
+            transformer = apply_peft(
+                self.frozen["transformer"], params["transformer_lora"],
+                self.peft_cfg) if "transformer_lora" in params \
+                else self.frozen["transformer"]
+        else:
+            transformer = params.get("transformer",
+                                     self.frozen.get("transformer"))
+        return (transformer, self.frozen.get("text_encoder"),
+                self.frozen.get("text_encoder_2"),
+                self.frozen.get("text_encoder_3"),
+                self.frozen.get("text_encoder_4"), params.get("embeddings"))
+
+
+def create_hidream_setup(
+        model: HiDreamModel,
+        config: TrainConfig,
+        total_steps: int = 10_000,
+        steps_per_epoch: int = 100,
+) -> HiDreamSetup:
+    method = config.training_method
+
+    def clip_wrapper(current, cfg):
+        if isinstance(current, SDTokenizer):
+            return current
+        return SDTokenizer(current, max_length=cfg.max_position_embeddings,
+                           vocab_size=cfg.vocab_size,
+                           bos=max(cfg.eos_token_id - 1, 0),
+                           eos=cfg.eos_token_id)
+
+    tokenizer = clip_wrapper(model.tokenizer, model.te_config)
+    tokenizer_2 = clip_wrapper(model.tokenizer_2, model.te2_config)
+    tokenizer_3 = model.tokenizer_3 if isinstance(model.tokenizer_3, T5TokenizerWrapper) \
+        else T5TokenizerWrapper(model.tokenizer_3, max_length=128,
+                                vocab_size=model.te3_config.vocab_size)
+    tokenizer_4 = model.tokenizer_4 if isinstance(model.tokenizer_4, LlamaTokenizerWrapper) \
+        else LlamaTokenizerWrapper(model.tokenizer_4, max_length=128,
+                                   vocab_size=model.te4_config.vocab_size)
+    model.tokenizer, model.tokenizer_2 = tokenizer, tokenizer_2
+    model.tokenizer_3, model.tokenizer_4 = tokenizer_3, tokenizer_4
+
+    trainable: dict = {}
+    frozen: dict = {"transformer": model.transformer_params,
+                    "text_encoder": model.te_params,
+                    "text_encoder_2": model.te2_params,
+                    "text_encoder_3": model.te3_params,
+                    "text_encoder_4": model.te4_params}
+    group_schedules: dict = {}
+    labels: dict = {}
+    peft_cfg = None
+
+    if method == TrainingMethod.LORA:
+        peft_cfg = PeftConfig.from_train_config(config)
+        if config.prior.train:
+            trainable["transformer_lora"] = init_peft_params(
+                jax.random.PRNGKey(0), model.transformer_params, peft_cfg)
+            group_schedules["transformer_lora"] = _group_schedule(
+                config, config.prior.learning_rate, total_steps,
+                config.prior, steps_per_epoch)
+            labels["transformer_lora"] = jax.tree.map(
+                lambda _: "transformer_lora", trainable["transformer_lora"])
+    else:
+        if config.prior.train:
+            trainable["transformer"] = frozen.pop("transformer")
+            group_schedules["transformer"] = _group_schedule(
+                config, config.prior.learning_rate, total_steps,
+                config.prior, steps_per_epoch)
+            labels["transformer"] = jax.tree.map(
+                lambda _: "transformer", trainable["transformer"])
+
+    if method == TrainingMethod.LORA and config.lora_model_name:
+        from onetrainer_tpu.peft.lora import apply_lora_checkpoint
+        peft_cfg = apply_lora_checkpoint(
+            config.lora_model_name, trainable,
+            {"transformer_lora": "lora_transformer"}, peft_cfg)
+
+    tx = create_group_optimizer(
+        group_schedules, config.optimizer.optimizer, config.optimizer, labels)
+    if config.clip_grad_norm is not None and config.clip_grad_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(config.clip_grad_norm), tx)
+    if config.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=config.gradient_accumulation_steps)
+
+    step_cfg = SDStepConfig.from_train_config(config, "flow", 0)
+    step_cfg = SDStepConfig(**{
+        **step_cfg.__dict__,
+        "vae_scaling_factor": model.vae_config.scaling_factor,
+        "vae_shift_factor": model.vae_config.shift_factor,
+        "train_text_encoder": False,
+    })
+
+    train_step = make_hidream_train_step(model, step_cfg, tx, peft_cfg)
+    state = create_train_state(trainable, tx,
+                               ema_enabled=config.ema != EMAMode.OFF)
+
+    return HiDreamSetup(
+        model=model, config=config, tokenizer=tokenizer,
+        tokenizer_2=tokenizer_2, tokenizer_3=tokenizer_3,
+        tokenizer_4=tokenizer_4, peft_cfg=peft_cfg, step_cfg=step_cfg,
+        trainable=trainable, frozen=frozen, tx=tx, train_step=train_step,
+        state=state, group_schedules=group_schedules)
+
+
+def make_hidream_encode_fns(setup: HiDreamSetup):
+    """VAE latent caching + 4-TE text caching
+    (reference: HiDreamBaseDataLoader preparation modules)."""
+    model = setup.model
+    vae_params = model.vae_params
+
+    @jax.jit
+    def _vae_encode(pixels):
+        mean, logvar = model.vae.apply({"params": vae_params}, pixels,
+                                       method=model.vae.encode)
+        return mean, logvar
+
+    def encode_images(images: np.ndarray) -> dict:
+        mean, logvar = _vae_encode(jnp.asarray(images))
+        return {"latent_image": np.asarray(mean, np.float32),
+                "latent_logvar": np.asarray(logvar, np.float32)}
+
+    te = model.te_params
+    te2 = model.te2_params
+    te3 = model.te3_params
+    te4 = model.te4_params
+
+    @jax.jit
+    def _te_encode(t1, t2, t3, t4, m4):
+        out1 = model.text_encoder.apply({"params": te}, t1[None])
+        out2 = model.text_encoder_2.apply({"params": te2}, t2[None])
+        t5 = model.text_encoder_3.apply({"params": te3}, t3[None])
+        out4 = model.text_encoder_4.apply({"params": te4}, t4[None], m4[None])
+        states = out4["hidden_states"]
+        layers = list(states[1:])
+        layers = [layer * m4[None, :, None].astype(layer.dtype)
+                  for layer in layers]
+        llama = jnp.stack(layers, axis=0)[:, 0]
+        return (out1["pooled_output"][0], out2["pooled_output"][0],
+                t5[0], llama)
+
+    def encode_text(prompt: str) -> dict:
+        t1 = setup.tokenizer(prompt)
+        t2 = setup.tokenizer_2(prompt)
+        t3 = setup.tokenizer_3(prompt)
+        t4 = setup.tokenizer_4(prompt)
+        m4 = setup.tokenizer_4.mask(t4)
+        p1, p2, t5s, llama = _te_encode(
+            jnp.asarray(t1), jnp.asarray(t2), jnp.asarray(t3),
+            jnp.asarray(t4), jnp.asarray(m4))
+        return {
+            "tokens_1": t1, "tokens_2": t2, "tokens_3": t3, "tokens_4": t4,
+            "tokens_mask_4": m4,
+            "text_encoder_1_pooled_state": np.asarray(p1, np.float32),
+            "text_encoder_2_pooled_state": np.asarray(p2, np.float32),
+            "text_encoder_3_hidden_state": np.asarray(t5s, np.float32),
+            "text_encoder_4_hidden_state": np.asarray(llama, np.float32),
+        }
+
+    return encode_images, encode_text

@@ -45,6 +45,13 @@ class SDSetup:
     embedding_ids: dict = field(default_factory=dict)   # uuid -> (start, count)
     group_schedules: dict = field(default_factory=dict)
 
+    def effective_vae_params(self):
+        """Trained VAE params when fine-tuning the VAE, else the frozen
+        ones (used by sampling/saving)."""
+        if self.state is not None and "vae" in self.state.params:
+            return self.state.params["vae"]
+        return self.model.vae_params
+
     def merged_inference_params(self, params=None):
         """(unet, te, extra_embeddings) with adapters applied, for
         sampling/saving."""
@@ -288,7 +295,17 @@ def create_sd_setup(
             embedding_ids.update(out_ids)
         frozen["unet"] = model.unet_params
         frozen["text_encoder"] = model.te_params
-    else:  # FINE_TUNE (and FINE_TUNE_VAE handled by vae setup)
+    elif method == TrainingMethod.FINE_TUNE_VAE:
+        # decode(latent) -> pixel reconstruction (reference:
+        # StableDiffusionFineTuneVaeSetup.py:68-101)
+        trainable["vae"] = model.vae_params
+        group_schedules["vae"] = _group_schedule(
+            config, config.vae.learning_rate, total_steps,
+            config.vae, steps_per_epoch)
+        labels["vae"] = jax.tree.map(lambda _: "vae", trainable["vae"])
+        frozen["unet"] = model.unet_params
+        frozen["text_encoder"] = model.te_params
+    else:  # FINE_TUNE
         if config.unet.train:
             trainable["unet"] = model.unet_params
             group_schedules["unet"] = _group_schedule(
@@ -341,7 +358,16 @@ def create_sd_setup(
         overrides["prior_preservation"] = True
     step_cfg = SDStepConfig(**{**step_cfg.__dict__, **overrides})
 
-    train_step = make_sd_train_step(model, step_cfg, tx, peft_cfg)
+    if method == TrainingMethod.FINE_TUNE_VAE:
+        from dataclasses import replace as _replace
+        from onetrainer_tpu.train.vae_train_step import make_vae_train_step
+        step_cfg = _replace(step_cfg.__class__(**step_cfg.__dict__),
+                            loss=_replace(step_cfg.loss,
+                                          masked_training=False,
+                                          vb_loss_strength=0.0))
+        train_step = make_vae_train_step(model, step_cfg, tx)
+    else:
+        train_step = make_sd_train_step(model, step_cfg, tx, peft_cfg)
     state = create_train_state(trainable, tx,
                                ema_enabled=config.ema != EMAMode.OFF)
 

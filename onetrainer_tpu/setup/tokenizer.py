@@ -8,6 +8,8 @@ models.clip.CLIPTextModel.)
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 
 
@@ -183,6 +185,63 @@ class GemmaTokenizerWrapper(T5TokenizerWrapper):
                 rest = rest2
         pieces.extend(self._encode_words(rest))
         ids = [self.bos] + pieces[: self.max_length - 1]
+        ids = ids + [self.pad] * (self.max_length - len(ids))
+        return np.asarray(ids, np.int32)
+
+    def mask(self, tokens: "np.ndarray") -> "np.ndarray":
+        return (tokens != self.pad).astype(np.int32)
+
+
+class LlamaTokenizerWrapper(T5TokenizerWrapper):
+    """Llama-3 tokenization for HunyuanVideo: the system prompt template
+    occupies exactly PROMPT_TEMPLATE_CROP_START tokens before the user
+    text (reference: HunyuanVideoModel.py DEFAULT_PROMPT_TEMPLATE,
+    max_length = 77 + crop_start). The hash fallback emits deterministic
+    filler tokens for the template so the crop boundary holds."""
+
+    CROP_START = 95
+
+    def __init__(self, tokenizer_dir: str | None = None,
+                 max_length: int = 77 + 95, vocab_size: int = 128320):
+        self.max_length = max_length
+        self.vocab_size = vocab_size
+        self.bos = 128000
+        self.eos = 128001
+        self.pad = 128001
+        self._tokenizer = None
+        if tokenizer_dir:
+            try:
+                from transformers import AutoTokenizer
+                self._tokenizer = AutoTokenizer.from_pretrained(tokenizer_dir)
+                self.vocab_size = self._tokenizer.vocab_size
+                self.bos = self._tokenizer.bos_token_id or self.bos
+                self.pad = self._tokenizer.pad_token_id or self.eos
+            except Exception as e:
+                print(f"llama tokenizer load failed ({e}); using hash fallback")
+        if self.vocab_size <= self.bos:
+            # tiny test vocabularies: fall back to low special ids
+            self.bos, self.eos, self.pad = 2, 1, 0
+        self.placeholders: dict[str, list[int]] = {}
+
+    def __call__(self, text: str) -> "np.ndarray":
+        from onetrainer_tpu.models.hunyuan_video import DEFAULT_PROMPT_TEMPLATE
+        if self._tokenizer is not None:
+            out = self._tokenizer(
+                DEFAULT_PROMPT_TEMPLATE.format(text), padding="max_length",
+                truncation=True, max_length=self.max_length)
+            return np.asarray(out["input_ids"], np.int32)
+        pieces: list[int] = []
+        rest = text
+        for ph, ids in self.placeholders.items():
+            if ph in rest:
+                before, _, rest2 = rest.partition(ph)
+                pieces.extend(self._encode_words(before))
+                pieces.extend(ids)
+                rest = rest2
+        pieces.extend(self._encode_words(rest))
+        filler = [(zlib.crc32(f"tmpl{i}".encode()) % (self.vocab_size - 4)) + 2
+                  for i in range(self.CROP_START - 1)]
+        ids = [self.bos] + filler + pieces[: self.max_length - self.CROP_START]
         ids = ids + [self.pad] * (self.max_length - len(ids))
         return np.asarray(ids, np.int32)
 

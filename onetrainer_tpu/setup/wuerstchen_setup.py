@@ -212,17 +212,26 @@ def make_wuerstchen_encode_fns(setup: WuerstchenSetup):
     if cache_te:
         te_params = model.te_params
 
+        is_cascade = model.model_type.is_stable_cascade()
+
         @jax.jit
         def _te_encode(tokens):
             out = model.text_encoder.apply({"params": te_params}, tokens[None])
             hidden = encode_clip_text(out, setup.step_cfg.text_encoder_layer_skip)
-            return apply_final_layer_norm(te_params, hidden)[0]
+            if is_cascade:
+                # Cascade: raw hidden state + pooled projection
+                # (reference: WuerstchenModel.encode_text:249-251)
+                return hidden[0], out["pooled_output"][0]
+            return apply_final_layer_norm(te_params, hidden)[0], None
 
         def encode_text(prompt: str) -> dict:
             tokens = setup.tokenizer(prompt)
-            hidden = _te_encode(jnp.asarray(tokens))
-            return {"tokens": tokens,
-                    "text_encoder_hidden_state": np.asarray(hidden, np.float32)}
+            hidden, pooled = _te_encode(jnp.asarray(tokens))
+            row = {"tokens": tokens,
+                   "text_encoder_hidden_state": np.asarray(hidden, np.float32)}
+            if pooled is not None:
+                row["pooled_text_encoder_output"] = np.asarray(pooled, np.float32)
+            return row
     else:
         def encode_text(prompt: str) -> dict:
             return {"tokens": setup.tokenizer(prompt)}

@@ -72,21 +72,36 @@ def wuerstchen_predict(model, prior_params, te_params, batch, rng,
     noisy = jnp.sqrt(ac) * scaled.astype(jnp.float32) \
         + jnp.sqrt(1.0 - ac) * noise
 
+    pooled = None
     if "text_encoder_hidden_state" in batch and not cfg.train_text_encoder:
         context = batch["text_encoder_hidden_state"]
+        pooled = batch.get("pooled_text_encoder_output")
     else:
         extra = extra_embeddings if extra_embeddings is not None \
             else batch.get("extra_embeddings")
         out = model.text_encoder.apply(
             as_variables(te_params), batch["tokens"],
             batch.get("tokens_mask"), extra)
-        # the final layer norm is applied to the picked hidden state
-        # (reference: WuerstchenModel.encode_text:243-248)
-        from onetrainer_tpu.models.clip import apply_final_layer_norm
-        context = apply_final_layer_norm(
-            te_params, encode_clip_text(out, cfg.text_encoder_layer_skip))
+        if model.model_type.is_stable_cascade():
+            # Cascade: raw hidden state + projected pooled output
+            # (reference: WuerstchenModel.encode_text:249-251)
+            context = encode_clip_text(out, cfg.text_encoder_layer_skip)
+            pooled = out["pooled_output"]
+        else:
+            # v2 applies the final layer norm to the picked hidden state
+            # (reference: WuerstchenModel.encode_text:243-248)
+            from onetrainer_tpu.models.clip import apply_final_layer_norm
+            context = apply_final_layer_norm(
+                te_params, encode_clip_text(out, cfg.text_encoder_layer_skip))
 
-    predicted = model.prior.apply(as_variables(prior_params), noisy, t, context)
+    if model.model_type.is_stable_cascade():
+        # clip_text_pooled + zero clip_img kwargs
+        # (reference: BaseWuerstchenSetup.py:246-258)
+        predicted = model.prior.apply(
+            as_variables(prior_params), noisy, t, context, pooled, None)
+    else:
+        predicted = model.prior.apply(
+            as_variables(prior_params), noisy, t, context)
 
     return {
         "loss_type": "target",

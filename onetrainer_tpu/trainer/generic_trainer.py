@@ -109,7 +109,9 @@ class GenericTrainer(BaseTrainer):
             latent_scale=self.model.vae_config.spatial_scale,
             conditioning_image=(config.model_type.has_conditioning_image_input()
                                 or config.custom_conditioning_image),
-            fill_mask_channels=(config.model_type == ModelType.FLUX_FILL_DEV_1))
+            fill_mask_channels=(config.model_type == ModelType.FLUX_FILL_DEV_1),
+            video_mode=getattr(self.family, "video", False),
+            cache_pixels=(config.training_method == TrainingMethod.FINE_TUNE_VAE))
 
         # rebuild schedules with the real epoch length
         steps_per_epoch = max(len(self.data_loader), 1)
@@ -414,6 +416,9 @@ class GenericTrainer(BaseTrainer):
                         f"{config.sample_image_format.extension()}")
                 path = os.path.join(sample_dir, name)
                 Image.fromarray(out.image).save(path)
+                if getattr(out, "video", None) is not None:
+                    from onetrainer_tpu.sampling.hunyuan_sampler import write_video
+                    write_video(os.path.splitext(path)[0] + ".mp4", out.video)
                 if self.tensorboard and config.samples_to_tensorboard:
                     self.tensorboard.add_image(
                         f"sample_{i}", out.image.transpose(2, 0, 1),

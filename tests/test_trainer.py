@@ -246,3 +246,39 @@ def test_output_embedding_e2e(tmp_path):
     sd = load_safetensors(config.output_model_destination)
     assert "output_emp_params" in sd
     assert sd["output_emp_params"].shape == (2, 32)
+
+
+def test_vae_fine_tune_e2e(tmp_path):
+    """FINE_TUNE_VAE: decode(latent) -> pixel reconstruction training
+    (reference: StableDiffusionFineTuneVaeSetup.py:68-101)."""
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    model = tiny_sd_model()
+    write_tiny_checkpoint(base, model)
+
+    config = tiny_train_config(base, ds, str(tmp_path / "ws"),
+                               str(tmp_path / "cache"))
+    from onetrainer_tpu.util.enums import ModelFormat
+    config.training_method = TrainingMethod.FINE_TUNE_VAE
+    config.epochs = 1
+    config.vae.train = True
+    config.vae.learning_rate = 1e-4
+    config.output_model_format = ModelFormat.DIFFUSERS
+    config.output_model_destination = str(tmp_path / "out_vae")
+    config.backup_before_save = False
+
+    trainer = GenericTrainer(config)
+    trainer.start()
+    assert "vae" in trainer.setup.state.params
+    before = jax.tree.leaves(jax.device_get(trainer.setup.state.params["vae"]))
+    batches = trainer.data_loader.batches_for_epoch(0)
+    trainer.data_loader.ensure_cached(batches)
+    batch = trainer.data_loader.materialize_batch(batches[0])
+    assert "image" in batch                      # pixels cached for the target
+    trainer.train()
+    trainer.end()
+    after = jax.tree.leaves(jax.device_get(trainer.setup.state.params["vae"]))
+    changed = any(not np.allclose(a, b) for a, b in zip(before, after))
+    assert changed
+    # diffusers save used the trained VAE
+    assert os.path.isdir(config.output_model_destination)

@@ -1,0 +1,184 @@
+"""HiDream end-to-end trainer run: 4-TE conditioning (CLIP-L/G pooled,
+T5, all-layer llama), MoE DiT, negated flow prediction
+(reference: BaseHiDreamSetup.py:281-400)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onetrainer_tpu.config.concept_config import ConceptConfig
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.io.hidream_checkpoints import (
+    hidream_flax_to_state_dict, hidream_state_dict_to_flax,
+)
+from onetrainer_tpu.io.hunyuan_checkpoints import llama_flax_to_state_dict
+from onetrainer_tpu.io.safetensors_io import load_safetensors, save_safetensors
+from onetrainer_tpu.io.torch_flax import (
+    clip_flax_to_state_dict, t5_flax_to_state_dict, vae_flax_to_state_dict,
+)
+from onetrainer_tpu.models.clip import CLIPTextConfig
+from onetrainer_tpu.models.hidream import HiDreamConfig
+from onetrainer_tpu.models.hidream_model import HiDreamModel
+from onetrainer_tpu.models.llama import LlamaConfig
+from onetrainer_tpu.models.t5 import T5Config
+from onetrainer_tpu.models.vae import VAEConfig
+from onetrainer_tpu.trainer.generic_trainer import GenericTrainer
+from onetrainer_tpu.util.enums import (
+    EMAMode, ModelType, TimeUnit, TrainingMethod,
+)
+from tests.test_data import make_dataset
+
+
+def tiny_hidream_model():
+    return HiDreamModel(
+        model_type=ModelType.HI_DREAM_FULL,
+        transformer_config=HiDreamConfig(
+            in_channels=4, out_channels=4, num_layers=1, num_single_layers=1,
+            hidden_size=32, num_heads=4, head_dim=8, t5_dim=16, llama_dim=16,
+            pooled_dim=24, num_routed_experts=2, num_activated_experts=1,
+            axes_dims_rope=(4, 2, 2), dtype=jnp.float32),
+        vae_config=VAEConfig(block_out_channels=(32, 64), layers_per_block=1,
+                             latent_channels=4, dtype=jnp.float32),
+        te_config=CLIPTextConfig(
+            vocab_size=100, hidden_size=12, intermediate_size=24,
+            num_layers=1, num_heads=2, max_position_embeddings=16,
+            eos_token_id=99, projection_dim=8, dtype=jnp.float32),
+        te2_config=CLIPTextConfig(
+            vocab_size=100, hidden_size=12, intermediate_size=24,
+            num_layers=1, num_heads=2, max_position_embeddings=16,
+            eos_token_id=99, projection_dim=16, dtype=jnp.float32),
+        te3_config=T5Config(vocab_size=110, d_model=16, d_kv=4, d_ff=32,
+                            num_layers=1, num_heads=4, dtype=jnp.float32),
+        te4_config=LlamaConfig(
+            vocab_size=130, hidden_size=16, intermediate_size=32,
+            num_layers=2, num_heads=2, num_kv_heads=1, head_dim=8,
+            max_length=100, dtype=jnp.float32),
+    )
+
+
+def write_tiny_hidream_checkpoint(base_dir, model):
+    rng = jax.random.PRNGKey(0)
+    n_llama_layers = 2
+    transformer_params = model.transformer.init(
+        rng, jnp.zeros((1, 16, 16)), jnp.asarray([500]),
+        jnp.zeros((1, 5, 16)), jnp.zeros((n_llama_layers, 1, 6, 16)),
+        jnp.zeros((1, 24)), jnp.zeros((16, 3)))["params"]
+    te = model.text_encoder.init(rng, jnp.zeros((1, 6), jnp.int32))["params"]
+    te2 = model.text_encoder_2.init(rng, jnp.zeros((1, 6), jnp.int32))["params"]
+    te3 = model.text_encoder_3.init(rng, jnp.zeros((1, 6), jnp.int32))["params"]
+    te4 = model.text_encoder_4.init(rng, jnp.zeros((1, 6), jnp.int32))["params"]
+    vae = model.vae.init(rng, jnp.zeros((1, 16, 16, 3)), rng)["params"]
+
+    def write(component, sd, config,
+              weights_name="diffusion_pytorch_model.safetensors"):
+        d = os.path.join(base_dir, component)
+        os.makedirs(d, exist_ok=True)
+        save_safetensors(os.path.join(d, weights_name),
+                         {k: np.asarray(v) for k, v in sd.items()})
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(config, f)
+
+    write("transformer",
+          hidream_flax_to_state_dict(jax.device_get(transformer_params)), {
+              "in_channels": 4, "out_channels": 4, "num_layers": 1,
+              "num_single_layers": 1, "num_attention_heads": 4,
+              "attention_head_dim": 8, "caption_channels": [16, 16],
+              "text_emb_dim": 24, "num_routed_experts": 2,
+              "num_activated_experts": 1, "axes_dims_rope": [4, 2, 2],
+          })
+    write("vae", vae_flax_to_state_dict(jax.device_get(vae)), {
+        "in_channels": 3, "out_channels": 3, "latent_channels": 4,
+        "block_out_channels": [32, 64], "layers_per_block": 1,
+        "scaling_factor": 0.3611, "shift_factor": 0.1159,
+    })
+    write("text_encoder", clip_flax_to_state_dict(jax.device_get(te)), {
+        "vocab_size": 100, "hidden_size": 12, "intermediate_size": 24,
+        "num_hidden_layers": 1, "num_attention_heads": 2,
+        "max_position_embeddings": 16, "eos_token_id": 99,
+        "projection_dim": 8, "hidden_act": "gelu",
+        "architectures": ["CLIPTextModelWithProjection"],
+    }, weights_name="model.safetensors")
+    write("text_encoder_2", clip_flax_to_state_dict(jax.device_get(te2)), {
+        "vocab_size": 100, "hidden_size": 12, "intermediate_size": 24,
+        "num_hidden_layers": 1, "num_attention_heads": 2,
+        "max_position_embeddings": 16, "eos_token_id": 99,
+        "projection_dim": 16, "hidden_act": "gelu",
+        "architectures": ["CLIPTextModelWithProjection"],
+    }, weights_name="model.safetensors")
+    write("text_encoder_3", t5_flax_to_state_dict(jax.device_get(te3)), {
+        "vocab_size": 110, "d_model": 16, "d_kv": 4, "d_ff": 32,
+        "num_layers": 1, "num_heads": 4,
+    }, weights_name="model.safetensors")
+    write("text_encoder_4", llama_flax_to_state_dict(jax.device_get(te4)), {
+        "vocab_size": 130, "hidden_size": 16, "intermediate_size": 32,
+        "num_hidden_layers": 2, "num_attention_heads": 2,
+        "num_key_value_heads": 1, "head_dim": 8,
+    }, weights_name="model.safetensors")
+
+
+def test_hidream_key_roundtrip():
+    model = tiny_hidream_model()
+    rng = jax.random.PRNGKey(0)
+    params = model.transformer.init(
+        rng, jnp.zeros((1, 16, 16)), jnp.asarray([500]),
+        jnp.zeros((1, 5, 16)), jnp.zeros((2, 1, 6, 16)),
+        jnp.zeros((1, 24)), jnp.zeros((16, 3)))["params"]
+    sd = hidream_flax_to_state_dict(jax.device_get(params))
+    assert any(k.startswith("double_stream_blocks.0.adaLN_modulation.1.")
+               for k in sd)
+    assert any(".ff_i.experts.0.w1." in k for k in sd)
+    assert "final_layer.linear.weight" in sd
+    assert any(k.startswith("caption_projection.0.") for k in sd)
+    back = hidream_state_dict_to_flax(sd)
+    for a, b in zip(jax.tree.leaves(jax.device_get(params)),
+                    jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_hidream_e2e_lora(tmp_path):
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    model = tiny_hidream_model()
+    write_tiny_hidream_checkpoint(base, model)
+
+    config = TrainConfig.default_values()
+    config.model_type = ModelType.HI_DREAM_FULL
+    config.training_method = TrainingMethod.LORA
+    config.base_model_name = base
+    config.workspace_dir = str(tmp_path / "ws")
+    config.cache_dir = str(tmp_path / "cache")
+    config.epochs = 1
+    config.batch_size = 2
+    config.resolution = "16"
+    config.aspect_ratio_bucketing = False
+    config.lora_rank = 4
+    config.lora_layers = "attn1"
+    config.learning_rate = 1e-3
+    config.learning_rate_warmup_steps = 0.0
+    config.tensorboard = False
+    config.sample_after_unit = TimeUnit.NEVER
+    config.backup_after_unit = TimeUnit.NEVER
+    config.save_every_unit = TimeUnit.NEVER
+    config.ema = EMAMode.OFF
+    config.optimizer.stochastic_rounding = False
+    config.prior.train = True
+    config.text_encoder.train = False
+    config.samples = []
+    concept = ConceptConfig.default_values()
+    concept.path = ds
+    concept.seed = 3
+    config.concepts = [concept]
+    config.output_model_destination = str(tmp_path / "out_hd.safetensors")
+    config.backup_before_save = False
+
+    trainer = GenericTrainer(config)
+    trainer.start()
+    trainer.train()
+    trainer.end()
+
+    assert trainer.train_progress.global_step >= 2
+    sd = load_safetensors(config.output_model_destination)
+    assert any(k.startswith("lora_transformer_") for k in sd)

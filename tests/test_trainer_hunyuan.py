@@ -1,0 +1,197 @@
+"""HunyuanVideo end-to-end trainer run: video clips through the causal 3D
+VAE, Llama+CLIP conditioning, 5-D flow matching
+(reference: BaseHunyuanVideoSetup.py:220-290)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onetrainer_tpu.config.concept_config import ConceptConfig
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.io.hunyuan_checkpoints import (
+    hunyuan_flax_to_state_dict, hunyuan_state_dict_to_flax,
+    llama_flax_to_state_dict, video_vae_flax_to_state_dict,
+)
+from onetrainer_tpu.io.safetensors_io import load_safetensors, save_safetensors
+from onetrainer_tpu.io.torch_flax import clip_flax_to_state_dict
+from onetrainer_tpu.models.clip import CLIPTextConfig
+from onetrainer_tpu.models.hunyuan_video import HunyuanVideoConfig
+from onetrainer_tpu.models.hunyuan_video_model import HunyuanVideoModel
+from onetrainer_tpu.models.llama import LlamaConfig
+from onetrainer_tpu.models.video_vae import VideoVAEConfig
+from onetrainer_tpu.trainer.generic_trainer import GenericTrainer
+from onetrainer_tpu.util.enums import (
+    EMAMode, ModelType, TimeUnit, TrainingMethod,
+)
+
+
+def make_video_dataset(root, n_videos=2, n_images=2, frames=9, size=32):
+    import cv2
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n_videos):
+        path = os.path.join(root, f"vid{i}.mp4")
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), 8.0, (size, size))
+        for _ in range(frames):
+            writer.write((rng.random((size, size, 3)) * 255).astype(np.uint8))
+        writer.release()
+        with open(os.path.join(root, f"vid{i}.txt"), "w") as f:
+            f.write(f"a video of thing {i}")
+    from PIL import Image
+    for i in range(n_images):
+        arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(root, f"img{i}.png"))
+        with open(os.path.join(root, f"img{i}.txt"), "w") as f:
+            f.write(f"a photo of thing {i}")
+    return root
+
+
+def tiny_hunyuan_model():
+    return HunyuanVideoModel(
+        model_type=ModelType.HUNYUAN_VIDEO,
+        transformer_config=HunyuanVideoConfig(
+            num_layers=1, num_single_layers=1, num_refiner_layers=1,
+            hidden_size=48, num_heads=4, head_dim=12,
+            text_embed_dim=24, pooled_projection_dim=16,
+            axes_dims_rope=(4, 4, 4), dtype=jnp.float32),
+        vae_config=VideoVAEConfig(
+            block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+            latent_channels=16, dtype=jnp.float32),
+        te_config=LlamaConfig(
+            vocab_size=130, hidden_size=24, intermediate_size=48,
+            num_layers=2, num_heads=2, num_kv_heads=1, head_dim=12,
+            max_length=100, dtype=jnp.float32),
+        te2_config=CLIPTextConfig(
+            vocab_size=100, hidden_size=16, intermediate_size=32,
+            num_layers=2, num_heads=2, max_position_embeddings=16,
+            eos_token_id=99, projection_dim=16, dtype=jnp.float32),
+    )
+
+
+def write_tiny_hunyuan_checkpoint(base_dir, model):
+    rng = jax.random.PRNGKey(0)
+    transformer_params = model.transformer.init(
+        rng, jnp.zeros((1, 2, 4, 4, 16)), jnp.asarray([500.0]),
+        jnp.zeros((1, 5, 24)), jnp.ones((1, 5), jnp.int32),
+        jnp.zeros((1, 16)))["params"]
+    te = model.text_encoder.init(rng, jnp.zeros((1, 6), jnp.int32))["params"]
+    te2 = model.text_encoder_2.init(rng, jnp.zeros((1, 6), jnp.int32))["params"]
+    vae = jax.jit(lambda r: model.vae.init(
+        r, jnp.zeros((1, 1, 32, 32, 3)), jax.random.PRNGKey(1)))(rng)["params"]
+
+    def write(component, sd, config,
+              weights_name="diffusion_pytorch_model.safetensors"):
+        d = os.path.join(base_dir, component)
+        os.makedirs(d, exist_ok=True)
+        save_safetensors(os.path.join(d, weights_name),
+                         {k: np.asarray(v) for k, v in sd.items()})
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(config, f)
+
+    write("transformer",
+          hunyuan_flax_to_state_dict(jax.device_get(transformer_params)), {
+              "in_channels": 16, "out_channels": 16, "num_layers": 1,
+              "num_single_layers": 1, "num_refiner_layers": 1,
+              "num_attention_heads": 4, "attention_head_dim": 12,
+              "text_embed_dim": 24, "pooled_projection_dim": 16,
+              "rope_axes_dim": [4, 4, 4], "guidance_embeds": True,
+          })
+    write("vae", video_vae_flax_to_state_dict(jax.device_get(vae)), {
+        "in_channels": 3, "latent_channels": 16,
+        "block_out_channels": [8, 16, 16, 16], "layers_per_block": 1,
+        "temporal_compression_ratio": 4, "spatial_compression_ratio": 8,
+        "scaling_factor": 0.476986,
+    })
+    write("text_encoder", llama_flax_to_state_dict(jax.device_get(te)), {
+        "vocab_size": 130, "hidden_size": 24, "intermediate_size": 48,
+        "num_hidden_layers": 2, "num_attention_heads": 2,
+        "num_key_value_heads": 1, "head_dim": 12,
+    }, weights_name="model.safetensors")
+    write("text_encoder_2", clip_flax_to_state_dict(jax.device_get(te2)), {
+        "vocab_size": 100, "hidden_size": 16, "intermediate_size": 32,
+        "num_hidden_layers": 2, "num_attention_heads": 2,
+        "max_position_embeddings": 16, "eos_token_id": 99,
+        "projection_dim": 16, "hidden_act": "gelu",
+        "architectures": ["CLIPTextModelWithProjection"],
+    }, weights_name="model.safetensors")
+
+
+def test_hunyuan_transformer_key_roundtrip():
+    model = tiny_hunyuan_model()
+    rng = jax.random.PRNGKey(0)
+    params = model.transformer.init(
+        rng, jnp.zeros((1, 2, 4, 4, 16)), jnp.asarray([500.0]),
+        jnp.zeros((1, 5, 24)), jnp.ones((1, 5), jnp.int32),
+        jnp.zeros((1, 16)))["params"]
+    sd = hunyuan_flax_to_state_dict(jax.device_get(params))
+    assert sd["x_embedder.proj.weight"].shape == (48, 16, 1, 2, 2)
+    assert "context_embedder.token_refiner.refiner_blocks.0.attn.to_q.weight" in sd
+    assert "context_embedder.time_text_embed.timestep_embedder.linear_1.weight" in sd
+    assert "transformer_blocks.0.attn.add_q_proj.weight" in sd
+    assert "single_transformer_blocks.0.attn.to_q.weight" in sd
+    assert "time_text_embed.guidance_embedder.linear_1.weight" in sd
+    back = hunyuan_state_dict_to_flax(sd)
+    for a, b in zip(jax.tree.leaves(jax.device_get(params)),
+                    jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_hunyuan_video_e2e_lora(tmp_path):
+    base = str(tmp_path / "ckpt")
+    ds = make_video_dataset(str(tmp_path / "ds"))
+    model = tiny_hunyuan_model()
+    write_tiny_hunyuan_checkpoint(base, model)
+
+    config = TrainConfig.default_values()
+    config.model_type = ModelType.HUNYUAN_VIDEO
+    config.training_method = TrainingMethod.LORA
+    config.base_model_name = base
+    config.workspace_dir = str(tmp_path / "ws")
+    config.cache_dir = str(tmp_path / "cache")
+    config.epochs = 1
+    config.batch_size = 2
+    config.resolution = "32"
+    config.frames = "9"
+    config.aspect_ratio_bucketing = False
+    config.lora_rank = 4
+    config.lora_layers = "attn"
+    config.learning_rate = 1e-3
+    config.learning_rate_warmup_steps = 0.0
+    config.tensorboard = False
+    config.sample_after_unit = TimeUnit.NEVER
+    config.backup_after_unit = TimeUnit.NEVER
+    config.save_every_unit = TimeUnit.NEVER
+    config.ema = EMAMode.OFF
+    config.optimizer.stochastic_rounding = False
+    config.prior.train = True
+    config.text_encoder.train = False
+    config.samples = []
+    concept = ConceptConfig.default_values()
+    concept.path = ds
+    concept.seed = 3
+    config.concepts = [concept]
+    config.output_model_destination = str(tmp_path / "out_hv.safetensors")
+    config.backup_before_save = False
+
+    trainer = GenericTrainer(config)
+    trainer.start()
+    batches = trainer.data_loader.batches_for_epoch(0)
+    trainer.data_loader.ensure_cached(batches)
+    shapes = set()
+    for batch_samples in batches:
+        batch = trainer.data_loader.materialize_batch(batch_samples)
+        shapes.add(batch["latent_image"].shape[1:])
+    # video clips: 9 frames -> 3 latent frames; images -> 1 latent frame
+    assert (3, 4, 4, 16) in shapes
+    assert (1, 4, 4, 16) in shapes
+    trainer.train()
+    trainer.end()
+
+    assert trainer.train_progress.global_step >= 2
+    sd = load_safetensors(config.output_model_destination)
+    assert any(k.startswith("lora_transformer_") for k in sd)

@@ -151,3 +151,67 @@ def test_wuerstchen_e2e_lora(tmp_path):
     assert trainer.train_progress.global_step >= 2
     sd = load_safetensors(config.output_model_destination)
     assert any(k.startswith("lora_prior_") for k in sd)
+
+
+def test_stable_cascade_prior_step():
+    """Cascade prior: +0.001 timestep warp, unscaled latents, pooled-text
+    conditioning with zero clip_img (reference: BaseWuerstchenSetup.py:
+    183-270 cascade branches)."""
+    import optax
+
+    from onetrainer_tpu.math.losses import LossConfig
+    from onetrainer_tpu.math.timesteps import TimestepConfig
+    from onetrainer_tpu.models.cascade import CascadePriorConfig
+    from onetrainer_tpu.peft.lora import PeftConfig, init_peft_params
+    from onetrainer_tpu.train.sd_train_step import SDStepConfig
+    from onetrainer_tpu.train.train_state import create_train_state
+    from onetrainer_tpu.train.wuerstchen_train_step import (
+        make_wuerstchen_train_step, warp_timestep,
+    )
+    from onetrainer_tpu.util.enums import TrainingMethod
+
+    # timestep warp semantics
+    t = jnp.asarray([0.0, 0.5, 1.0])
+    np.testing.assert_allclose(
+        np.asarray(warp_timestep(t, ModelType.STABLE_CASCADE_1)),
+        [0.001, 0.501, 1.0], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(warp_timestep(t, ModelType.WUERSTCHEN_2)),
+        [0.001, 0.541, 1.0], atol=1e-6)
+
+    model = WuerstchenModel(
+        model_type=ModelType.STABLE_CASCADE_1,
+        prior_config=CascadePriorConfig(
+            c_in=16, c_hidden=(32, 48), nhead=(4, 4), blocks=(1, 1),
+            c_cond=32, clip_text_in=24, clip_text_pooled_in=24,
+            clip_image_in=16, dtype=jnp.float32),
+        effnet_config=EffnetConfig(dtype=jnp.float32),
+        te_config=CLIPTextConfig(
+            vocab_size=100, hidden_size=24, intermediate_size=48,
+            num_layers=2, num_heads=4, max_position_embeddings=16,
+            eos_token_id=99, projection_dim=24, dtype=jnp.float32),
+    )
+    rng = jax.random.PRNGKey(0)
+    prior_params = model.prior.init(
+        rng, jnp.zeros((1, 8, 8, 16)), jnp.asarray([0.5]),
+        jnp.zeros((1, 6, 24)), jnp.zeros((1, 24)), None)["params"]
+    te_params = model.text_encoder.init(
+        rng, jnp.zeros((1, 6), jnp.int32))["params"]
+
+    peft_cfg = PeftConfig(rank=2, layer_filter=("attention",))
+    adapters = init_peft_params(jax.random.PRNGKey(1), prior_params, peft_cfg)
+    cfg = SDStepConfig(
+        training_method=TrainingMethod.LORA, timestep=TimestepConfig(),
+        loss=LossConfig(vb_loss_strength=0.0), train_text_encoder=True,
+        stochastic_rounding=False)
+    tx = optax.adamw(1e-3)
+    state = create_train_state({"prior_lora": adapters}, tx)
+    step = make_wuerstchen_train_step(model, cfg, tx, peft_cfg)
+    batch = {
+        "latent_image": jax.random.normal(rng, (2, 8, 8, 16)),
+        "loss_weight": jnp.ones((2,)),
+        "tokens": jnp.tile(jnp.asarray([[1, 5, 7, 99, 0, 0]], jnp.int32), (2, 1)),
+    }
+    frozen = {"prior": prior_params, "text_encoder": te_params}
+    state, metrics = step(state, frozen, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
