@@ -61,11 +61,14 @@ class LinuxCloud:
         return " && ".join(parts) if parts else "true"
 
     def train_command(self) -> str:
-        workspace = f"{self.cloud.remote_dir}/{self.cloud.run_id}-workspace"
         log = f"{self.cloud.remote_dir}/{self.cloud.run_id}.log"
+        events = f"{self.cloud.remote_dir}/{self.cloud.run_id}-events.jsonl"
+        cmds = f"{self.cloud.remote_dir}/{self.cloud.run_id}-commands.json"
         inner = (f"cd {shlex.quote(self.cloud.onetrainer_dir)} && "
-                 f"python scripts/train.py --config-path "
-                 f"{shlex.quote(self.remote_config_path())}")
+                 f"python scripts/train_remote.py --config-path "
+                 f"{shlex.quote(self.remote_config_path())} "
+                 f"--callback-path {shlex.quote(events)} "
+                 f"--command-path {shlex.quote(cmds)}")
         if self.cloud.detach_trainer:
             return f"nohup bash -c {shlex.quote(inner)} > {shlex.quote(log)} 2>&1 &"
         return f"{inner} 2>&1 | tee {shlex.quote(log)}"

@@ -93,6 +93,13 @@ def augment_image(
         image = _adjust_hue(image, _rand_strength(
             rng, ic.random_hue_max_strength, ic.enable_fixed_hue))
 
+    if mask is not None and ic.enable_random_circular_mask_shrink:
+        mask = random_circular_mask_shrink(mask, rng)
+    if mask is not None and ic.enable_random_mask_rotate_crop:
+        image, mask = random_mask_rotate_crop(
+            image, mask, rng,
+            min_size=min(image.shape[0], image.shape[1]) // 2)
+
     return image.astype(np.float32), mask
 
 
@@ -112,6 +119,52 @@ def random_circular_mask_shrink(mask: np.ndarray, rng) -> np.ndarray:
     out = mask.copy()
     out[..., 0] = np.where(circle, mask[..., 0], 0.0)
     return out
+
+
+def random_mask_rotate_crop(image: np.ndarray, mask: np.ndarray, rng,
+                            min_size: int = 512,
+                            min_padding_percent: float = 10.0,
+                            max_padding_percent: float = 30.0,
+                            max_rotate_angle: float = 20.0):
+    """Rotate image+mask by a random small angle, then crop to the masked
+    region's bounding box with random padding — focuses training on the
+    masked area (reference: mgds RandomMaskRotateCrop, used at
+    DataLoaderText2ImageMixin.py:127 with min_padding 10%, max 30%,
+    max angle 20)."""
+    angle = float(rng.uniform(-max_rotate_angle, max_rotate_angle))
+    if abs(angle) > 1e-3:
+        pil = Image.fromarray((image * 255).astype(np.uint8))
+        image = np.asarray(pil.rotate(angle, resample=Image.BILINEAR),
+                           np.float32) / 255.0
+        mp = Image.fromarray((mask[..., 0] * 255).astype(np.uint8))
+        mask = (np.asarray(mp.rotate(angle, resample=Image.NEAREST),
+                           np.float32) / 255.0)[..., None]
+
+    ys, xs = np.nonzero(mask[..., 0] > 0.5)
+    if len(ys) == 0:
+        return image, mask
+    h, w = mask.shape[:2]
+    y0, y1 = int(ys.min()), int(ys.max()) + 1
+    x0, x1 = int(xs.min()), int(xs.max()) + 1
+
+    def pad(extent):
+        frac = float(rng.uniform(min_padding_percent, max_padding_percent)) / 100.0
+        return int(round(extent * frac))
+
+    y0 = max(0, y0 - pad(y1 - y0))
+    y1 = min(h, y1 + pad(y1 - y0))
+    x0 = max(0, x0 - pad(x1 - x0))
+    x1 = min(w, x1 + pad(x1 - x0))
+    # enforce a minimum crop size (expand symmetrically, clamped)
+    if y1 - y0 < min_size:
+        grow = min_size - (y1 - y0)
+        y0 = max(0, y0 - grow // 2)
+        y1 = min(h, y0 + max(min_size, y1 - y0))
+    if x1 - x0 < min_size:
+        grow = min_size - (x1 - x0)
+        x0 = max(0, x0 - grow // 2)
+        x1 = min(w, x0 + max(min_size, x1 - x0))
+    return image[y0:y1, x0:x1], mask[y0:y1, x0:x1]
 
 
 # -- text -------------------------------------------------------------------------

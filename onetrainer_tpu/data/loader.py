@@ -151,6 +151,15 @@ class Text2ImageDataLoader:
             include_validation=include_validation,
             allow_videos=video_mode,
         )
+        if not self.entries and not include_validation:
+            # fail loudly: a loader with no samples would otherwise "train"
+            # zero steps per epoch and silently save an untrained model
+            paths = [c.path for c in concepts if getattr(c, "enabled", True)]
+            raise ValueError(
+                "no training samples found; check concept paths "
+                f"(concepts={len(concepts)}, enabled paths={paths}). If the "
+                "config JSON came from to_settings_dict, concepts live in "
+                "the separate concept_file_name file.")
 
         self.resolutions = parse_resolutions(config.resolution)
         self.buckets: list[tuple[int, int]] = []
@@ -458,8 +467,9 @@ class Text2ImageDataLoader:
             try:
                 for batch in pending:
                     q.put(self.materialize_batch(batch))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # propagate to the consumer thread
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -467,4 +477,6 @@ class Text2ImageDataLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

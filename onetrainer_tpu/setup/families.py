@@ -792,6 +792,55 @@ def make_eval_loss(setup, family_name: str):
     return run
 
 
+def make_debug_data(setup, family_name: str):
+    """Deterministic predict() outputs for debug-mode dumps
+    (reference: ModelSetupDebugMixin — the reference dumps these inside
+    predict(); here a separate jitted pass keeps the hot step clean)."""
+    import jax
+
+    model = setup.model
+    cfg = setup.step_cfg
+
+    if family_name == "sd":
+        from onetrainer_tpu.train.sd_train_step import sd_predict
+        coefficients = model.coefficients()
+
+        @jax.jit
+        def debug_sd(params, batch):
+            unet, te, extra = params
+            if extra is not None:
+                batch = dict(batch, extra_embeddings=extra)
+            data, _ = sd_predict(model.unet.apply, model.text_encoder.apply,
+                                 unet, te, batch, jax.random.PRNGKey(0), cfg,
+                                 coefficients, deterministic=True)
+            return {k: v for k, v in data.items()
+                    if hasattr(v, "ndim")}
+
+        def run(batch):
+            return jax.device_get(
+                debug_sd(setup.merged_inference_params(), batch))
+        return run
+
+    if family_name == "sdxl":
+        from onetrainer_tpu.train.sdxl_train_step import sdxl_predict
+        coefficients = model.coefficients()
+
+        @jax.jit
+        def debug_sdxl(params, batch):
+            unet, te, te2, extra = params
+            data = sdxl_predict(model, unet, te, te2, batch,
+                                jax.random.PRNGKey(0), cfg, coefficients,
+                                extra, deterministic=True)
+            return {k: v for k, v in data.items() if hasattr(v, "ndim")}
+
+        def run_xl(batch):
+            return jax.device_get(
+                debug_sdxl(setup.merged_inference_params(), batch))
+        return run_xl
+
+    return None   # other families: debug dumps not wired yet
+
+
 def get_family(model_type: ModelType) -> ModelFamily:
     if model_type.is_stable_diffusion():
         return ModelFamily(

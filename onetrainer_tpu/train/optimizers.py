@@ -8,9 +8,9 @@ TPU notes:
   (reference: modules/util/optimizer/adamw_extensions.py) is unnecessary:
   the whole optimizer update is one fused XLA program inside the jitted
   train step. The config flag is accepted and ignored.
-- 8-bit variants currently alias their full-precision counterpart
-  (block-wise int8 state quantization is on the roadmap as a Pallas
-  kernel); training still runs with identical semantics, using more HBM.
+- 8-bit variants persist optimizer-state leaves as block-wise int8 with
+  per-block absmax scales (ops/quant_opt.py), dequantizing transiently
+  inside the fused update — the bitsandbytes-8bit equivalent.
 - bf16 stochastic rounding is applied at the param update
   (see ops/stochastic.py), not inside each optimizer.
 """
@@ -189,7 +189,20 @@ def create_optimizer(
     `learning_rate` may be a float or a traceable step->lr schedule.
     Hyperparameter defaults follow the reference's per-optimizer tables
     (reference: modules/util/optimizer_util.py OPTIMIZER_DEFAULT_PARAMETERS).
-    """
+    _8BIT variants persist their large state leaves as block-wise int8
+    (ops/quant_opt.py — the bitsandbytes 8-bit optimizer equivalent)."""
+    tx = _create_base_optimizer(optimizer, cfg, learning_rate)
+    if optimizer.value.endswith("_8BIT"):
+        from onetrainer_tpu.ops.quant_opt import int8_optimizer_state
+        tx = int8_optimizer_state(tx)
+    return tx
+
+
+def _create_base_optimizer(
+        optimizer: Optimizer,
+        cfg: TrainOptimizerConfig,
+        learning_rate: ScheduleOrFloat,
+) -> optax.GradientTransformation:
     lr = learning_rate
     wd = _d(cfg.weight_decay, 0.0)
 

@@ -433,6 +433,8 @@ class GenericTrainer(BaseTrainer):
         config = self.config
         progress = self.train_progress
         rng = jax.random.PRNGKey(42)
+        from onetrainer_tpu.util.profiling import StepProfiler
+        profiler = StepProfiler(os.path.join(config.workspace_dir, "profile"))
 
         for epoch in range(progress.epoch, config.epochs):
             self.callbacks.on_update_status(f"epoch {epoch}: caching")
@@ -488,13 +490,39 @@ class GenericTrainer(BaseTrainer):
                 self.setup.state, metrics = self.setup.train_step(
                     self.setup.state, self.setup.frozen, batch, rng)
 
+                if config.debug_mode:
+                    self._debug_dump(batch)
+
+                profiler.maybe_start(progress.global_step)
                 loss = float(metrics["loss"])
+                profiler.maybe_stop(progress.global_step)
                 self._log_metrics(loss, metrics)
                 progress.next_step(config.batch_size)
                 self.callbacks.on_update_train_progress(
                     progress, len(self.data_loader), config.epochs)
 
             progress.next_epoch()
+        profiler.close()
+
+    def _debug_dump(self, batch):
+        """Per-step decoded artifact dumps when config.debug_mode is on
+        (reference: ModelSetupDebugMixin.py:11-69, config.debug_dir)."""
+        try:
+            if not hasattr(self, "_debug_data_fn"):
+                from onetrainer_tpu.setup.families import make_debug_data
+                self._debug_data_fn = make_debug_data(
+                    self.setup, self.family.name)
+            if self._debug_data_fn is None:
+                return
+            from onetrainer_tpu.util.debug_dump import dump_training_batch
+            data = self._debug_data_fn(batch)
+            dump_training_batch(
+                data, {k: np.asarray(v) for k, v in batch.items()},
+                self.config.debug_dir or os.path.join(
+                    self.config.workspace_dir, "debug"),
+                self.train_progress.global_step)
+        except Exception:
+            traceback.print_exc()
 
     def _log_metrics(self, loss: float, metrics: dict):
         progress = self.train_progress
@@ -522,6 +550,10 @@ class GenericTrainer(BaseTrainer):
             if d is not None:
                 lr *= d
             self.tensorboard.add_scalar(f"lr/{name}", lr, step)
+        if step % 50 == 0:
+            from onetrainer_tpu.util.profiling import device_memory_stats
+            for tag, value in device_memory_stats().items():
+                self.tensorboard.add_scalar(tag, value, step)
         state = self.setup.state
         if state.ema is not None:
             from onetrainer_tpu.train.ema import ema_decay as _ema_decay

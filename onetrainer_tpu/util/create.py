@@ -16,9 +16,8 @@ from onetrainer_tpu.util.enums import ModelType, TrainingMethod
 def create_trainer(config: TrainConfig, callbacks: TrainCallbacks | None = None,
                    commands: TrainCommands | None = None):
     if config.cloud.enabled:
-        raise NotImplementedError(
-            "cloud-delegated training is not implemented on the TPU backend "
-            "yet; run locally on the TPU VM")
+        from onetrainer_tpu.trainer.cloud_trainer import CloudTrainer
+        return CloudTrainer(config, callbacks, commands)
     from onetrainer_tpu.setup.families import get_family
     from onetrainer_tpu.trainer.generic_trainer import GenericTrainer
     get_family(config.model_type)  # raises NotImplementedError when unwired

@@ -26,7 +26,7 @@ def test_train_command_modes():
     config = _config()
     cloud = LinuxCloud(config)
     cmd = cloud.train_command()
-    assert "scripts/train.py" in cmd
+    assert "scripts/train_remote.py" in cmd
     assert "/workspace/job42-config.json" in cmd
     assert "nohup" not in cmd
 

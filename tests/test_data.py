@@ -242,3 +242,76 @@ print(json.dumps({{"plan": plan, "pix": float(np.abs(img).sum()),
         assert r.returncode == 0, r.stderr
         outs.append(json.loads(r.stdout.strip().splitlines()[-1]))
     assert outs[0] == outs[1]
+
+
+def test_loader_empty_concepts_fails_loudly(tmp_path):
+    """A loader with zero samples must raise, not silently 'train' zero
+    steps per epoch (regression: to_settings_dict configs have
+    concepts=None and the CLI saved an untrained model)."""
+    import pytest
+
+    enc_i, enc_t = _fake_encoders()
+    config = _config(str(tmp_path / "missing"), str(tmp_path / "cache"))
+    with pytest.raises(ValueError, match="no training samples"):
+        Text2ImageDataLoader(config, enc_i, enc_t, quantization=64)
+    config.concepts = None
+    with pytest.raises(ValueError, match="no training samples"):
+        Text2ImageDataLoader(config, enc_i, enc_t, quantization=64)
+
+
+def test_iter_epoch_propagates_worker_exceptions(tmp_path):
+    """Errors in the prefetch thread must surface in the consumer
+    (regression: the worker's finally swallowed them and the epoch
+    yielded nothing)."""
+    import pytest
+
+    root = make_dataset(str(tmp_path / "ds"))
+    enc_i, enc_t = _fake_encoders()
+    config = _config(root, str(tmp_path / "cache"))
+    loader = Text2ImageDataLoader(config, enc_i, enc_t, quantization=64)
+
+    def boom(batch):
+        raise RuntimeError("worker exploded")
+
+    loader.materialize_batch = boom
+    with pytest.raises(RuntimeError, match="worker exploded"):
+        list(loader.iter_epoch(0))
+
+
+def test_random_mask_rotate_crop():
+    """The crop focuses on the masked region with padding
+    (reference: mgds RandomMaskRotateCrop at
+    DataLoaderText2ImageMixin.py:127)."""
+    from onetrainer_tpu.data.augments import random_mask_rotate_crop
+    rng = np.random.default_rng(0)
+    image = np.zeros((256, 256, 3), np.float32)
+    mask = np.zeros((256, 256, 1), np.float32)
+    mask[100:140, 60:120] = 1.0
+    img_c, mask_c = random_mask_rotate_crop(image, mask, rng, min_size=32,
+                                            max_rotate_angle=0.0)
+    # crop contains the whole masked region and is smaller than the source
+    assert mask_c.sum() == mask.sum()
+    assert img_c.shape[0] < 256 and img_c.shape[1] < 256
+    assert img_c.shape[:2] == mask_c.shape[:2]
+    # empty mask: unchanged
+    img_u, mask_u = random_mask_rotate_crop(
+        image, np.zeros_like(mask), rng, min_size=32)
+    assert img_u.shape == image.shape
+
+
+def test_loss_curve_artifact_reproducible():
+    """The committed parity artifact reproduces on this host
+    (docs/parity/sd15_lora_loss_curve.json; scripts/generate_loss_curve.py)."""
+    import json
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import generate_loss_curve
+    got = generate_loss_curve.run(steps=10)
+    with open(os.path.join(repo, "docs", "parity",
+                           "sd15_lora_loss_curve.json")) as f:
+        want = json.load(f)
+    np.testing.assert_allclose(got["loss"], want["loss"][:10],
+                               rtol=1e-4, atol=1e-5)
+    # and it actually learns
+    assert want["mean_last_10"] < want["mean_first_10"]

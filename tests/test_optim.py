@@ -154,3 +154,60 @@ def test_apply_updates_stochastic_mixed_tree():
     assert out["a"].dtype == jnp.bfloat16
     assert out["b"].dtype == jnp.float32
     assert float(out["b"][0]) == pytest.approx(1.0001)
+
+
+def test_int8_optimizer_state_quantization():
+    """_8BIT optimizers persist large moments as block-wise int8
+    (reference: bnb 8-bit optimizers in create.py *_8BIT branches)."""
+    import optax
+
+    from onetrainer_tpu.ops.quant_opt import (
+        Q8State, dequantize_leaf, int8_optimizer_state, quantize_leaf,
+    )
+
+    # quantize/dequantize round trip within absmax-int8 error
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(20000), jnp.float32)
+    q = quantize_leaf(x)
+    back = dequantize_leaf(q)
+    assert q.values.dtype == jnp.int8
+    # signed-sqrt codes: relative error bounded by ~2/127 of the value's
+    # own sqrt-neighborhood; check both absolute (vs blockmax) and that
+    # small values keep resolution
+    err = np.abs(np.asarray(back) - np.asarray(x)).max()
+    assert err <= float(np.abs(np.asarray(x)).max()) * (2.0 / 127.0) + 1e-6
+
+    # training still converges on a toy problem
+    params = {"w": jnp.zeros((20000,), jnp.float32)}
+    target = jnp.asarray(np.random.default_rng(1).standard_normal(20000),
+                         jnp.float32)
+    tx = int8_optimizer_state(optax.adam(0.1), min_size=1024)
+    state = tx.init(params)
+    leaves = jax.tree.leaves(state, is_leaf=lambda l: isinstance(l, Q8State))
+    assert any(isinstance(l, Q8State) for l in leaves)   # int8 state exists
+
+    @jax.jit
+    def step(params, state):
+        grads = jax.grad(lambda p: ((p["w"] - target) ** 2).mean())(params)
+        updates, state = tx.update(grads, state, params)
+        return optax.apply_updates(params, updates), state
+
+    for _ in range(60):
+        params, state = step(params, state)
+    loss = float(((params["w"] - target) ** 2).mean())
+    assert loss < 0.5
+
+
+def test_8bit_enum_wraps_quantized_state():
+    from onetrainer_tpu.config.train_config import TrainOptimizerConfig
+    from onetrainer_tpu.train.optimizers import create_optimizer
+    from onetrainer_tpu.util.enums import Optimizer
+
+    from onetrainer_tpu.ops.quant_opt import Q8State
+
+    cfg = TrainOptimizerConfig.default_values()
+    tx = create_optimizer(Optimizer.ADAMW_8BIT, cfg, 1e-3)
+    params = {"w": jnp.zeros((20000,), jnp.float32)}
+    state = tx.init(params)
+    leaves = jax.tree.leaves(state, is_leaf=lambda l: isinstance(l, Q8State))
+    assert any(isinstance(l, Q8State) and l.values.dtype == jnp.int8
+               for l in leaves)

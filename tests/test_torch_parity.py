@@ -132,7 +132,8 @@ def test_llama_parity():
     hf_cfg = HFLlamaConfig(
         vocab_size=130, hidden_size=24, intermediate_size=48,
         num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
-        rope_theta=10000.0, attn_implementation="eager")
+        rope_theta=10000.0, rms_norm_eps=1e-5,  # Llama-3 value; HF default 1e-6
+        attn_implementation="eager")
     torch.manual_seed(0)
     torch_model = LlamaModel(hf_cfg).eval()
 
