@@ -374,3 +374,300 @@ def pixart_ckpt_to_transformer(sd: dict) -> dict:
     _map_wb(out, sd, "proj_out", "final_layer.linear")
     out["scale_shift_table"] = sd["final_layer.scale_shift_table"]
     return out
+
+
+# -- single-file full-checkpoint loaders ---------------------------------------------
+# The reference loads FLUX/SD3/PixArt from single safetensors files via
+# diffusers *.from_single_file (reference: FluxModelLoader.__load_safetensors:
+# 157-230, StableDiffusion3ModelLoader, PixArtAlphaModelLoader.__load_ckpt).
+# Zero-egress equivalent: every component present in the file loads; missing
+# text encoders / VAE stay None (the reference prints "... not loaded,
+# continuing without it" for the same case).
+
+def _strip_prefix(sd: dict, prefix: str) -> dict:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _infer_clip_config(hf_sd: dict, compute_dtype):
+    """CLIP text config from an HF-format state dict's shapes."""
+    from onetrainer_tpu.models.clip import CLIPTextConfig
+    emb = hf_sd["text_model.embeddings.token_embedding.weight"]
+    vocab, hidden = emb.shape
+    layers = 1 + max(int(k.split(".")[3]) for k in hf_sd
+                     if k.startswith("text_model.encoder.layers."))
+    inter = hf_sd["text_model.encoder.layers.0.mlp.fc1.weight"].shape[0]
+    proj = hf_sd.get("text_projection.weight")
+    return CLIPTextConfig(
+        vocab_size=int(vocab), hidden_size=int(hidden),
+        intermediate_size=int(inter), num_layers=layers,
+        num_heads=int(hidden) // 64,
+        max_position_embeddings=int(
+            hf_sd["text_model.embeddings.position_embedding.weight"].shape[0]),
+        hidden_act="quick_gelu" if hidden == 768 else "gelu",
+        projection_dim=int(proj.shape[0]) if proj is not None else None,
+        dtype=compute_dtype)
+
+
+def _infer_t5_config(hf_sd: dict, compute_dtype):
+    from onetrainer_tpu.io.flux_checkpoints import t5_config_from_transformers
+    d_model = int(hf_sd["shared.weight"].shape[1])
+    layers = 1 + max(int(k.split(".")[2]) for k in hf_sd
+                     if k.startswith("encoder.block."))
+    d_ff = int(hf_sd["encoder.block.0.layer.1.DenseReluDense.wi_0.weight"]
+               .shape[0])
+    inner = int(hf_sd["encoder.block.0.layer.0.SelfAttention.q.weight"]
+                .shape[0])
+    return t5_config_from_transformers({
+        "vocab_size": int(hf_sd["shared.weight"].shape[0]),
+        "d_model": d_model, "d_ff": d_ff, "num_layers": layers,
+        "d_kv": 64, "num_heads": inner // 64,
+    }, compute_dtype)
+
+
+def _single_file_te_params(tensors: dict, np_dtype, to_jnp, compute_dtype):
+    """Extract clip_l / clip_g / t5xxl from SAI 'text_encoders.*' keys."""
+    from onetrainer_tpu.io.sd_checkpoints import _cast_tree
+    from onetrainer_tpu.io.torch_flax import (
+        clip_state_dict_to_flax, t5_state_dict_to_flax,
+    )
+    out = {}
+    for name, conv, infer in (
+            ("clip_l", clip_state_dict_to_flax, _infer_clip_config),
+            ("clip_g", clip_state_dict_to_flax, _infer_clip_config),
+            ("t5xxl", t5_state_dict_to_flax, _infer_t5_config)):
+        sub = _strip_prefix(tensors, f"text_encoders.{name}.transformer.")
+        if sub:
+            out[name] = (infer(sub, compute_dtype),
+                         to_jnp(conv(_cast_tree(sub, np_dtype))))
+        else:
+            out[name] = (None, None)
+    return out
+
+
+def _single_file_vae(tensors: dict, np_dtype, to_jnp, compute_dtype,
+                     latent_channels, scaling_factor, shift_factor=None):
+    from dataclasses import replace
+
+    from onetrainer_tpu.io.ldm import convert_vae_ldm_to_diffusers
+    from onetrainer_tpu.io.sd_checkpoints import (
+        _cast_tree, vae_config_from_diffusers,
+    )
+    from onetrainer_tpu.io.torch_flax import vae_state_dict_to_flax
+
+    ldm_vae = _strip_prefix(tensors, "first_stage_model.")
+    if not ldm_vae:
+        ldm_vae = _strip_prefix(tensors, "vae.")
+    if not ldm_vae:
+        return None, None
+    diff_sd = convert_vae_ldm_to_diffusers(ldm_vae)
+    cfg = replace(vae_config_from_diffusers({}, compute_dtype),
+                  latent_channels=latent_channels,
+                  scaling_factor=scaling_factor, shift_factor=shift_factor)
+    return cfg, to_jnp(vae_state_dict_to_flax(_cast_tree(diff_sd, np_dtype)))
+
+
+def load_flux_single_file(path: str, weight_dtype=np.float32,
+                          compute_dtype=None, gradient_checkpointing=False,
+                          device: bool = True):
+    """BFL single-file FLUX checkpoint (transformer required; VAE/TEs
+    loaded when bundled). Returns the load_flux_diffusers dict shape."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from onetrainer_tpu.io.flux_checkpoints import flux_config_from_diffusers
+    from onetrainer_tpu.io.sd_checkpoints import _cast_tree, _read_single_file
+    from onetrainer_tpu.io.torch_flax import unet_state_dict_to_flax
+
+    compute_dtype = compute_dtype or jnp.bfloat16
+    np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16}.get(weight_dtype, weight_dtype)
+    to_jnp = (lambda t: jax.tree.map(jnp.asarray, t)) if device else (lambda t: t)
+
+    tensors = _read_single_file(path)
+    bfl = _strip_prefix(tensors, "model.diffusion_model.")
+    if not any(k.startswith("double_blocks.") for k in bfl):
+        bfl = {k: v for k, v in tensors.items()
+               if k.startswith(("double_blocks.", "single_blocks.", "img_in.",
+                                "txt_in.", "time_in.", "vector_in.",
+                                "guidance_in.", "final_layer."))}
+    diff_sd = flux_bfl_to_transformer(bfl)
+
+    n_double = 1 + max((int(k.split(".")[1]) for k in diff_sd
+                        if k.startswith("transformer_blocks.")), default=-1)
+    n_single = 1 + max((int(k.split(".")[1]) for k in diff_sd
+                        if k.startswith("single_transformer_blocks.")),
+                       default=-1)
+    hidden = int(diff_sd["transformer_blocks.0.attn.to_q.weight"].shape[0])
+    in_ch = int(diff_sd["x_embedder.weight"].shape[1])
+    tcfg = flux_config_from_diffusers({
+        "in_channels": in_ch, "num_layers": n_double,
+        "num_single_layers": n_single, "num_attention_heads": 24,
+        "attention_head_dim": hidden // 24,
+        "guidance_embeds":
+            "time_text_embed.guidance_embedder.linear_1.weight" in diff_sd,
+    }, compute_dtype, gradient_checkpointing)
+
+    vae_cfg, vae_params = _single_file_vae(
+        tensors, np_dtype, to_jnp, compute_dtype,
+        latent_channels=16, scaling_factor=0.3611, shift_factor=0.1159)
+    tes = _single_file_te_params(tensors, np_dtype, to_jnp, compute_dtype)
+
+    # missing components: default configs (reference prints "... not
+    # loaded, continuing without it"); params stay None
+    from onetrainer_tpu.io.flux_checkpoints import t5_config_from_transformers
+    from onetrainer_tpu.models.clip import clip_vit_l_config
+    from onetrainer_tpu.models.vae import flux_vae_config
+    for name, present in (("vae", vae_params is not None),
+                          ("text encoder 1 (clip l)", tes["clip_l"][1] is not None),
+                          ("text encoder 2 (t5)", tes["t5xxl"][1] is not None)):
+        if not present:
+            print(f"{name} not in single-file checkpoint, "
+                  "continuing without it")
+
+    return {
+        "transformer_config": tcfg,
+        "vae_config": vae_cfg or flux_vae_config(dtype=compute_dtype),
+        "te_config": tes["clip_l"][0] or clip_vit_l_config(dtype=compute_dtype),
+        "te2_config": tes["t5xxl"][0] or t5_config_from_transformers(
+            {}, compute_dtype),
+        "transformer_params": to_jnp(
+            unet_state_dict_to_flax(_cast_tree(diff_sd, np_dtype))),
+        "vae_params": vae_params,
+        "te_params": tes["clip_l"][1],
+        "te2_params": tes["t5xxl"][1],
+        "tokenizer_dir": None,
+        "tokenizer_2_dir": None,
+        "prediction_type": "flow",
+    }
+
+
+def load_sd3_single_file(path: str, weight_dtype=np.float32,
+                         compute_dtype=None, gradient_checkpointing=False,
+                         device: bool = True):
+    """SAI single-file SD3/3.5 checkpoint (model.diffusion_model.* MMDiT +
+    first_stage_model.* VAE + text_encoders.*). Returns the
+    load_sd3_diffusers dict shape."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from onetrainer_tpu.io.sd3_checkpoints import sd3_config_from_diffusers
+    from onetrainer_tpu.io.sd_checkpoints import _cast_tree, _read_single_file
+    from onetrainer_tpu.io.torch_flax import unet_state_dict_to_flax
+
+    compute_dtype = compute_dtype or jnp.bfloat16
+    np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16}.get(weight_dtype, weight_dtype)
+    to_jnp = (lambda t: jax.tree.map(jnp.asarray, t)) if device else (lambda t: t)
+
+    tensors = _read_single_file(path)
+    sai = _strip_prefix(tensors, "model.diffusion_model.")
+    diff_sd = sd3_sai_to_transformer(sai)
+
+    n_layers = 1 + max(int(k.split(".")[1]) for k in diff_sd
+                       if k.startswith("transformer_blocks."))
+    caption_dim = int(diff_sd["context_embedder.weight"].shape[0])
+    in_ch = int(diff_sd["pos_embed.proj.weight"].shape[1])
+    pos_embed = diff_sd.get("pos_embed.pos_embed")
+    pos_max = int(round(pos_embed.shape[-2] ** 0.5)) if pos_embed is not None \
+        and pos_embed.ndim >= 2 else 192
+    tcfg = sd3_config_from_diffusers({
+        "num_layers": n_layers, "in_channels": in_ch, "out_channels": in_ch,
+        "num_attention_heads": caption_dim // 64, "attention_head_dim": 64,
+        "caption_projection_dim": caption_dim,
+        "pos_embed_max_size": pos_max,
+        "qk_norm": "rms_norm"
+        if "transformer_blocks.0.attn.norm_q.weight" in diff_sd else None,
+    }, compute_dtype, gradient_checkpointing)
+
+    vae_cfg, vae_params = _single_file_vae(
+        tensors, np_dtype, to_jnp, compute_dtype,
+        latent_channels=16, scaling_factor=1.5305, shift_factor=0.0609)
+    tes = _single_file_te_params(tensors, np_dtype, to_jnp, compute_dtype)
+
+    from dataclasses import replace as _replace
+
+    from onetrainer_tpu.io.flux_checkpoints import t5_config_from_transformers
+    from onetrainer_tpu.models.clip import (
+        clip_vit_l_config, open_clip_vit_bigg_config,
+    )
+    from onetrainer_tpu.models.vae import flux_vae_config
+    if vae_cfg is None:
+        vae_cfg = _replace(flux_vae_config(dtype=compute_dtype),
+                           scaling_factor=1.5305, shift_factor=0.0609)
+    for name, present in (("vae", vae_params is not None),
+                          ("clip_l", tes["clip_l"][1] is not None),
+                          ("clip_g", tes["clip_g"][1] is not None),
+                          ("t5xxl", tes["t5xxl"][1] is not None)):
+        if not present:
+            print(f"{name} not in single-file checkpoint, "
+                  "continuing without it")
+
+    return {
+        "transformer_config": tcfg,
+        "vae_config": vae_cfg,
+        "te_config": tes["clip_l"][0] or clip_vit_l_config(
+            projection_dim=768, dtype=compute_dtype),
+        "te2_config": tes["clip_g"][0] or open_clip_vit_bigg_config(
+            dtype=compute_dtype),
+        "te3_config": tes["t5xxl"][0] or t5_config_from_transformers(
+            {}, compute_dtype),
+        "transformer_params": to_jnp(
+            unet_state_dict_to_flax(_cast_tree(diff_sd, np_dtype))),
+        "vae_params": vae_params,
+        "te_params": tes["clip_l"][1],
+        "te2_params": tes["clip_g"][1],
+        "te3_params": tes["t5xxl"][1],
+        "tokenizer_dir": None,
+        "tokenizer_2_dir": None,
+        "tokenizer_3_dir": None,
+        "prediction_type": "flow",
+    }
+
+
+def load_pixart_single_file(path: str, weight_dtype=np.float32,
+                            compute_dtype=None,
+                            gradient_checkpointing=False,
+                            device: bool = True):
+    """PixArt original-repo single-file checkpoint (transformer only;
+    reference: PixArtAlphaModelLoader ckpt path). VAE/T5 stay None."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from onetrainer_tpu.io.pixart_checkpoints import (
+        pixart_config_from_diffusers,
+    )
+    from onetrainer_tpu.io.sd_checkpoints import _cast_tree, _read_single_file
+    from onetrainer_tpu.io.torch_flax import unet_state_dict_to_flax
+
+    compute_dtype = compute_dtype or jnp.bfloat16
+    np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16}.get(weight_dtype, weight_dtype)
+    to_jnp = (lambda t: jax.tree.map(jnp.asarray, t)) if device else (lambda t: t)
+
+    tensors = _read_single_file(path)
+    diff_sd = pixart_ckpt_to_transformer(tensors)
+
+    n_layers = 1 + max(int(k.split(".")[1]) for k in diff_sd
+                       if k.startswith("transformer_blocks."))
+    hidden = int(diff_sd["transformer_blocks.0.attn1.to_q.weight"].shape[0])
+    in_ch = int(diff_sd["pos_embed.proj.weight"].shape[1])
+    out_ch = int(diff_sd["proj_out.weight"].shape[0]) // 4
+    tcfg = pixart_config_from_diffusers({
+        "num_layers": n_layers, "in_channels": in_ch, "out_channels": out_ch,
+        "num_attention_heads": 16, "attention_head_dim": hidden // 16,
+    }, compute_dtype, gradient_checkpointing)
+
+    from onetrainer_tpu.io.flux_checkpoints import t5_config_from_transformers
+    from onetrainer_tpu.models.vae import sd15_vae_config
+    print("vae / t5 not in single-file checkpoint, continuing without them")
+    return {
+        "transformer_config": tcfg,
+        "vae_config": sd15_vae_config(dtype=compute_dtype),
+        "te_config": t5_config_from_transformers({}, compute_dtype),
+        "transformer_params": to_jnp(
+            unet_state_dict_to_flax(_cast_tree(diff_sd, np_dtype))),
+        "vae_params": None,
+        "te_params": None,
+        "tokenizer_dir": None,
+        "prediction_type": "epsilon",
+    }

@@ -184,3 +184,94 @@ def save_wuerstchen_diffusers(base_dir, model, prior_params, te_params,
             os.path.join(base_dir, "text_encoder", "model.safetensors"),
             {k: np.asarray(v, save_dtype) for k, v in
              clip_flax_to_state_dict(_to_numpy_tree(te_params)).items()})
+
+
+# -- decoder stage (DiffNeXt + Paella VQGAN + decoder CLIP), sampling only -----------
+
+def diffnext_config_from_diffusers(config: dict, dtype=jnp.bfloat16):
+    """diffusers WuerstchenDiffNeXt config.json -> DiffNeXtConfig
+    (reference: WuerstchenModelLoader loads decoder_decoder from the
+    decoder repo's `decoder` subfolder)."""
+    from onetrainer_tpu.models.diffnext import DiffNeXtConfig
+    return DiffNeXtConfig(
+        c_in=config.get("c_in", 4),
+        c_out=config.get("c_out", 4),
+        c_r=config.get("c_r", 64),
+        patch_size=config.get("patch_size", 2),
+        c_cond=config.get("c_cond", 1024),
+        c_hidden=tuple(config.get("c_hidden", (320, 640, 1280, 1280))),
+        nhead=tuple(config.get("nhead", (-1, 10, 20, 20))),
+        blocks=tuple(config.get("blocks", (4, 4, 14, 4))),
+        level_config=tuple(config.get("level_config",
+                                      ("CT", "CTA", "CTA", "CTA"))),
+        inject_effnet=tuple(config.get("inject_effnet",
+                                       (False, True, True, True))),
+        effnet_embd=config.get("effnet_embd", 16),
+        clip_embd=config.get("clip_embd", 1024),
+        kernel_size=config.get("kernel_size", 3),
+        dtype=dtype,
+    )
+
+
+def diffnext_state_dict_to_flax(state_dict: dict[str, np.ndarray]) -> dict:
+    return torch_state_dict_to_flax(state_dict)
+
+
+def paella_vq_config_from_diffusers(config: dict, dtype=jnp.float32):
+    from onetrainer_tpu.models.paella_vq import PaellaVQConfig
+    return PaellaVQConfig(
+        in_channels=config.get("in_channels", 3),
+        out_channels=config.get("out_channels", 3),
+        up_down_scale_factor=config.get("up_down_scale_factor", 2),
+        levels=config.get("levels", 2),
+        bottleneck_blocks=config.get("bottleneck_blocks", 12),
+        embed_dim=config.get("embed_dim", 384),
+        latent_channels=config.get("latent_channels", 4),
+        scale_factor=config.get("scale_factor", 0.3764),
+        dtype=dtype,
+    )
+
+
+def _paella_vq_key_map(key: str) -> str | None:
+    # the quantizer codebook is unused (decode never quantizes:
+    # WuerstchenSampler.py:337 calls decode on continuous latents)
+    if key.startswith("vquantizer."):
+        return None
+    # tolerate a channelwise MLP without the Dropout slot
+    return key.replace("channelwise.3.weight", "channelwise.4.weight") \
+              .replace("channelwise.3.bias", "channelwise.4.bias")
+
+
+def paella_vq_state_dict_to_flax(state_dict: dict[str, np.ndarray]) -> dict:
+    return torch_state_dict_to_flax(state_dict, key_map=_paella_vq_key_map)
+
+
+def load_wuerstchen_decoder(decoder_dir: str,
+                            weight_dtype=np.float32,
+                            compute_dtype=jnp.bfloat16):
+    """Load the stage-B sampling components from a Würstchen decoder repo
+    dir (decoder/ + vqgan/ + text_encoder/ + tokenizer/, the
+    warp-ai/wuerstchen layout; reference:
+    WuerstchenModelLoader.__load_internal/__load_diffusers decoder part).
+    Returns a dict of configs/params; missing subdirs load as None."""
+    import ml_dtypes
+    np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16}.get(weight_dtype, weight_dtype)
+
+    dec_cfg_json, decoder_params = load_component(
+        decoder_dir, "decoder", diffnext_state_dict_to_flax, np_dtype)
+    vq_cfg_json, vqgan_params = load_component(
+        decoder_dir, "vqgan", paella_vq_state_dict_to_flax, np.float32)
+    te_cfg_json, decoder_te_params = load_component(
+        decoder_dir, "text_encoder", clip_state_dict_to_flax, np_dtype)
+
+    return {
+        "decoder_config": diffnext_config_from_diffusers(
+            dec_cfg_json or {}, compute_dtype),
+        "vqgan_config": paella_vq_config_from_diffusers(vq_cfg_json or {}),
+        "decoder_te_config": clip_config_from_transformers(
+            te_cfg_json or {}, compute_dtype) if te_cfg_json else None,
+        "decoder_params": decoder_params,
+        "vqgan_params": vqgan_params,
+        "decoder_te_params": decoder_te_params,
+        "decoder_tokenizer_dir": os.path.join(decoder_dir, "tokenizer"),
+    }

@@ -30,10 +30,13 @@ class WuerstchenModel:
     te_params: dict | None = None
 
     # decoder stage (sampling only; reference: decoder_* attributes)
+    decoder_config: object | None = None       # DiffNeXtConfig
+    vqgan_config: object | None = None         # PaellaVQConfig
     decoder_params: dict | None = None
     vqgan_params: dict | None = None
     decoder_te_config: CLIPTextConfig | None = None
     decoder_te_params: dict | None = None
+    decoder_tokenizer: object | None = None
 
     prediction_type: str = "epsilon"
     text_encoder_layer_skip: int = 0
@@ -53,6 +56,20 @@ class WuerstchenModel:
     @property
     def text_encoder(self) -> CLIPTextEncoder:
         return CLIPTextEncoder(self.te_config)
+
+    @property
+    def decoder(self):
+        from onetrainer_tpu.models.diffnext import WuerstchenDiffNeXt
+        return WuerstchenDiffNeXt(self.decoder_config)
+
+    @property
+    def vqgan_decoder(self):
+        from onetrainer_tpu.models.paella_vq import PaellaVQDecoder
+        return PaellaVQDecoder(self.vqgan_config)
+
+    @property
+    def decoder_text_encoder(self) -> CLIPTextEncoder:
+        return CLIPTextEncoder(self.decoder_te_config)
 
     # the training loop treats this like a VAE-config carrier; effnet
     # latents are image*(0.75/32) spatial (≈ /42.67)

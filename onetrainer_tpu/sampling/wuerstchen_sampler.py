@@ -4,10 +4,12 @@ Stage 1 (the trained component) runs the full prior denoising loop with
 CFG + cfg_rescale under the continuous cosine DDPM schedule
 (reference: modules/modelSampler/WuerstchenSampler.py:35-155,
 DDPMWuerstchenScheduler semantics re-derived from the same warped ᾱ as
-training). Stage 2 (decoder + VQGAN) reconstructs pixels; until the
-DiffNeXt/Paella decoder weights are wired, a linear latent→RGB projection
-(the reference debug-mixin visualization) stands in so in-training
-sampling still produces an inspectable image.
+training). Stage 2 (v2: DiffNeXt decoder + Paella VQGAN,
+models/diffnext.py + models/paella_vq.py) reconstructs pixels when a
+decoder repo is loaded (config.decoder.model_name); otherwise — and for
+Stable Cascade, whose stage-B UNet is not implemented yet — a linear
+latent→RGB projection (the reference debug-mixin visualization) stands in
+so in-training sampling still produces an inspectable image.
 """
 
 from __future__ import annotations
@@ -103,11 +105,16 @@ def sample_wuerstchen(
     if model.model_type.is_wuerstchen_v2():
         latent = latent * 42.0 - 1.0
 
-    if model.decoder_params is not None and model.vqgan_params is not None:
-        raise NotImplementedError(
-            "DiffNeXt decoder stage not wired yet")  # Phase W2
+    if model.model_type.is_wuerstchen_v2() and \
+            model.decoder_params is not None and \
+            model.vqgan_params is not None:
+        img = _decode_stage(model, latent, te_params, tokenize,
+                            sample_config, extra_embeddings, rng,
+                            on_update_progress)
+        return SamplerOutput(image=img)
 
-    # stand-in decode: fixed linear projection of the 16ch latent to RGB,
+    # stand-in decode (no decoder repo loaded, or Cascade stage B not yet
+    # implemented): fixed linear projection of the 16ch latent to RGB,
     # upsampled to the requested size (reference debug visualization:
     # ModelSetupDebugMixin latent projection)
     lat = np.asarray(latent[0], np.float32)
@@ -118,3 +125,74 @@ def sample_wuerstchen(
     img = (img - img.min()) / max(img.max() - img.min(), 1e-6)
     img = jax.image.resize(jnp.asarray(img), (height, width, 3), "nearest")
     return SamplerOutput(image=(np.asarray(img) * 255).astype(np.uint8))
+
+
+def _decode_stage(model, image_embedding, prior_te_params, tokenize,
+                  sample_config, extra_embeddings, rng,
+                  on_update_progress=None) -> np.ndarray:
+    """Stage B + A: DiffNeXt denoises a 4ch latent at H/4 over 10 fixed
+    steps (no CFG) conditioned on the prior output + decoder-CLIP states,
+    then the Paella VQGAN decodes `scale_factor * latents` to pixels
+    (reference: WuerstchenSampler.__sample_decoder:156-262 and
+    __sample_base:334-338)."""
+    height, width = sample_config.height, sample_config.width
+    layer_skip = getattr(sample_config, "text_encoder_1_layer_skip", 0) or 0
+
+    # decoder prompt conditioning: v2 uses the decoder repo's own CLIP TE;
+    # Cascade reuses the prior TE's pooled embedding
+    if model.model_type.is_wuerstchen_v2() and \
+            model.decoder_te_params is not None:
+        te_params = model.decoder_te_params
+        tok = model.decoder_tokenizer or tokenize
+        clip_states = _encode_prompt(
+            WuerstchenDecoderTE(model), te_params, tok,
+            sample_config.prompt, None, layer_skip)
+    else:
+        clip_states = _encode_prompt(model, prior_te_params, tokenize,
+                                     sample_config.prompt,
+                                     extra_embeddings, layer_skip)
+
+    decoder_apply = jax.jit(lambda p, x, t, eff, clip: model.decoder.apply(
+        as_variables(p), x, t, eff, clip))
+
+    steps = 10   # reference: decoder_noise_scheduler.set_timesteps(10)
+    lh, lw = height // 4, width // 4
+    rng, noise_rng = jax.random.split(rng)
+    latent = jax.random.normal(noise_rng, (1, lh, lw, 4), jnp.float32)
+
+    ts = np.linspace(1.0, 0.0, steps + 1)
+    for i in range(steps):
+        t = jnp.full((1,), ts[i], jnp.float32)
+        noise_pred = decoder_apply(model.decoder_params, latent, t,
+                                   image_embedding.astype(jnp.float32),
+                                   clip_states)
+        # plain cosine DDPM-Würstchen update (decoder scheduler: no warp)
+        ac = wuerstchen_alpha_cumprod(jnp.asarray([ts[i]]))
+        ac_prev = wuerstchen_alpha_cumprod(jnp.asarray([ts[i + 1]])) \
+            if ts[i + 1] > 0 else jnp.asarray([1.0])
+        alpha = ac / ac_prev
+        mu = (1.0 / jnp.sqrt(alpha)) * (
+            latent - (1 - alpha) * noise_pred / jnp.sqrt(1 - ac))
+        if i + 1 < steps:
+            rng, step_rng = jax.random.split(rng)
+            var = (1 - alpha) * (1 - ac_prev) / (1 - ac)
+            mu = mu + jnp.sqrt(var) * jax.random.normal(
+                step_rng, mu.shape, mu.dtype)
+        latent = mu
+        if on_update_progress:
+            on_update_progress(i + 1, steps)
+
+    vq_decode = jax.jit(lambda p, z: model.vqgan_decoder.apply(
+        {"params": p}, z))
+    scale = getattr(model.vqgan_config, "scale_factor", 0.3764)
+    image = vq_decode(model.vqgan_params, latent * scale)
+    image = jnp.clip(image[0], 0.0, 1.0)
+    return np.asarray(
+        jnp.round(image.astype(jnp.float32) * 255)).astype(np.uint8)
+
+
+class WuerstchenDecoderTE:
+    """Adapter giving _encode_prompt the decoder-stage text encoder."""
+
+    def __init__(self, model):
+        self.text_encoder = model.decoder_text_encoder

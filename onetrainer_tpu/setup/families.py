@@ -177,12 +177,16 @@ def _flux_load(base_dir, config):
     import jax.numpy as jnp
     from onetrainer_tpu.io.flux_checkpoints import load_flux_diffusers
     from onetrainer_tpu.models.flux_model import FluxModel
-    loaded = load_flux_diffusers(
-        base_dir,
+    kwargs = dict(
         weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
+    if os.path.isfile(base_dir):
+        from onetrainer_tpu.io.single_file import load_flux_single_file
+        loaded = load_flux_single_file(base_dir, **kwargs)
+    else:
+        loaded = load_flux_diffusers(base_dir, **kwargs)
     return FluxModel(
         model_type=config.model_type,
         transformer_config=loaded["transformer_config"],
@@ -248,12 +252,16 @@ def _pixart_load(base_dir, config):
     import jax.numpy as jnp
     from onetrainer_tpu.io.pixart_checkpoints import load_pixart_diffusers
     from onetrainer_tpu.models.pixart_model import PixArtAlphaModel
-    loaded = load_pixart_diffusers(
-        base_dir,
+    kwargs = dict(
         weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
+    if os.path.isfile(base_dir):
+        from onetrainer_tpu.io.single_file import load_pixart_single_file
+        loaded = load_pixart_single_file(base_dir, **kwargs)
+    else:
+        loaded = load_pixart_diffusers(base_dir, **kwargs)
     return PixArtAlphaModel(
         model_type=config.model_type,
         transformer_config=loaded["transformer_config"],
@@ -497,7 +505,7 @@ def _wuerstchen_load(base_dir, config):
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
-    return WuerstchenModel(
+    model = WuerstchenModel(
         model_type=config.model_type,
         prior_config=loaded["prior_config"],
         effnet_config=loaded["effnet_config"],
@@ -508,6 +516,23 @@ def _wuerstchen_load(base_dir, config):
         text_encoder_layer_skip=config.text_encoder_layer_skip or 0,
         tokenizer=loaded["tokenizer_dir"],
     )
+    # stage B/A decode components (sampling only; reference:
+    # WuerstchenModelLoader decoder_model_name from config.decoder)
+    decoder_dir = getattr(config.decoder, "model_name", None)
+    if decoder_dir and os.path.isdir(decoder_dir):
+        from onetrainer_tpu.io.wuerstchen_checkpoints import (
+            load_wuerstchen_decoder,
+        )
+        dec = load_wuerstchen_decoder(
+            decoder_dir,
+            compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16)
+        model.decoder_config = dec["decoder_config"]
+        model.vqgan_config = dec["vqgan_config"]
+        model.decoder_params = dec["decoder_params"]
+        model.vqgan_params = dec["vqgan_params"]
+        model.decoder_te_config = dec["decoder_te_config"]
+        model.decoder_te_params = dec["decoder_te_params"]
+    return model
 
 
 def _wuerstchen_create_setup(model, config, total_steps, steps_per_epoch=100):
@@ -546,12 +571,16 @@ def _sd3_load(base_dir, config):
     import jax.numpy as jnp
     from onetrainer_tpu.io.sd3_checkpoints import load_sd3_diffusers
     from onetrainer_tpu.models.sd3_model import StableDiffusion3Model
-    loaded = load_sd3_diffusers(
-        base_dir,
+    kwargs = dict(
         weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
+    if os.path.isfile(base_dir):
+        from onetrainer_tpu.io.single_file import load_sd3_single_file
+        loaded = load_sd3_single_file(base_dir, **kwargs)
+    else:
+        loaded = load_sd3_diffusers(base_dir, **kwargs)
     return StableDiffusion3Model(
         model_type=config.model_type,
         transformer_config=loaded["transformer_config"],

@@ -28,6 +28,9 @@ def parse_args():
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--scheduler", default="DDIM")
+    p.add_argument("--decoder-model-name", default="",
+                   help="Würstchen/Cascade stage-B decoder repo dir "
+                        "(reference: ModelNames.decoder_model)")
     return p.parse_args()
 
 
@@ -47,6 +50,8 @@ def main():
     config.unet.train = False
     config.text_encoder.train = False
     config.text_encoder_2.train = False
+    if args.decoder_model_name:
+        config.decoder.model_name = args.decoder_model_name
 
     family = get_family(config.model_type)
     model = family.load(args.base_model_name, config)

@@ -73,3 +73,121 @@ def test_pixart_ckpt_roundtrip():
                                   pixart_ckpt_to_transformer)
     assert any(k.startswith("blocks.0.attn.qkv") for k in converted)
     assert "final_layer.scale_shift_table" in converted
+
+
+# -- full single-file loader round trips ----------------------------------------------
+
+def test_load_flux_single_file(tmp_path):
+    """Save a BFL-layout single file, load it back through the single-file
+    loader (reference: FluxModelLoader.__load_safetensors)."""
+    from onetrainer_tpu.io.safetensors_io import save_safetensors
+    from onetrainer_tpu.io.single_file import load_flux_single_file
+    from onetrainer_tpu.models.flux import prepare_latent_image_ids
+
+    model = tiny_flux_model()
+    rng = jax.random.PRNGKey(0)
+    h = w = 8
+    params = model.transformer.init(
+        rng, jnp.zeros((1, (h // 2) * (w // 2), 16)), jnp.asarray([0.5]),
+        jnp.zeros((1, 20)), jnp.zeros((1, 6, 24)),
+        prepare_latent_image_ids(h, w))["params"]
+    sd = flux_transformer_to_bfl(unet_flax_to_state_dict(
+        jax.device_get(params)))
+    path = str(tmp_path / "flux.safetensors")
+    save_safetensors(path, {k: np.asarray(v) for k, v in sd.items()})
+
+    loaded = load_flux_single_file(path, compute_dtype=jnp.float32,
+                                   device=False)
+    cfg = loaded["transformer_config"]
+    assert cfg.num_layers == model.transformer_config.num_layers
+    assert cfg.num_single_layers == model.transformer_config.num_single_layers
+    assert cfg.guidance_embeds == model.transformer_config.guidance_embeds
+    a = jax.tree.leaves(jax.device_get(params))
+    b = jax.tree.leaves(loaded["transformer_params"])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert loaded["vae_params"] is None           # not bundled
+    assert loaded["te2_params"] is None
+
+
+def test_load_sd3_single_file_with_components(tmp_path):
+    """SAI layout with MMDiT + VAE + all 3 TEs: every component loads
+    (reference: StableDiffusion3ModelLoader safetensors path)."""
+    from onetrainer_tpu.io.ldm import convert_vae_diffusers_to_ldm
+    from onetrainer_tpu.io.safetensors_io import save_safetensors
+    from onetrainer_tpu.io.single_file import load_sd3_single_file
+    from onetrainer_tpu.io.torch_flax import (
+        clip_flax_to_state_dict, t5_flax_to_state_dict,
+        vae_flax_to_state_dict,
+    )
+
+    model = tiny_sd3_model()
+    rng = jax.random.PRNGKey(0)
+    tparams = model.transformer.init(
+        rng, jnp.zeros((1, 8, 8, 4)), jnp.asarray([500.0]),
+        jnp.zeros((1, 16)), jnp.zeros((1, 6, 24)))["params"]
+    vae_params = model.vae.init(rng, jnp.zeros((1, 16, 16, 3)),
+                                jax.random.PRNGKey(1))["params"]
+    te_params = model.text_encoder.init(
+        rng, jnp.zeros((1, 6), jnp.int32))["params"]
+    te3_params = model.text_encoder_3.init(
+        rng, jnp.zeros((1, 6), jnp.int32))["params"]
+
+    sd = {}
+    sd.update({f"model.diffusion_model.{k}": v for k, v in
+               sd3_transformer_to_sai(unet_flax_to_state_dict(
+                   jax.device_get(tparams))).items()})
+    sd.update({f"first_stage_model.{k}": v for k, v in
+               convert_vae_diffusers_to_ldm(vae_flax_to_state_dict(
+                   jax.device_get(vae_params)), num_blocks=2,
+                   layers_per_block=1).items()})
+    sd.update({f"text_encoders.clip_l.transformer.{k}": v for k, v in
+               clip_flax_to_state_dict(jax.device_get(te_params)).items()})
+    sd.update({f"text_encoders.t5xxl.transformer.{k}": v for k, v in
+               t5_flax_to_state_dict(jax.device_get(te3_params)).items()})
+    path = str(tmp_path / "sd3.safetensors")
+    save_safetensors(path, {k: np.asarray(v) for k, v in sd.items()})
+
+    loaded = load_sd3_single_file(path, compute_dtype=jnp.float32,
+                                  device=False)
+    assert loaded["transformer_config"].num_layers == \
+        model.transformer_config.num_layers
+    for mine, theirs in [(tparams, loaded["transformer_params"]),
+                         (vae_params, loaded["vae_params"]),
+                         (te_params, loaded["te_params"]),
+                         (te3_params, loaded["te3_params"])]:
+        a = jax.tree.leaves(jax.device_get(mine))
+        b = jax.tree.leaves(theirs)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert loaded["te2_params"] is None     # clip_g not bundled
+    # inferred TE config matches the saved tiny shapes
+    assert loaded["te_config"].hidden_size == 6
+    assert loaded["te_config"].num_layers == 2
+
+
+def test_load_pixart_single_file(tmp_path):
+    from onetrainer_tpu.io.safetensors_io import save_safetensors
+    from onetrainer_tpu.io.single_file import load_pixart_single_file
+
+    model = tiny_pixart_model()
+    rng = jax.random.PRNGKey(0)
+    params = model.transformer.init(
+        rng, jnp.zeros((1, 8, 8, 4)), jnp.asarray([1]),
+        jnp.zeros((1, 6, 24)))["params"]
+    sd = pixart_transformer_to_ckpt(unet_flax_to_state_dict(
+        jax.device_get(params)))
+    path = str(tmp_path / "pixart.safetensors")
+    save_safetensors(path, {k: np.asarray(v) for k, v in sd.items()})
+
+    loaded = load_pixart_single_file(path, compute_dtype=jnp.float32,
+                                     device=False)
+    assert loaded["transformer_config"].num_layers == \
+        model.transformer_config.num_layers
+    a = jax.tree.leaves(jax.device_get(params))
+    b = jax.tree.leaves(loaded["transformer_params"])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

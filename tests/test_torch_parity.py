@@ -158,3 +158,45 @@ def test_llama_parity():
     np.testing.assert_allclose(
         np.asarray(got["hidden_states"][-3]),
         want.hidden_states[-3].numpy(), rtol=3e-4, atol=3e-4)
+
+
+def test_convtranspose_matches_torch():
+    """flax ConvTranspose(transpose_kernel=True, SAME) + kernel permuted
+    (2,3,1,0) reproduces torch ConvTranspose2d for the two shapes the
+    Würstchen decoder stack uses (k=2,s=2 DiffNeXt; k=4,s=2,p=1 Paella)."""
+    import flax.linen as nn
+
+    for (k, s, p) in [(2, 2, 0), (4, 2, 1)]:
+        torch.manual_seed(k)
+        tconv = torch.nn.ConvTranspose2d(6, 3, k, stride=s, padding=p)
+        x = torch.randn(1, 6, 5, 5)
+        with torch.no_grad():
+            want = tconv(x).numpy()
+        m = nn.ConvTranspose(3, (k, k), strides=(s, s), padding="SAME",
+                             transpose_kernel=True)
+        params = {
+            "kernel": jnp.asarray(
+                tconv.weight.detach().numpy().transpose(2, 3, 1, 0)),
+            "bias": jnp.asarray(tconv.bias.detach().numpy()),
+        }
+        got = np.asarray(m.apply(
+            {"params": params},
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pixel_shuffle_matches_torch():
+    from onetrainer_tpu.models.diffnext import pixel_shuffle, pixel_unshuffle
+
+    x = torch.randn(2, 12, 6, 6)
+    want = torch.nn.functional.pixel_shuffle(x, 2).numpy()
+    got = np.asarray(pixel_shuffle(
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), 2))
+    np.testing.assert_array_equal(got.transpose(0, 3, 1, 2), want)
+
+    y = torch.randn(2, 3, 8, 8)
+    want = torch.nn.functional.pixel_unshuffle(y, 2).numpy()
+    got = np.asarray(pixel_unshuffle(
+        jnp.asarray(y.numpy().transpose(0, 2, 3, 1)), 2))
+    np.testing.assert_array_equal(got.transpose(0, 3, 1, 2), want)
