@@ -59,3 +59,61 @@ def test_concept_stats(tmp_path):
     assert stats["paired_masks"] == 1
     assert stats["min_pixels"] is not None
     assert sum(stats["aspect_buckets"].values()) == 4
+
+
+# -- video tools ----------------------------------------------------------------------
+
+def _write_two_scene_video(path, size=64, fps=8.0, frames_per_scene=16):
+    import cv2
+    rng = np.random.default_rng(0)
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (size, size))
+    for scene in range(2):
+        base = np.full((size, size, 3), 40 if scene == 0 else 200, np.uint8)
+        for i in range(frames_per_scene):
+            frame = base.copy()
+            # moving sharp square so frames have texture + sharpness
+            x = (i * 3) % (size - 16)
+            frame[8:24, x:x + 16] = rng.integers(0, 255, (16, 16, 3),
+                                                 dtype=np.uint8)
+            writer.write(frame)
+    writer.release()
+
+
+def test_detect_scene_cuts_and_extract_clips(tmp_path):
+    """Scene-cut splitting (reference: VideoToolUI.__extract_clips uses
+    scenedetect AdaptiveDetector; ours is a self-contained equivalent)."""
+    import cv2
+
+    from onetrainer_tpu.tooling.video_tools import (
+        detect_scene_cuts, extract_clips,
+    )
+
+    vid = str(tmp_path / "two_scenes.mp4")
+    _write_two_scene_video(vid)
+    cuts = detect_scene_cuts(vid)
+    assert 16 in cuts                      # the hard cut between scenes
+
+    out = extract_clips(vid, str(tmp_path / "clips"), max_length_sec=1.0)
+    assert len(out) >= 3                   # 2 scenes, long one split again
+    for clip in out:
+        cap = cv2.VideoCapture(clip)
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) <= 8  # 1s @ 8fps
+        cap.release()
+
+
+def test_extract_frames_blur_filter(tmp_path):
+    from onetrainer_tpu.tooling.video_tools import extract_frames
+
+    vid = str(tmp_path / "two_scenes.mp4")
+    _write_two_scene_video(vid)
+    out = extract_frames(vid, str(tmp_path / "frames"), capture_rate=2.0,
+                         blur_threshold=0.25, seed=1)
+    n_sampled = 32 // 4                    # every fps/rate = 4 frames
+    assert 0 < len(out) <= n_sampled
+    assert len(out) <= int(n_sampled * 0.75) + 1   # blurriest 25% dropped
+    # deterministic
+    out2 = extract_frames(vid, str(tmp_path / "frames2"), capture_rate=2.0,
+                          blur_threshold=0.25, seed=1)
+    assert [os.path.basename(p) for p in out] == \
+        [os.path.basename(p) for p in out2]
