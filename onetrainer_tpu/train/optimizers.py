@@ -170,13 +170,7 @@ def came(learning_rate: ScheduleOrFloat, b1=0.9, b2=0.999, b3=0.9999,
 
 # -- the factory ------------------------------------------------------------------
 
-_UNIMPLEMENTED = {
-    Optimizer.DADAPT_SGD: "use PRODIGY or DADAPT_ADAM",
-    Optimizer.DADAPT_LION: "use PRODIGY or LION",
-    Optimizer.DADAPT_ADAN: "use PRODIGY",
-    Optimizer.DADAPT_ADA_GRAD: "use PRODIGY or ADAGRAD",
-    Optimizer.AIDA: "use ADABELIEF or ADAMW",
-}
+_UNIMPLEMENTED: dict = {}
 
 
 def create_optimizer(
@@ -311,6 +305,35 @@ def _create_base_optimizer(
             return optax.contrib.dadapt_adamw(
                 learning_rate=lr, betas=(_d(cfg.beta1, 0.9), _d(cfg.beta2, 0.999)),
                 eps=_d(cfg.eps, 1e-8), weight_decay=_d(cfg.weight_decay, 0.0))
+        case Optimizer.DADAPT_SGD:
+            from onetrainer_tpu.train.dadapt import dadapt_sgd
+            return dadapt_sgd(
+                lr, momentum=_d(cfg.momentum, 0.0), d0=_d(cfg.d0, 1e-6),
+                weight_decay=_d(cfg.weight_decay, 0.0),
+                growth_rate=_d(cfg.growth_rate, float("inf")))
+        case Optimizer.DADAPT_LION:
+            from onetrainer_tpu.train.dadapt import dadapt_lion
+            return dadapt_lion(
+                lr, b1=_d(cfg.beta1, 0.9), b2=_d(cfg.beta2, 0.999),
+                d0=_d(cfg.d0, 1e-6), weight_decay=_d(cfg.weight_decay, 0.0))
+        case Optimizer.DADAPT_ADA_GRAD:
+            from onetrainer_tpu.train.dadapt import dadapt_adagrad
+            return dadapt_adagrad(
+                lr, eps=_d(cfg.eps, 0.0), d0=_d(cfg.d0, 1e-6),
+                weight_decay=_d(cfg.weight_decay, 0.0))
+        case Optimizer.DADAPT_ADAN:
+            from onetrainer_tpu.train.dadapt import dadapt_adan
+            return dadapt_adan(
+                lr, b1=_d(cfg.beta1, 0.98), b2=_d(cfg.beta2, 0.92),
+                b3=_d(cfg.beta3, 0.99), eps=_d(cfg.eps, 1e-8),
+                d0=_d(cfg.d0, 1e-6),
+                weight_decay=_d(cfg.weight_decay, 0.02))
+        case Optimizer.AIDA:
+            from onetrainer_tpu.train.dadapt import aida
+            return aida(
+                lr, b1=_d(cfg.beta1, 0.9), b2=_d(cfg.beta2, 0.999),
+                k=_d(cfg.k, 2), xi=_d(cfg.xi, 1e-20), eps=_d(cfg.eps, 1e-8),
+                weight_decay=_d(cfg.weight_decay, 0.0))
         case Optimizer.PRODIGY:
             return optax.contrib.prodigy(
                 learning_rate=lr, betas=(_d(cfg.beta1, 0.9), _d(cfg.beta2, 0.999)),

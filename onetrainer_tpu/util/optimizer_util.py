@@ -53,6 +53,18 @@ OPTIMIZER_DEFAULT_PARAMETERS: dict[Optimizer, dict] = {
                                   "weight_lr_power": 2.0},
     Optimizer.DADAPT_ADAM: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-8,
                             "weight_decay": 0.0, "d0": 1e-6, "decouple": True},
+    Optimizer.DADAPT_SGD: {"momentum": 0.0, "weight_decay": 0.0,
+                           "d0": 1e-6, "growth_rate": float("inf")},
+    Optimizer.DADAPT_LION: {"beta1": 0.9, "beta2": 0.999,
+                            "weight_decay": 0.0, "d0": 1e-6},
+    Optimizer.DADAPT_ADA_GRAD: {"momentum": 0.0, "eps": 0.0,
+                                "weight_decay": 0.0, "d0": 1e-6,
+                                "growth_rate": float("inf")},
+    Optimizer.DADAPT_ADAN: {"beta1": 0.98, "beta2": 0.92, "beta3": 0.99,
+                            "eps": 1e-8, "weight_decay": 0.02, "d0": 1e-6,
+                            "growth_rate": float("inf")},
+    Optimizer.AIDA: {"beta1": 0.9, "beta2": 0.999, "k": 2, "xi": 1e-20,
+                     "weight_decay": 0.0},
     Optimizer.PRODIGY: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-8,
                         "weight_decay": 0.0, "d0": 1e-6, "d_coef": 1.0,
                         "safeguard_warmup": False},
