@@ -54,10 +54,19 @@ class UNetConfig:
 
 
 def _remat(cls, policy: str = "full"):
+    import jax
     if policy == "dots":
-        import jax
         return nn.remat(
             cls, policy=jax.checkpoint_policies.checkpoint_dots)
+    if policy == "dots_nb":
+        # save only weight-matmul outputs (no batch dims): the attention
+        # score/context matmuls — the big @1024 buffers — still recompute,
+        # but every Dense/conv contraction is kept. Middle ground between
+        # "full" (recompute everything) and "dots" (OOM at SDXL@1024)
+        return nn.remat(
+            cls,
+            policy=jax.checkpoint_policies
+            .checkpoint_dots_with_no_batch_dims)
     return nn.remat(cls)
 
 

@@ -25,7 +25,7 @@ from onetrainer_tpu.train.wuerstchen_train_step import wuerstchen_alpha_cumprod
 
 
 def _encode_prompt(model, te_params, tokenize, text, extra_embeddings,
-                   layer_skip: int):
+                   layer_skip: int, with_pooled: bool = False):
     from onetrainer_tpu.models.clip import (
         apply_final_layer_norm, encode_clip_text,
     )
@@ -33,6 +33,10 @@ def _encode_prompt(model, te_params, tokenize, text, extra_embeddings,
     out = model.text_encoder.apply(
         as_variables(te_params), tokens, None, extra_embeddings)
     hidden = encode_clip_text(out, layer_skip)
+    if with_pooled:
+        # Cascade: raw hidden state + pooled output
+        # (reference: WuerstchenModel.encode_text:249-251)
+        return hidden, out["pooled_output"]
     return apply_final_layer_norm(te_params, hidden)
 
 
@@ -54,11 +58,22 @@ def sample_wuerstchen(
         rng = jax.random.PRNGKey(sample_config.seed)
 
     layer_skip = getattr(sample_config, "text_encoder_1_layer_skip", 0) or 0
-    pos = _encode_prompt(model, te_params, tokenize, sample_config.prompt,
-                         extra_embeddings, layer_skip)
-    neg = _encode_prompt(model, te_params, tokenize,
-                         sample_config.negative_prompt or "",
-                         extra_embeddings, layer_skip)
+    is_cascade = model.model_type.is_stable_cascade()
+    pooled = None
+    if is_cascade:
+        pos, pos_pooled = _encode_prompt(
+            model, te_params, tokenize, sample_config.prompt,
+            extra_embeddings, layer_skip, with_pooled=True)
+        neg, neg_pooled = _encode_prompt(
+            model, te_params, tokenize, sample_config.negative_prompt or "",
+            extra_embeddings, layer_skip, with_pooled=True)
+        pooled = jnp.concatenate([neg_pooled, pos_pooled], axis=0)
+    else:
+        pos = _encode_prompt(model, te_params, tokenize, sample_config.prompt,
+                             extra_embeddings, layer_skip)
+        neg = _encode_prompt(model, te_params, tokenize,
+                             sample_config.negative_prompt or "",
+                             extra_embeddings, layer_skip)
     context = jnp.concatenate([neg, pos], axis=0)
 
     # latent grid: width*0.75/32 (reference: WuerstchenSampler.py:79-87)
@@ -67,8 +82,14 @@ def sample_wuerstchen(
     rng, noise_rng = jax.random.split(rng)
     latent = jax.random.normal(noise_rng, (1, lh, lw, 16), jnp.float32)
 
-    prior_apply = jax.jit(lambda p, x, t, c: model.prior.apply(
-        as_variables(p), x, t, c))
+    if is_cascade:
+        # clip_text_pooled + zero clip_img, like training
+        # (reference: WuerstchenSampler.py:110-116 cascade prior_kwargs)
+        prior_apply = jax.jit(lambda p, x, t, c: model.prior.apply(
+            as_variables(p), x, t, c, pooled, None))
+    else:
+        prior_apply = jax.jit(lambda p, x, t, c: model.prior.apply(
+            as_variables(p), x, t, c))
 
     # linspace(1, 0, steps+1): denoise t_i -> t_{i+1}
     ts = np.linspace(1.0, 0.0, steps + 1)

@@ -328,3 +328,84 @@ def test_wuerstchen_two_stage_sampling():
     # stand-in normalizes to full [0,255]; a random-weight VQ decode
     # after clamp almost surely does not hit both extremes exactly
     assert out.image.min() >= 0 and out.image.max() <= 255
+
+
+def test_cascade_prior_key_exactness():
+    """flax->torch keys match the diffusers StableCascadeUNet prior
+    inventory the reference's converter enumerates (reference:
+    convert_stable_cascade_diffusers_to_ckpt.py:1-83)."""
+    from onetrainer_tpu.models.cascade import (
+        CascadePriorConfig, StableCascadePrior,
+    )
+
+    cfg = CascadePriorConfig(
+        c_in=16, c_hidden=(32, 48), nhead=(4, 4), blocks=(2, 1),
+        c_cond=32, clip_text_in=24, clip_text_pooled_in=24,
+        clip_image_in=16, dtype=jnp.float32)
+    m = StableCascadePrior(cfg)
+    params = m.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 16)),
+        jnp.asarray([0.5]), jnp.zeros((1, 6, 24)), jnp.zeros((1, 24)),
+        jnp.zeros((1, 1, 16)))["params"]
+    sd = flax_params_to_torch(jax.device_get(params))
+    for key in [
+        "embedding.1.weight", "clf.1.weight",
+        "clip_txt_mapper.weight", "clip_txt_pooled_mapper.weight",
+        "clip_img_mapper.weight",
+        "down_downscalers.1.1.blocks.0.weight",
+        "up_upscalers.0.1.blocks.1.weight",
+        "down_blocks.0.0.channelwise.0.weight",   # res
+        "down_blocks.0.0.depthwise.weight",
+        "down_blocks.0.1.mapper.weight",          # timestep
+        "down_blocks.0.1.mapper_sca.weight",
+        "down_blocks.0.1.mapper_crp.weight",
+        "down_blocks.0.2.kv_mapper.1.weight",     # attn
+        "down_blocks.0.2.attention.to_q.weight",
+        "down_blocks.0.3.channelwise.0.weight",   # second triplet
+        "down_blocks.1.0.depthwise.weight",
+        "up_blocks.0.0.channelwise.0.weight",
+        "up_blocks.1.2.attention.to_out.0.weight",
+    ]:
+        assert key in sd, key
+    # the up level-0 first ResBlock takes the down skip: doubled fan-in
+    assert sd["up_blocks.1.0.channelwise.0.weight"].shape[1] == 64
+    assert sd["up_blocks.1.3.channelwise.0.weight"].shape[1] == 32
+
+
+def test_cascade_sampling_standin():
+    """Cascade prior sampling passes the pooled-text conditioning
+    (reference: WuerstchenSampler.py:110-116) and falls back to the
+    projection decode while stage B is unimplemented."""
+    from onetrainer_tpu.config.sample_config import SampleConfig
+    from onetrainer_tpu.models.cascade import CascadePriorConfig
+    from onetrainer_tpu.sampling.wuerstchen_sampler import sample_wuerstchen
+
+    model = WuerstchenModel(
+        model_type=ModelType.STABLE_CASCADE_1,
+        prior_config=CascadePriorConfig(
+            c_in=16, c_hidden=(32, 48), nhead=(4, 4), blocks=(1, 1),
+            c_cond=32, clip_text_in=32, clip_text_pooled_in=32,
+            clip_image_in=16, dtype=jnp.float32),
+        effnet_config=EffnetConfig(dtype=jnp.float32),
+        te_config=CLIPTextConfig(
+            vocab_size=100, hidden_size=32, intermediate_size=64,
+            num_layers=2, num_heads=4, max_position_embeddings=16,
+            eos_token_id=99, dtype=jnp.float32),
+    )
+    rng = jax.random.PRNGKey(0)
+    model.prior_params = model.prior.init(
+        rng, jnp.zeros((1, 4, 4, 16)), jnp.asarray([0.5]),
+        jnp.zeros((1, 6, 32)), jnp.zeros((1, 32)),
+        jnp.zeros((1, 1, 16)))["params"]
+    model.te_params = model.text_encoder.init(
+        rng, jnp.zeros((1, 6), jnp.int32))["params"]
+
+    cfg = SampleConfig.default_values()
+    cfg.prompt = "test"
+    cfg.height, cfg.width = 128, 128
+    cfg.diffusion_steps = 2
+
+    out = sample_wuerstchen(
+        model, model.prior_params, model.te_params,
+        lambda text: np.full((16,), 5, np.int32), cfg)
+    assert out.image.shape == (128, 128, 3)
