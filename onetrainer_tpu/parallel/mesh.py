@@ -87,6 +87,27 @@ def param_shardings(params, mesh: Mesh, min_size_to_shard: int = 2 ** 16):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch dict on the mesh, batch-dim sharded."""
+    """Place a host batch dict on the mesh, batch-dim sharded.
+
+    Multi-host: each process holds only its own slice of the global batch
+    (the loader's `process_batch_slice` handles the split), and
+    `jax.make_array_from_process_local_data` assembles the global array —
+    no cross-host gather of input data ever happens. Single-host this is
+    a plain device_put."""
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)
+
+
+def process_batch_slice(global_batch_size: int) -> slice:
+    """This host's slice of the global batch for multi-host input loading
+    (each process loads 1/process_count of every batch; sample order is
+    deterministic via the crc32-seeded pipeline, so hosts agree on the
+    epoch plan without communication)."""
+    per_host = global_batch_size // jax.process_count()
+    start = jax.process_index() * per_host
+    return slice(start, start + per_host)

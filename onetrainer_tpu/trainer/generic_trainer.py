@@ -483,7 +483,14 @@ class GenericTrainer(BaseTrainer):
                     self.save(dest)
 
                 if self.mesh is not None:
-                    from onetrainer_tpu.parallel.mesh import shard_batch
+                    from onetrainer_tpu.parallel.mesh import (
+                        process_batch_slice, shard_batch,
+                    )
+                    if jax.process_count() > 1:
+                        # multi-host: every host plans the same epoch
+                        # (deterministic seeds) but ships only its slice
+                        sl = process_batch_slice(config.batch_size)
+                        batch_np = {k: v[sl] for k, v in batch_np.items()}
                     batch = shard_batch(batch_np, self.mesh)
                 else:
                     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}

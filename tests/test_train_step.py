@@ -168,3 +168,12 @@ def test_sharded_lora_step_on_mesh():
     state, metrics = step(state, frozen, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["loss"]) == pytest.approx(float(metrics1["loss"]), rel=1e-4)
+
+
+def test_process_batch_slice_single_host():
+    """Single host owns the whole batch; the multi-host slice math is the
+    same code path with process_count=1
+    (reference parallel design: SURVEY.md §2.17 multi-host input)."""
+    from onetrainer_tpu.parallel.mesh import process_batch_slice
+    sl = process_batch_slice(8)
+    assert sl == slice(0, 8)
