@@ -32,13 +32,16 @@ def sample_stable_diffusion_xl(
         prediction_type=model.prediction_type,
         force_last_timestep=sample_config.force_last_timestep)
 
+    extra_1, extra_2 = extra_embeddings if isinstance(extra_embeddings, tuple) \
+        else (extra_embeddings, extra_embeddings)
+
     def encode(prompt: str):
         t1 = jnp.asarray(tokenize(prompt), jnp.int32)[None]
         t2 = jnp.asarray(tokenize_2(prompt), jnp.int32)[None]
         out1 = model.text_encoder.apply({"params": te_params}, t1,
-                                        None, extra_embeddings)
+                                        None, extra_1)
         out2 = model.text_encoder_2.apply({"params": te2_params}, t2,
-                                          None, extra_embeddings)
+                                          None, extra_2)
         skip = model.text_encoder_layer_skip
         ctx = jnp.concatenate([
             encode_clip_text(out1, sample_config.text_encoder_1_layer_skip + skip),

@@ -151,7 +151,7 @@ def _init_embedding_vectors(model, te_params, tokenizer: SDTokenizer,
     return jnp.asarray(np.concatenate(vectors, 0), jnp.float32), ids_map
 
 
-def _init_output_embeddings(model, te_params, tokenizer: SDTokenizer,
+def _init_output_embeddings(te_module, te_params, tokenizer: SDTokenizer,
                             config: TrainConfig, input_count: int):
     """Output embeddings: trained vectors patched into the TE *output* at
     the placeholder positions; the input-level rows stay frozen at their
@@ -178,7 +178,7 @@ def _init_output_embeddings(model, te_params, tokenizer: SDTokenizer,
             [table[init_ids[i % len(init_ids)]] for i in range(count)]))
         # output init: the TE's own output for the initial text
         tokens = tokenizer(e.initial_embedding_text)
-        out = model.text_encoder.apply(
+        out = te_module.apply(
             {"params": te_params}, jnp.asarray(tokens)[None])
         hidden = np.asarray(out["last_hidden_state"][0], np.float32)
         vec = hidden[1:count + 1]
@@ -284,7 +284,7 @@ def create_sd_setup(
             labels["embeddings"] = "embeddings"
         n_input = int(vectors.shape[0]) if vectors is not None else 0
         out_inputs, out_vectors, out_ids, out_spans, out_stds = \
-            _init_output_embeddings(model, model.te_params, tokenizer,
+            _init_output_embeddings(model.text_encoder, model.te_params, tokenizer,
                                     config, n_input)
         if out_vectors is not None:
             trainable["output_embeddings"] = out_vectors

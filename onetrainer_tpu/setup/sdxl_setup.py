@@ -52,14 +52,25 @@ class SDXLSetup:
                 te = apply_peft(te, params["te_lora"], self.peft_cfg)
             if "te2_lora" in params and te2 is not None:
                 te2 = apply_peft(te2, params["te2_lora"], self.peft_cfg)
-            return unet, te, te2, params.get("embeddings")
+            return unet, te, te2, (params.get("embeddings"),
+                                   params.get("embeddings_2"))
         if method == TrainingMethod.EMBEDDING:
+            import jax.numpy as jnp
+            extra_1 = params.get("embeddings")
+            extra_2 = params.get("embeddings_2")
+            if "embedding_inputs" in frozen:
+                rows_1 = ([extra_1] if extra_1 is not None else []) + \
+                    [frozen["embedding_inputs"]]
+                rows_2 = ([extra_2] if extra_2 is not None else []) + \
+                    [frozen["embedding_inputs_2"]]
+                extra_1 = jnp.concatenate(rows_1, axis=0)
+                extra_2 = jnp.concatenate(rows_2, axis=0)
             return (frozen["unet"], frozen["text_encoder"],
-                    frozen["text_encoder_2"], params["embeddings"])
+                    frozen["text_encoder_2"], (extra_1, extra_2))
         return (params.get("unet", frozen.get("unet")),
                 params.get("text_encoder", frozen.get("text_encoder")),
                 params.get("text_encoder_2", frozen.get("text_encoder_2")),
-                params.get("embeddings"))
+                (params.get("embeddings"), params.get("embeddings_2")))
 
 
 def create_sdxl_setup(model: StableDiffusionXLModel, config: TrainConfig,
@@ -118,12 +129,38 @@ def create_sdxl_setup(model: StableDiffusionXLModel, config: TrainConfig,
             labels["te2_lora"] = jax.tree.map(lambda _: "te2_lora",
                                               trainable["te2_lora"])
     elif method == TrainingMethod.EMBEDDING:
+        # per-TE vector tables (different hidden sizes; reference:
+        # StableDiffusionXLModelEmbedding holds text_encoder_1_vector and
+        # text_encoder_2_vector)
         vectors, embedding_ids = _init_embedding_vectors(
             model, model.te_params, tokenizer, config)
-        trainable["embeddings"] = vectors
+        vectors2, _ = _init_embedding_vectors(
+            model, model.te2_params, tokenizer_2, config)
         lr = config.embedding_learning_rate or config.learning_rate
-        group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
-        labels["embeddings"] = "embeddings"
+        if vectors is not None:
+            trainable["embeddings"] = vectors
+            trainable["embeddings_2"] = vectors2
+            group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
+            group_schedules["embeddings_2"] = _group_schedule(config, lr, total_steps)
+            labels["embeddings"] = "embeddings"
+            labels["embeddings_2"] = "embeddings_2"
+        n_input = int(vectors.shape[0]) if vectors is not None else 0
+        from onetrainer_tpu.setup.sd_setup import _init_output_embeddings
+        out_in1, out_vec1, out_ids, out_spans, out_stds = \
+            _init_output_embeddings(model.text_encoder, model.te_params,
+                                    tokenizer, config, n_input)
+        out_in2, out_vec2, _, _, out_stds_2 = \
+            _init_output_embeddings(model.text_encoder_2, model.te2_params,
+                                    tokenizer_2, config, n_input)
+        if out_vec1 is not None:
+            trainable["output_embeddings"] = out_vec1
+            trainable["output_embeddings_2"] = out_vec2
+            frozen["embedding_inputs"] = out_in1
+            frozen["embedding_inputs_2"] = out_in2
+            for name in ("output_embeddings", "output_embeddings_2"):
+                group_schedules[name] = _group_schedule(config, lr, total_steps)
+                labels[name] = name
+            embedding_ids.update(out_ids)
     else:
         if config.unet.train:
             trainable["unet"] = frozen.pop("unet")
@@ -160,13 +197,21 @@ def create_sdxl_setup(model: StableDiffusionXLModel, config: TrainConfig,
 
     step_cfg = SDStepConfig.from_train_config(
         config, model.prediction_type, model.text_encoder_layer_skip)
-    step_cfg = SDStepConfig(**{
-        **step_cfg.__dict__,
+    overrides = {
         "vae_scaling_factor": model.vae_config.scaling_factor,
         "train_text_encoder": (config.train_text_encoder_or_embedding()
                                or config.train_text_encoder_2_or_embedding()
                                or method == TrainingMethod.EMBEDDING),
-    })
+    }
+    if "output_embeddings" in trainable:
+        overrides["output_embedding_base_id"] = \
+            model.te_config.vocab_size + n_input
+        overrides["output_embedding_base_id_2"] = \
+            model.te2_config.vocab_size + n_input
+        overrides["output_embedding_spans"] = out_spans
+        overrides["output_embedding_stds"] = out_stds
+        overrides["output_embedding_stds_2"] = out_stds_2
+    step_cfg = SDStepConfig(**{**step_cfg.__dict__, **overrides})
 
     train_step = make_sdxl_train_step(model, step_cfg, tx, peft_cfg)
     state = create_train_state(trainable, tx, ema_enabled=config.ema != EMAMode.OFF)

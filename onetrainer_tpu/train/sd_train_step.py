@@ -60,6 +60,9 @@ class SDStepConfig:
     output_embedding_base_id: int = 0
     output_embedding_spans: tuple = ()
     output_embedding_stds: tuple = ()
+    # SDXL second text encoder (vocab may differ -> separate base id/stds)
+    output_embedding_base_id_2: int = 0
+    output_embedding_stds_2: tuple = ()
 
     @staticmethod
     def from_train_config(config, prediction_type: str = "epsilon",
@@ -79,6 +82,30 @@ class SDStepConfig:
             ema_update_interval=config.ema_update_step_interval,
             accum=max(config.gradient_accumulation_steps, 1),
         )
+
+
+def scatter_output_embeddings(hidden, tokens, vectors, base_id: int):
+    """Patch trained vectors into the TE output at placeholder positions
+    (reference: BaseModel._apply_output_embeddings:119-143). Placeholder
+    token ids are >= base_id; row index = token id - base_id."""
+    ids = tokens - base_id
+    is_placeholder = ids >= 0
+    gathered = vectors[jnp.clip(ids, 0, vectors.shape[0] - 1)]
+    return jnp.where(is_placeholder[..., None],
+                     gathered.astype(hidden.dtype), hidden)
+
+
+def normalize_output_embeddings(vectors, spans, stds):
+    """Rescale each output embedding back to its original per-row std
+    after the optimizer update (reference:
+    ModelSetupEmbeddingMixin._normalize_output_embeddings:105-110)."""
+    oe = vectors.astype(jnp.float32)
+    segments = []
+    for (start, count), orig in zip(spans, stds):
+        seg = jax.lax.dynamic_slice_in_dim(oe, start, count, 0)
+        std = seg.std(axis=1).mean()
+        segments.append(seg * (orig / (std + 1e-8)))
+    return jnp.concatenate(segments, 0)
 
 
 def sd_predict(
@@ -130,14 +157,9 @@ def sd_predict(
 
     output_embeddings = batch.get("output_embeddings")
     if output_embeddings is not None:
-        # patch trained vectors into the TE output where placeholder
-        # tokens sit (reference: BaseModel._apply_output_embeddings)
-        ids = batch["tokens"] - cfg.output_embedding_base_id
-        is_placeholder = ids >= 0
-        gathered = output_embeddings[
-            jnp.clip(ids, 0, output_embeddings.shape[0] - 1)]
-        context = jnp.where(is_placeholder[..., None],
-                            gathered.astype(context.dtype), context)
+        context = scatter_output_embeddings(
+            context, batch["tokens"], output_embeddings,
+            cfg.output_embedding_base_id)
 
     unet_in = noisy
     if "latent_conditioning_image" in batch:
@@ -259,18 +281,9 @@ def make_sd_train_step(
             params = optax.apply_updates(state.params, updates)
 
         if cfg.output_embedding_stds and "output_embeddings" in params:
-            # norm preservation: rescale each output embedding back to its
-            # original per-row std (reference:
-            # ModelSetupEmbeddingMixin._normalize_output_embeddings:105-110)
-            oe = params["output_embeddings"].astype(jnp.float32)
-            segments = []
-            for (start, count), orig in zip(cfg.output_embedding_spans,
-                                            cfg.output_embedding_stds):
-                seg = jax.lax.dynamic_slice_in_dim(oe, start, count, 0)
-                std = seg.std(axis=1).mean()
-                segments.append(seg * (orig / (std + 1e-8)))
-            params = {**params,
-                      "output_embeddings": jnp.concatenate(segments, 0)}
+            params = {**params, "output_embeddings": normalize_output_embeddings(
+                params["output_embeddings"], cfg.output_embedding_spans,
+                cfg.output_embedding_stds)}
 
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:

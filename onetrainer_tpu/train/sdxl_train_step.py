@@ -25,8 +25,10 @@ from onetrainer_tpu.util.enums import TrainingMethod
 
 
 def sdxl_text_conditioning(model, te_params, te2_params, batch, layer_skip: int,
-                           extra_embeddings=None):
-    """-> (context [B,S,2048], pooled [B,1280])."""
+                           extra_embeddings=None, cfg=None):
+    """-> (context [B,S,2048], pooled [B,1280]). extra_embeddings is a
+    per-TE tuple (hidden sizes differ: 768 vs 1280 — reference:
+    StableDiffusionXLModelEmbedding keeps a vector per text encoder)."""
     if "text_encoder_hidden_state" in batch and "text_encoder_2_hidden_state" in batch:
         context = jnp.concatenate([
             batch["text_encoder_hidden_state"],
@@ -34,12 +36,24 @@ def sdxl_text_conditioning(model, te_params, te2_params, batch, layer_skip: int,
         ], axis=-1)
         pooled = batch["text_encoder_2_pooled_state"]
         return context, pooled
+    extra_1, extra_2 = extra_embeddings if isinstance(extra_embeddings, tuple) \
+        else (extra_embeddings, extra_embeddings)
     out1 = model.text_encoder.apply(
-        as_variables(te_params), batch["tokens"], None, extra_embeddings)
+        as_variables(te_params), batch["tokens"], None, extra_1)
     out2 = model.text_encoder_2.apply(
-        as_variables(te2_params), batch["tokens_2"], None, extra_embeddings)
+        as_variables(te2_params), batch["tokens_2"], None, extra_2)
     h1 = encode_clip_text(out1, layer_skip)
     h2 = encode_clip_text(out2, layer_skip)
+    if cfg is not None and batch.get("output_embeddings") is not None:
+        # per-TE output-embedding scatter
+        # (reference: StableDiffusionXLModel.encode_text:258-270)
+        from onetrainer_tpu.train.sd_train_step import scatter_output_embeddings
+        h1 = scatter_output_embeddings(
+            h1, batch["tokens"], batch["output_embeddings"],
+            cfg.output_embedding_base_id)
+        h2 = scatter_output_embeddings(
+            h2, batch["tokens_2"], batch["output_embeddings_2"],
+            cfg.output_embedding_base_id_2)
     context = jnp.concatenate([h1, h2], axis=-1)
     return context, out2["pooled_output"]
 
@@ -67,7 +81,7 @@ def sdxl_predict(model, unet_params, te_params, te2_params, batch, rng,
 
     context, pooled = sdxl_text_conditioning(
         model, te_params, te2_params, batch, cfg.text_encoder_layer_skip,
-        extra_embeddings)
+        extra_embeddings, cfg)
 
     # add_time_ids: original size + crop offset + target size
     add_time_ids = jnp.concatenate([
@@ -119,18 +133,32 @@ def make_sdxl_train_step(model, cfg: SDStepConfig, tx, peft_cfg: PeftConfig | No
                 te = lora_variables(te, trainable["te_lora"], peft_cfg, rng)
             if "te2_lora" in trainable and te2 is not None:
                 te2 = lora_variables(te2, trainable["te2_lora"], peft_cfg, rng)
-            return unet, te, te2, trainable.get("embeddings")
+            return unet, te, te2, (trainable.get("embeddings"),
+                                   trainable.get("embeddings_2"))
         if method == TrainingMethod.EMBEDDING:
+            extra_1 = trainable.get("embeddings")
+            extra_2 = trainable.get("embeddings_2")
+            if "embedding_inputs" in frozen:
+                rows_1 = ([extra_1] if extra_1 is not None else []) + \
+                    [frozen["embedding_inputs"]]
+                rows_2 = ([extra_2] if extra_2 is not None else []) + \
+                    [frozen["embedding_inputs_2"]]
+                extra_1 = jnp.concatenate(rows_1, axis=0)
+                extra_2 = jnp.concatenate(rows_2, axis=0)
             return (frozen["unet"], frozen["text_encoder"],
-                    frozen["text_encoder_2"], trainable["embeddings"])
+                    frozen["text_encoder_2"], (extra_1, extra_2))
         return (trainable.get("unet", frozen.get("unet")),
                 trainable.get("text_encoder", frozen.get("text_encoder")),
                 trainable.get("text_encoder_2", frozen.get("text_encoder_2")),
-                trainable.get("embeddings"))
+                (trainable.get("embeddings"), trainable.get("embeddings_2")))
 
     def loss_fn(trainable, frozen, batch, rng):
         rng_peft, rng_predict = jax.random.split(rng)
         unet_params, te, te2, extra = resolve_params(trainable, frozen, rng_peft)
+        if "output_embeddings" in trainable:
+            batch = dict(batch,
+                         output_embeddings=trainable["output_embeddings"],
+                         output_embeddings_2=trainable["output_embeddings_2"])
         data = sdxl_predict(model, unet_params, te, te2, batch, rng_predict,
                             cfg, coefficients, extra)
         losses = diffusion_losses(batch, data, cfg.loss, coefficients)
@@ -145,6 +173,19 @@ def make_sdxl_train_step(model, cfg: SDStepConfig, tx, peft_cfg: PeftConfig | No
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
+        if "output_embeddings" in params and cfg.output_embedding_spans:
+            from onetrainer_tpu.train.sd_train_step import (
+                normalize_output_embeddings,
+            )
+            params = {
+                **params,
+                "output_embeddings": normalize_output_embeddings(
+                    params["output_embeddings"],
+                    cfg.output_embedding_spans, cfg.output_embedding_stds),
+                "output_embeddings_2": normalize_output_embeddings(
+                    params["output_embeddings_2"],
+                    cfg.output_embedding_spans, cfg.output_embedding_stds_2),
+            }
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema, params, cfg.ema_decay, state.step,

@@ -313,10 +313,21 @@ class GenericTrainer(BaseTrainer):
         elif config.training_method == TrainingMethod.EMBEDDING:
             params = self.setup.state.params
             tensors = {}
-            if "embeddings" in params:
+            if "embeddings_2" in params or "output_embeddings_2" in params:
+                # SDXL XL-embedding format (reference:
+                # StableDiffusionXLEmbeddingSaver.py:29-35)
+                pairs = [("embeddings", "clip_l"), ("embeddings_2", "clip_g"),
+                         ("output_embeddings", "clip_l_out"),
+                         ("output_embeddings_2", "clip_g_out")]
+                for key, name in pairs:
+                    if key in params:
+                        tensors[name] = np.asarray(
+                            jax.device_get(params[key]))
+            if "embeddings" in params and "embeddings_2" not in params:
                 tensors["emp_params"] = np.asarray(
                     jax.device_get(params["embeddings"]))
-            if "output_embeddings" in params:
+            if "output_embeddings" in params and \
+                    "output_embeddings_2" not in params:
                 # output-embedding vectors (reference: BaseModelEmbedding
                 # output_vector save path)
                 tensors["output_emp_params"] = np.asarray(

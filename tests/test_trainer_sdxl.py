@@ -112,3 +112,82 @@ def test_sdxl_e2e_lora(tmp_path):
     assert any(k.startswith("lora_unet_") for k in sd)
     assert any(k.startswith("lora_te1_") for k in sd)
     assert any(k.startswith("lora_te2_") for k in sd)
+
+
+def test_sdxl_embedding_e2e(tmp_path):
+    """SDXL textual inversion: per-TE vector tables (768/1280-style dims
+    differ) + per-TE output embeddings, saved in the XL embedding format
+    (reference: StableDiffusionXLModelEmbedding,
+    StableDiffusionXLEmbeddingSaver.py:29-35 clip_l/clip_g[_out])."""
+    from onetrainer_tpu.config.train_config import TrainEmbeddingConfig
+
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    model = tiny_sdxl_model()
+    write_tiny_sdxl_checkpoint(base, model)
+    for name in os.listdir(ds):
+        if name.endswith(".txt"):
+            path = os.path.join(ds, name)
+            with open(path) as f:
+                text = f.read()
+            with open(path, "w") as f:
+                f.write("<xl-emb> " + text)
+
+    config = TrainConfig.default_values()
+    config.model_type = ModelType.STABLE_DIFFUSION_XL_10_BASE
+    config.training_method = TrainingMethod.EMBEDDING
+    config.base_model_name = base
+    config.workspace_dir = str(tmp_path / "ws")
+    config.cache_dir = str(tmp_path / "cache")
+    config.epochs = 1
+    config.batch_size = 2
+    config.resolution = "32"
+    config.aspect_ratio_bucketing = False
+    config.learning_rate = 1e-3
+    config.learning_rate_warmup_steps = 0.0
+    config.tensorboard = False
+    config.sample_after_unit = TimeUnit.NEVER
+    config.backup_after_unit = TimeUnit.NEVER
+    config.save_every_unit = TimeUnit.NEVER
+    config.ema = EMAMode.OFF
+    config.optimizer.stochastic_rounding = False
+    config.samples = []
+    emb = TrainEmbeddingConfig.default_values()
+    emb.placeholder = "<xl-emb>"
+    emb.token_count = 2
+    emb.initial_embedding_text = "thing"
+    config.embedding = emb
+    out_emb = TrainEmbeddingConfig.default_values()
+    out_emb.uuid = "out-1"
+    out_emb.placeholder = "<xl-out>"
+    out_emb.token_count = 1
+    out_emb.initial_embedding_text = "thing"
+    out_emb.is_output_embedding = True
+    config.additional_embeddings = [out_emb]
+    concept = ConceptConfig.default_values()
+    concept.path = ds
+    concept.seed = 3
+    config.concepts = [concept]
+    config.output_model_destination = str(tmp_path / "out_xl_emb.safetensors")
+    config.backup_before_save = False
+
+    trainer = GenericTrainer(config)
+    trainer.start()
+    params = trainer.setup.state.params
+    # per-TE dims: TE1 hidden 32, TE2 hidden 48 in the tiny model
+    assert params["embeddings"].shape == (2, 32)
+    assert params["embeddings_2"].shape == (2, 48)
+    assert params["output_embeddings"].shape == (1, 32)
+    assert params["output_embeddings_2"].shape == (1, 48)
+    before = np.asarray(params["embeddings_2"]).copy()
+    trainer.train()
+    trainer.end()
+
+    after = np.asarray(jax.device_get(
+        trainer.setup.state.params["embeddings_2"]))
+    assert not np.allclose(before, after)     # TE2 table actually trained
+    sd = load_safetensors(config.output_model_destination)
+    assert sd["clip_l"].shape == (2, 32)
+    assert sd["clip_g"].shape == (2, 48)
+    assert sd["clip_l_out"].shape == (1, 32)
+    assert sd["clip_g_out"].shape == (1, 48)
