@@ -129,10 +129,14 @@ class T5Encoder(nn.Module):
     cfg: T5Config
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray):
+    def __call__(self, input_ids: jnp.ndarray, extra_embeddings=None):
         c = self.cfg
         table = self.param("shared", nn.initializers.normal(1.0),
                            (c.vocab_size, c.d_model))
+        if extra_embeddings is not None:
+            # trained textual-inversion rows appended past the vocab
+            table = jnp.concatenate(
+                [table, extra_embeddings.astype(table.dtype)], axis=0)
         x = table[input_ids].astype(c.dtype)
         position_bias = None
         for i in range(c.num_layers):

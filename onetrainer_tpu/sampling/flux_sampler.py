@@ -41,12 +41,14 @@ def sample_flux(
     sigmas = shift * sigmas / (1 + (shift - 1) * sigmas)
     sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
 
+    extra_1, extra_2 = extra_embeddings if isinstance(extra_embeddings, tuple) \
+        else (extra_embeddings, None)
     t1 = jnp.asarray(tokenize(sample_config.prompt), jnp.int32)[None]
     t2 = jnp.asarray(tokenize_2(sample_config.prompt), jnp.int32)[None]
     out_clip = model.text_encoder.apply({"params": te_params}, t1,
-                                        None, extra_embeddings)
+                                        None, extra_1)
     pooled = out_clip["pooled_output"]
-    t5_states = model.text_encoder_2.apply({"params": te2_params}, t2)
+    t5_states = model.text_encoder_2.apply({"params": te2_params}, t2, extra_2)
 
     rng, noise_rng = jax.random.split(rng)
     latents = jax.random.normal(

@@ -35,7 +35,8 @@ def sample_pixart(
         jnp.asarray(tokenize(sample_config.prompt), jnp.int32),
         jnp.asarray(tokenize(sample_config.negative_prompt), jnp.int32),
     ])
-    context = model.text_encoder.apply({"params": te_params}, tokens)
+    context = model.text_encoder.apply({"params": te_params}, tokens,
+                                   extra_embeddings)
 
     scale = model.vae_config.spatial_scale
     latent_shape = (1, height // scale, width // scale,

@@ -32,15 +32,19 @@ def sample_sd3(
     sigmas = shift * sigmas / (1 + (shift - 1) * sigmas)
     sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
 
+    extra_1, extra_2, extra_3 = extra_embeddings \
+        if isinstance(extra_embeddings, tuple) \
+        else (extra_embeddings, extra_embeddings, None)
+
     def encode(prompt):
         t1 = jnp.asarray(tokenize(prompt), jnp.int32)[None]
         t2 = jnp.asarray(tokenize_2(prompt), jnp.int32)[None]
         t3 = jnp.asarray(tokenize_3(prompt), jnp.int32)[None]
         out_l = model.text_encoder.apply({"params": te_params}, t1,
-                                         None, extra_embeddings)
+                                         None, extra_1)
         out_g = model.text_encoder_2.apply({"params": te2_params}, t2,
-                                           None, extra_embeddings)
-        t5 = model.text_encoder_3.apply({"params": te3_params}, t3)
+                                           None, extra_2)
+        t5 = model.text_encoder_3.apply({"params": te3_params}, t3, extra_3)
         skip1 = sample_config.text_encoder_1_layer_skip
         skip2 = sample_config.text_encoder_2_layer_skip
         return sd3_text_context(

@@ -48,6 +48,10 @@ class FluxSetup:
     state: object = None
     embedding_ids: dict = field(default_factory=dict)
     group_schedules: dict = field(default_factory=dict)
+    # reference: FluxEmbeddingSaver.py:29-35
+    embedding_save_keys: dict = field(default_factory=lambda: {
+        "embeddings": "clip_l", "embeddings_2": "t5",
+        "output_embeddings_2": "t5_out"})
 
     def merged_inference_params(self, params=None):
         params = params if params is not None else self.state.params
@@ -61,14 +65,23 @@ class FluxSetup:
             if "te_lora" in params and te is not None:
                 te = apply_peft(te, params["te_lora"], self.peft_cfg)
             return transformer, te, frozen.get("text_encoder_2"), \
-                params.get("embeddings")
+                (params.get("embeddings"), params.get("embeddings_2"))
         if method == TrainingMethod.EMBEDDING:
+            import jax.numpy as jnp
+            extras = []
+            for suffix in ("", "_2"):
+                extra = params.get(f"embeddings{suffix}")
+                inputs = frozen.get(f"embedding_inputs{suffix}")
+                if inputs is not None:
+                    rows = ([extra] if extra is not None else []) + [inputs]
+                    extra = jnp.concatenate(rows, axis=0)
+                extras.append(extra)
             return (frozen["transformer"], frozen["text_encoder"],
-                    frozen["text_encoder_2"], params["embeddings"])
+                    frozen["text_encoder_2"], tuple(extras))
         return (params.get("transformer", frozen.get("transformer")),
                 params.get("text_encoder", frozen.get("text_encoder")),
                 params.get("text_encoder_2", frozen.get("text_encoder_2")),
-                params.get("embeddings"))
+                (params.get("embeddings"), params.get("embeddings_2")))
 
 
 def create_flux_setup(model: FluxModel, config: TrainConfig,
@@ -129,12 +142,38 @@ def create_flux_setup(model: FluxModel, config: TrainConfig,
                 else jnp.float8_e4m3fn
             frozen["text_encoder_2"] = quantize_tree(model.te2_params, qdtype)
     elif method == TrainingMethod.EMBEDDING:
+        # per-TE vector tables (reference: FluxModelEmbedding holds
+        # text_encoder_1_vector (clip) + text_encoder_2_vector (t5));
+        # output embeddings apply to the T5 output only
+        # (reference: FluxModel.encode_text:278)
+        from onetrainer_tpu.setup.sd_setup import _init_output_embeddings
+        lr = config.embedding_learning_rate or config.learning_rate
         vectors, embedding_ids = _init_embedding_vectors(
             model, model.te_params, tokenizer, config)
-        trainable["embeddings"] = vectors
-        lr = config.embedding_learning_rate or config.learning_rate
-        group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
-        labels["embeddings"] = "embeddings"
+        vectors2, _ = _init_embedding_vectors(
+            model, model.te2_params, tokenizer_2, config)
+        if vectors is not None:
+            trainable["embeddings"] = vectors
+            trainable["embeddings_2"] = vectors2
+            for name in ("embeddings", "embeddings_2"):
+                group_schedules[name] = _group_schedule(config, lr, total_steps)
+                labels[name] = name
+        n_input = int(vectors.shape[0]) if vectors is not None else 0
+        # keep tokenizer placeholder registries aligned across TEs
+        out_in1, out_vec1, out_ids, out_spans, out_stds = \
+            _init_output_embeddings(model.text_encoder, model.te_params,
+                                    tokenizer, config, n_input)
+        out_in2, out_vec2, _, _, out_stds_2 = \
+            _init_output_embeddings(model.text_encoder_2, model.te2_params,
+                                    tokenizer_2, config, n_input)
+        if out_vec2 is not None:
+            trainable["output_embeddings_2"] = out_vec2
+            frozen["embedding_inputs"] = out_in1
+            frozen["embedding_inputs_2"] = out_in2
+            group_schedules["output_embeddings_2"] = \
+                _group_schedule(config, lr, total_steps)
+            labels["output_embeddings_2"] = "output_embeddings_2"
+            embedding_ids.update(out_ids)
     else:
         if config.prior.train:
             trainable["transformer"] = frozen.pop("transformer")
@@ -167,13 +206,18 @@ def create_flux_setup(model: FluxModel, config: TrainConfig,
         tx = optax.MultiSteps(tx, every_k_schedule=config.gradient_accumulation_steps)
 
     step_cfg = SDStepConfig.from_train_config(config, "flow", 0)
-    step_cfg = SDStepConfig(**{
-        **step_cfg.__dict__,
+    overrides = {
         "vae_scaling_factor": model.vae_config.scaling_factor,
         "vae_shift_factor": model.vae_config.shift_factor,
         "train_text_encoder": (config.train_text_encoder_or_embedding()
                                or method == TrainingMethod.EMBEDDING),
-    })
+    }
+    if "output_embeddings_2" in trainable:
+        overrides.update(
+            output_embedding_base_id_2=model.te2_config.vocab_size + n_input,
+            output_embedding_spans=out_spans,
+            output_embedding_stds_2=out_stds_2)
+    step_cfg = SDStepConfig(**{**step_cfg.__dict__, **overrides})
 
     train_step = make_flux_train_step(
         model, step_cfg, tx, peft_cfg,

@@ -39,6 +39,9 @@ class PixArtSetup:
     state: object = None
     embedding_ids: dict = field(default_factory=dict)
     group_schedules: dict = field(default_factory=dict)
+    # reference: PixArtAlphaEmbeddingSaver.py:29-31
+    embedding_save_keys: dict = field(default_factory=lambda: {
+        "embeddings": "t5", "output_embeddings": "t5_out"})
 
     def merged_inference_params(self, params=None):
         params = params if params is not None else self.state.params
@@ -48,6 +51,14 @@ class PixArtSetup:
                                      params["transformer_lora"], self.peft_cfg) \
                 if "transformer_lora" in params else frozen["transformer"]
             return transformer, frozen.get("text_encoder"), params.get("embeddings")
+        if self.config.training_method == TrainingMethod.EMBEDDING:
+            import jax.numpy as jnp
+            extra = params.get("embeddings")
+            inputs = frozen.get("embedding_inputs")
+            if inputs is not None:
+                rows = ([extra] if extra is not None else []) + [inputs]
+                extra = jnp.concatenate(rows, axis=0)
+            return frozen["transformer"], frozen["text_encoder"], extra
         return (params.get("transformer", frozen.get("transformer")),
                 params.get("text_encoder", frozen.get("text_encoder")),
                 params.get("embeddings"))
@@ -69,6 +80,7 @@ def create_pixart_setup(model: PixArtAlphaModel, config: TrainConfig,
                     "text_encoder": model.te_params}
     group_schedules: dict = {}
     labels: dict = {}
+    embedding_ids: dict = {}
     peft_cfg = None
 
     if method == TrainingMethod.LORA:
@@ -86,6 +98,30 @@ def create_pixart_setup(model: PixArtAlphaModel, config: TrainConfig,
             qdtype = jnp.int8 if prior_dtype in (DataType.INT_8, DataType.NFLOAT_4) \
                 else jnp.float8_e4m3fn
             frozen["transformer"] = quantize_tree(model.transformer_params, qdtype)
+    elif method == TrainingMethod.EMBEDDING:
+        # T5 textual inversion (reference: PixArtAlphaModelEmbedding,
+        # PixArtAlphaEmbeddingSaver.py:29-31 t5/t5_out keys)
+        from onetrainer_tpu.setup.sd_setup import (
+            _init_embedding_vectors, _init_output_embeddings,
+        )
+        lr = config.embedding_learning_rate or config.learning_rate
+        vectors, embedding_ids = _init_embedding_vectors(
+            model, model.te_params, tokenizer, config)
+        if vectors is not None:
+            trainable["embeddings"] = vectors
+            group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
+            labels["embeddings"] = "embeddings"
+        n_input = int(vectors.shape[0]) if vectors is not None else 0
+        out_in, out_vec, out_ids, out_spans, out_stds = \
+            _init_output_embeddings(model.text_encoder, model.te_params,
+                                    tokenizer, config, n_input)
+        if out_vec is not None:
+            trainable["output_embeddings"] = out_vec
+            frozen["embedding_inputs"] = out_in
+            group_schedules["output_embeddings"] = _group_schedule(
+                config, lr, total_steps)
+            labels["output_embeddings"] = "output_embeddings"
+            embedding_ids.update(out_ids)
     else:
         if config.prior.train:
             trainable["transformer"] = frozen.pop("transformer")
@@ -111,11 +147,16 @@ def create_pixart_setup(model: PixArtAlphaModel, config: TrainConfig,
         tx = optax.MultiSteps(tx, every_k_schedule=config.gradient_accumulation_steps)
 
     step_cfg = SDStepConfig.from_train_config(config, "epsilon", 0)
-    step_cfg = SDStepConfig(**{
-        **step_cfg.__dict__,
+    overrides = {
         "vae_scaling_factor": model.vae_config.scaling_factor,
-        "train_text_encoder": False,
-    })
+        "train_text_encoder": method == TrainingMethod.EMBEDDING,
+    }
+    if "output_embeddings" in trainable:
+        overrides.update(
+            output_embedding_base_id=model.te_config.vocab_size + n_input,
+            output_embedding_spans=out_spans,
+            output_embedding_stds=out_stds)
+    step_cfg = SDStepConfig(**{**step_cfg.__dict__, **overrides})
 
     train_step = make_pixart_train_step(model, step_cfg, tx, peft_cfg)
     state = create_train_state(trainable, tx, ema_enabled=config.ema != EMAMode.OFF)
@@ -124,7 +165,7 @@ def create_pixart_setup(model: PixArtAlphaModel, config: TrainConfig,
         model=model, config=config, tokenizer=tokenizer, tokenizer_2=tokenizer,
         peft_cfg=peft_cfg, step_cfg=step_cfg, trainable=trainable, frozen=frozen,
         tx=tx, train_step=train_step, state=state,
-        group_schedules=group_schedules)
+        embedding_ids=embedding_ids, group_schedules=group_schedules)
 
 
 def make_pixart_encode_fns(setup: PixArtSetup):

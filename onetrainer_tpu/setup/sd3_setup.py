@@ -57,12 +57,26 @@ class SD3Setup:
             if "te2_lora" in params and te2 is not None:
                 te2 = apply_peft(te2, params["te2_lora"], self.peft_cfg)
             return (transformer, te, te2, frozen.get("text_encoder_3"),
-                    params.get("embeddings"))
+                    (params.get("embeddings"), params.get("embeddings_2"),
+                     params.get("embeddings_3")))
+        extras = []
+        if method == TrainingMethod.EMBEDDING:
+            import jax.numpy as jnp
+            for suffix in ("", "_2", "_3"):
+                extra = params.get(f"embeddings{suffix}")
+                inputs = frozen.get(f"embedding_inputs{suffix}")
+                if inputs is not None:
+                    rows = ([extra] if extra is not None else []) + [inputs]
+                    extra = jnp.concatenate(rows, axis=0)
+                extras.append(extra)
+        else:
+            extras = [params.get("embeddings"), params.get("embeddings_2"),
+                      params.get("embeddings_3")]
         return (params.get("transformer", frozen.get("transformer")),
                 params.get("text_encoder", frozen.get("text_encoder")),
                 params.get("text_encoder_2", frozen.get("text_encoder_2")),
                 params.get("text_encoder_3", frozen.get("text_encoder_3")),
-                params.get("embeddings"))
+                tuple(extras))
 
 
 def create_sd3_setup(model: StableDiffusion3Model, config: TrainConfig,
@@ -126,7 +140,7 @@ def create_sd3_setup(model: StableDiffusion3Model, config: TrainConfig,
             qdtype = jnp.int8 if prior_dtype in (DataType.INT_8, DataType.NFLOAT_4) \
                 else jnp.float8_e4m3fn
             frozen["transformer"] = quantize_tree(model.transformer_params, qdtype)
-    else:
+    elif method != TrainingMethod.EMBEDDING:
         if config.prior.train:
             trainable["transformer"] = frozen.pop("transformer")
             group_schedules["transformer"] = _group_schedule(
@@ -141,6 +155,47 @@ def create_sd3_setup(model: StableDiffusion3Model, config: TrainConfig,
                 config.text_encoder, steps_per_epoch)
             labels["text_encoder"] = jax.tree.map(
                 lambda _: "text_encoder", trainable["text_encoder"])
+
+    n_input = 0
+    out_spans: tuple = ()
+    out_stds: tuple = ()
+    out_stds_2: tuple = ()
+    out_stds_3: tuple = ()
+    if method == TrainingMethod.EMBEDDING:
+        # per-TE vector tables (reference: StableDiffusion3ModelEmbedding
+        # holds text_encoder_{1,2,3}_vector)
+        from onetrainer_tpu.setup.sd_setup import _init_output_embeddings
+        lr = config.embedding_learning_rate or config.learning_rate
+        tes = [(model.text_encoder, model.te_params, tokenizer, ""),
+               (model.text_encoder_2, model.te2_params, tokenizer_2, "_2"),
+               (model.text_encoder_3, model.te3_params, tokenizer_3, "_3")]
+        for te_module, te_params, tok, suffix in tes:
+            vectors, ids = _init_embedding_vectors(model, te_params, tok, config)
+            if vectors is not None:
+                trainable[f"embeddings{suffix}"] = vectors
+                group_schedules[f"embeddings{suffix}"] = _group_schedule(
+                    config, lr, total_steps)
+                labels[f"embeddings{suffix}"] = f"embeddings{suffix}"
+                if suffix == "":
+                    embedding_ids.update(ids)
+                    n_input = int(vectors.shape[0])
+        for te_module, te_params, tok, suffix in tes:
+            out_in, out_vec, out_ids, spans, stds = _init_output_embeddings(
+                te_module, te_params, tok, config, n_input)
+            if out_vec is not None:
+                trainable[f"output_embeddings{suffix}"] = out_vec
+                frozen[f"embedding_inputs{suffix}"] = out_in
+                group_schedules[f"output_embeddings{suffix}"] = \
+                    _group_schedule(config, lr, total_steps)
+                labels[f"output_embeddings{suffix}"] = \
+                    f"output_embeddings{suffix}"
+                if suffix == "":
+                    embedding_ids.update(out_ids)
+                    out_spans, out_stds = spans, stds
+                elif suffix == "_2":
+                    out_stds_2 = stds
+                else:
+                    out_stds_3 = stds
 
     if method == TrainingMethod.LORA and config.lora_model_name:
         # continue training from an existing kohya LoRA file
@@ -158,13 +213,23 @@ def create_sd3_setup(model: StableDiffusion3Model, config: TrainConfig,
         tx = optax.MultiSteps(tx, every_k_schedule=config.gradient_accumulation_steps)
 
     step_cfg = SDStepConfig.from_train_config(config, "flow", 0)
-    step_cfg = SDStepConfig(**{
-        **step_cfg.__dict__,
+    overrides = {
         "vae_scaling_factor": model.vae_config.scaling_factor,
         "vae_shift_factor": model.vae_config.shift_factor,
         "train_text_encoder": (config.train_text_encoder_or_embedding()
-                               or config.train_text_encoder_2_or_embedding()),
-    })
+                               or config.train_text_encoder_2_or_embedding()
+                               or method == TrainingMethod.EMBEDDING),
+    }
+    if "output_embeddings" in trainable:
+        overrides.update(
+            output_embedding_base_id=model.te_config.vocab_size + n_input,
+            output_embedding_base_id_2=model.te2_config.vocab_size + n_input,
+            output_embedding_base_id_3=model.te3_config.vocab_size + n_input,
+            output_embedding_spans=out_spans,
+            output_embedding_stds=out_stds,
+            output_embedding_stds_2=out_stds_2,
+            output_embedding_stds_3=out_stds_3)
+    step_cfg = SDStepConfig(**{**step_cfg.__dict__, **overrides})
 
     train_step = make_sd3_train_step(model, step_cfg, tx, peft_cfg)
     state = create_train_state(trainable, tx, ema_enabled=config.ema != EMAMode.OFF)

@@ -129,7 +129,9 @@ def _init_embedding_vectors(model, te_params, tokenizer: SDTokenizer,
                          if not e.is_output_embedding]
     if not embedding_configs:
         return None, {}
-    table = np.asarray(te_params["token_embedding"])
+    # CLIP tables live at 'token_embedding'; T5 at 'shared'
+    table = np.asarray(te_params.get("token_embedding",
+                                     te_params.get("shared")))
     vectors = []
     ids_map = {}
     offset = 0
@@ -165,7 +167,8 @@ def _init_output_embeddings(te_module, te_params, tokenizer: SDTokenizer,
                       if e.is_output_embedding]
     if not output_configs:
         return None, None, {}, (), ()
-    table = np.asarray(te_params["token_embedding"])
+    table = np.asarray(te_params.get("token_embedding",
+                                     te_params.get("shared")))
     input_rows, out_vectors = [], []
     ids_map: dict = {}
     spans: list[tuple[int, int]] = []
@@ -180,8 +183,12 @@ def _init_output_embeddings(te_module, te_params, tokenizer: SDTokenizer,
         tokens = tokenizer(e.initial_embedding_text)
         out = te_module.apply(
             {"params": te_params}, jnp.asarray(tokens)[None])
-        hidden = np.asarray(out["last_hidden_state"][0], np.float32)
-        vec = hidden[1:count + 1]
+        hidden = np.asarray(
+            out["last_hidden_state"][0] if isinstance(out, dict) else out[0],
+            np.float32)
+        # CLIP prompts start with BOS; T5 has none
+        start = 0 if not hasattr(tokenizer, "bos") else 1
+        vec = hidden[start:start + count]
         out_vectors.append(vec)
         tokenizer.register_placeholder(e.placeholder, count)
         ids_map[e.uuid] = (input_count + offset, count)

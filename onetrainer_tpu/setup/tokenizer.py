@@ -122,9 +122,12 @@ class T5TokenizerWrapper:
             except Exception as e:
                 print(f"t5 tokenizer load failed ({e}); using hash fallback")
         self.placeholders: dict[str, list[int]] = {}
+        self._next_extra = 0
 
     def register_placeholder(self, placeholder: str, token_count: int) -> list[int]:
-        ids = list(range(self.vocab_size, self.vocab_size + token_count))
+        ids = list(range(self.vocab_size + self._next_extra,
+                         self.vocab_size + self._next_extra + token_count))
+        self._next_extra += token_count
         self.placeholders[placeholder] = ids
         return ids
 

@@ -25,15 +25,26 @@ from onetrainer_tpu.util.enums import TrainingMethod
 
 
 def flux_text_conditioning(model, te_params, te2_params, batch,
-                           extra_embeddings=None):
-    """-> (t5 sequence states [B,S,4096], clip pooled [B,768])."""
+                           extra_embeddings=None, cfg=None):
+    """-> (t5 sequence states [B,S,4096], clip pooled [B,768]).
+    extra_embeddings: per-TE (clip, t5) tuple (reference:
+    FluxModelEmbedding holds text_encoder_{1,2}_vector)."""
     if "t5_hidden_state" in batch and "clip_pooled_state" in batch:
         return batch["t5_hidden_state"], batch["clip_pooled_state"]
+    extra_1, extra_2 = extra_embeddings if isinstance(extra_embeddings, tuple) \
+        else (extra_embeddings, None)
     out_clip = model.text_encoder.apply(
-        as_variables(te_params), batch["tokens"], None, extra_embeddings)
+        as_variables(te_params), batch["tokens"], None, extra_1)
     pooled = out_clip["pooled_output"]
     t5_states = model.text_encoder_2.apply(
-        as_variables(te2_params), batch["tokens_2"])
+        as_variables(te2_params), batch["tokens_2"], extra_2)
+    if cfg is not None and batch.get("output_embeddings_2") is not None:
+        # output embeddings apply to the T5 sequence states (reference:
+        # FluxModel.encode_text:278 — only text_encoder_2 output)
+        from onetrainer_tpu.train.sd_train_step import scatter_output_embeddings
+        t5_states = scatter_output_embeddings(
+            t5_states, batch["tokens_2"], batch["output_embeddings_2"],
+            cfg.output_embedding_base_id_2)
     return t5_states, pooled
 
 
@@ -69,7 +80,7 @@ def flux_predict(model, transformer_params, te_params, te2_params, batch, rng,
              + scaled.astype(jnp.float32) * (1.0 - sigma)).astype(scaled.dtype)
 
     t5_states, pooled = flux_text_conditioning(
-        model, te_params, te2_params, batch, extra_embeddings)
+        model, te_params, te2_params, batch, extra_embeddings, cfg)
 
     packed = pack_latents(noisy)
     if "latent_conditioning_image" in batch:
@@ -116,18 +127,34 @@ def make_flux_train_step(model, cfg: SDStepConfig, tx,
             te2 = frozen.get("text_encoder_2")
             if "te_lora" in trainable and te is not None:
                 te = lora_variables(te, trainable["te_lora"], peft_cfg, rng)
-            return transformer, te, te2, trainable.get("embeddings")
+            return transformer, te, te2, (trainable.get("embeddings"),
+                                          trainable.get("embeddings_2"))
         if method == TrainingMethod.EMBEDDING:
+            extras = []
+            for suffix in ("", "_2"):
+                extra = trainable.get(f"embeddings{suffix}")
+                inputs = frozen.get(f"embedding_inputs{suffix}")
+                if inputs is not None:
+                    rows = ([extra] if extra is not None else []) + [inputs]
+                    extra = jnp.concatenate(rows, axis=0)
+                extras.append(extra)
             return (frozen["transformer"], frozen["text_encoder"],
-                    frozen["text_encoder_2"], trainable["embeddings"])
+                    frozen["text_encoder_2"], tuple(extras))
         return (trainable.get("transformer", frozen.get("transformer")),
                 trainable.get("text_encoder", frozen.get("text_encoder")),
                 trainable.get("text_encoder_2", frozen.get("text_encoder_2")),
-                trainable.get("embeddings"))
+                (trainable.get("embeddings"), trainable.get("embeddings_2")))
 
     def loss_fn(trainable, frozen, batch, rng):
         rng_peft, rng_predict = jax.random.split(rng)
         transformer, te, te2, extra = resolve(trainable, frozen, rng_peft)
+        if "output_embeddings" in trainable or \
+                "output_embeddings_2" in trainable:
+            batch = dict(batch)
+            for suffix in ("", "_2"):
+                key = f"output_embeddings{suffix}"
+                if key in trainable:
+                    batch[key] = trainable[key]
         data = flux_predict(model, transformer, te, te2, batch, rng_predict,
                             cfg, guidance_scale, extra)
         losses = flow_matching_losses(batch, data, cfg.loss)
@@ -142,6 +169,15 @@ def make_flux_train_step(model, cfg: SDStepConfig, tx,
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
+        if "output_embeddings_2" in params and cfg.output_embedding_spans:
+            from onetrainer_tpu.train.sd_train_step import (
+                normalize_output_embeddings,
+            )
+            params = {**params, "output_embeddings_2":
+                      normalize_output_embeddings(
+                          params["output_embeddings_2"],
+                          cfg.output_embedding_spans,
+                          cfg.output_embedding_stds_2)}
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema, params, cfg.ema_decay, state.step,

@@ -43,7 +43,17 @@ def pixart_predict(model, transformer_params, te_params, batch, rng,
     if "t5_hidden_state" in batch and not cfg.train_text_encoder:
         context = batch["t5_hidden_state"]
     else:
-        context = model.text_encoder.apply(as_variables(te_params), batch["tokens_2"])
+        context = model.text_encoder.apply(as_variables(te_params),
+                                           batch["tokens_2"], extra_embeddings)
+        if batch.get("output_embeddings") is not None:
+            # output embeddings scatter into the T5 output
+            # (reference: PixArtAlphaModel.encode_text:206)
+            from onetrainer_tpu.train.sd_train_step import (
+                scatter_output_embeddings,
+            )
+            context = scatter_output_embeddings(
+                context, batch["tokens_2"], batch["output_embeddings"],
+                cfg.output_embedding_base_id)
 
     out = model.transformer.apply(
         as_variables(transformer_params), noisy, timestep, context)
@@ -73,6 +83,13 @@ def make_pixart_train_step(model, cfg: SDStepConfig, tx,
                 if "transformer_lora" in trainable else frozen["transformer"]
             return transformer, frozen.get("text_encoder"), \
                 trainable.get("embeddings")
+        if cfg.training_method == TrainingMethod.EMBEDDING:
+            extra = trainable.get("embeddings")
+            inputs = frozen.get("embedding_inputs")
+            if inputs is not None:
+                rows = ([extra] if extra is not None else []) + [inputs]
+                extra = jnp.concatenate(rows, axis=0)
+            return frozen["transformer"], frozen["text_encoder"], extra
         return (trainable.get("transformer", frozen.get("transformer")),
                 trainable.get("text_encoder", frozen.get("text_encoder")),
                 trainable.get("embeddings"))
@@ -80,6 +97,8 @@ def make_pixart_train_step(model, cfg: SDStepConfig, tx,
     def loss_fn(trainable, frozen, batch, rng):
         rng_peft, rng_predict = jax.random.split(rng)
         transformer, te, extra = resolve(trainable, frozen, rng_peft)
+        if "output_embeddings" in trainable:
+            batch = dict(batch, output_embeddings=trainable["output_embeddings"])
         data = pixart_predict(model, transformer, te, batch, rng_predict,
                               cfg, coefficients, extra)
         losses = diffusion_losses(batch, data, cfg.loss, coefficients)
@@ -94,6 +113,15 @@ def make_pixart_train_step(model, cfg: SDStepConfig, tx,
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
+        if "output_embeddings" in params and cfg.output_embedding_spans:
+            from onetrainer_tpu.train.sd_train_step import (
+                normalize_output_embeddings,
+            )
+            params = {**params, "output_embeddings":
+                      normalize_output_embeddings(
+                          params["output_embeddings"],
+                          cfg.output_embedding_spans,
+                          cfg.output_embedding_stds)}
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema, params, cfg.ema_decay, state.step,

@@ -21,17 +21,39 @@ from onetrainer_tpu.util.enums import TrainingMethod
 
 
 def sd3_conditioning(model, te, te2, te3, batch, layer_skip: int,
-                     extra_embeddings=None):
+                     extra_embeddings=None, cfg=None):
+    """extra_embeddings: per-TE (clip_l, clip_g, t5) tuple — each TE keeps
+    its own trained vector table (reference:
+    StableDiffusion3ModelEmbedding holds three vectors)."""
     if "sd3_context" in batch and "sd3_pooled" in batch:
         return batch["sd3_context"], batch["sd3_pooled"]
+    extra_1, extra_2, extra_3 = extra_embeddings \
+        if isinstance(extra_embeddings, tuple) \
+        else (extra_embeddings, extra_embeddings, None)
     out_l = model.text_encoder.apply(as_variables(te), batch["tokens"],
-                                     None, extra_embeddings)
+                                     None, extra_1)
     out_g = model.text_encoder_2.apply(as_variables(te2), batch["tokens_2"],
-                                       None, extra_embeddings)
-    t5 = model.text_encoder_3.apply(as_variables(te3), batch["tokens_3"])
+                                       None, extra_2)
+    t5 = model.text_encoder_3.apply(as_variables(te3), batch["tokens_3"],
+                                    extra_3)
+    h_l = encode_clip_text(out_l, layer_skip)
+    h_g = encode_clip_text(out_g, layer_skip)
+    if cfg is not None and batch.get("output_embeddings") is not None:
+        # per-TE output-embedding scatter
+        # (reference: StableDiffusion3Model.encode_text:375-395)
+        from onetrainer_tpu.train.sd_train_step import scatter_output_embeddings
+        h_l = scatter_output_embeddings(
+            h_l, batch["tokens"], batch["output_embeddings"],
+            cfg.output_embedding_base_id)
+        h_g = scatter_output_embeddings(
+            h_g, batch["tokens_2"], batch["output_embeddings_2"],
+            cfg.output_embedding_base_id_2)
+        t5 = scatter_output_embeddings(
+            t5, batch["tokens_3"], batch["output_embeddings_3"],
+            cfg.output_embedding_base_id_3)
     return sd3_text_context(
-        encode_clip_text(out_l, layer_skip),
-        encode_clip_text(out_g, layer_skip),
+        h_l,
+        h_g,
         t5,
         out_l["pooled_output"],
         out_g["pooled_output"],
@@ -61,7 +83,8 @@ def sd3_predict(model, transformer_params, te, te2, te3, batch, rng,
              + scaled.astype(jnp.float32) * (1.0 - s)).astype(scaled.dtype)
 
     context, pooled = sd3_conditioning(
-        model, te, te2, te3, batch, cfg.text_encoder_layer_skip, extra_embeddings)
+        model, te, te2, te3, batch, cfg.text_encoder_layer_skip,
+        extra_embeddings, cfg)
 
     predicted = model.transformer.apply(
         as_variables(transformer_params), noisy,
@@ -92,16 +115,36 @@ def make_sd3_train_step(model, cfg: SDStepConfig, tx,
             if "te2_lora" in trainable and te2 is not None:
                 te2 = lora_variables(te2, trainable["te2_lora"], peft_cfg, rng)
             return transformer, te, te2, frozen.get("text_encoder_3"), \
-                trainable.get("embeddings")
+                (trainable.get("embeddings"), trainable.get("embeddings_2"),
+                 trainable.get("embeddings_3"))
+        if method == TrainingMethod.EMBEDDING:
+            extras = []
+            for i, suffix in enumerate(("", "_2", "_3")):
+                extra = trainable.get(f"embeddings{suffix}")
+                inputs = frozen.get(f"embedding_inputs{suffix}")
+                if inputs is not None:
+                    rows = ([extra] if extra is not None else []) + [inputs]
+                    extra = jnp.concatenate(rows, axis=0)
+                extras.append(extra)
+            return (frozen["transformer"], frozen["text_encoder"],
+                    frozen["text_encoder_2"], frozen["text_encoder_3"],
+                    tuple(extras))
         return (trainable.get("transformer", frozen.get("transformer")),
                 trainable.get("text_encoder", frozen.get("text_encoder")),
                 trainable.get("text_encoder_2", frozen.get("text_encoder_2")),
                 trainable.get("text_encoder_3", frozen.get("text_encoder_3")),
-                trainable.get("embeddings"))
+                (trainable.get("embeddings"), trainable.get("embeddings_2"),
+                 trainable.get("embeddings_3")))
 
     def loss_fn(trainable, frozen, batch, rng):
         rng_peft, rng_predict = jax.random.split(rng)
         transformer, te, te2, te3, extra = resolve(trainable, frozen, rng_peft)
+        if "output_embeddings" in trainable:
+            batch = dict(
+                batch,
+                output_embeddings=trainable["output_embeddings"],
+                output_embeddings_2=trainable["output_embeddings_2"],
+                output_embeddings_3=trainable["output_embeddings_3"])
         data = sd3_predict(model, transformer, te, te2, te3, batch, rng_predict,
                            cfg, extra)
         losses = flow_matching_losses(batch, data, cfg.loss)
@@ -116,6 +159,17 @@ def make_sd3_train_step(model, cfg: SDStepConfig, tx,
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
+        if "output_embeddings" in params and cfg.output_embedding_spans:
+            from onetrainer_tpu.train.sd_train_step import (
+                normalize_output_embeddings,
+            )
+            params = dict(params)
+            for suffix, stds in (("", cfg.output_embedding_stds),
+                                 ("_2", cfg.output_embedding_stds_2),
+                                 ("_3", cfg.output_embedding_stds_3)):
+                key = f"output_embeddings{suffix}"
+                params[key] = normalize_output_embeddings(
+                    params[key], cfg.output_embedding_spans, stds)
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema, params, cfg.ema_decay, state.step,

@@ -60,9 +60,11 @@ class SDStepConfig:
     output_embedding_base_id: int = 0
     output_embedding_spans: tuple = ()
     output_embedding_stds: tuple = ()
-    # SDXL second text encoder (vocab may differ -> separate base id/stds)
+    # SDXL/SD3 extra text encoders (vocabs differ -> separate base ids/stds)
     output_embedding_base_id_2: int = 0
     output_embedding_stds_2: tuple = ()
+    output_embedding_base_id_3: int = 0
+    output_embedding_stds_3: tuple = ()
 
     @staticmethod
     def from_train_config(config, prediction_type: str = "epsilon",

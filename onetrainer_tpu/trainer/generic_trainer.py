@@ -313,25 +313,32 @@ class GenericTrainer(BaseTrainer):
         elif config.training_method == TrainingMethod.EMBEDDING:
             params = self.setup.state.params
             tensors = {}
-            if "embeddings_2" in params or "output_embeddings_2" in params:
-                # SDXL XL-embedding format (reference:
-                # StableDiffusionXLEmbeddingSaver.py:29-35)
-                pairs = [("embeddings", "clip_l"), ("embeddings_2", "clip_g"),
-                         ("output_embeddings", "clip_l_out"),
-                         ("output_embeddings_2", "clip_g_out")]
-                for key, name in pairs:
+            # per-family artifact key names (reference:
+            # {StableDiffusionXL,StableDiffusion3,Flux,...}EmbeddingSaver)
+            save_keys = getattr(self.setup, "embedding_save_keys", None)
+            multi_te = any(k.endswith("_2") or k.endswith("_3")
+                           for k in params)
+            if save_keys is None and multi_te:
+                save_keys = {"embeddings": "clip_l",
+                             "embeddings_2": "clip_g",
+                             "embeddings_3": "t5",
+                             "output_embeddings": "clip_l_out",
+                             "output_embeddings_2": "clip_g_out",
+                             "output_embeddings_3": "t5_out"}
+            if save_keys:
+                for key, name in save_keys.items():
                     if key in params:
                         tensors[name] = np.asarray(
                             jax.device_get(params[key]))
-            if "embeddings" in params and "embeddings_2" not in params:
-                tensors["emp_params"] = np.asarray(
-                    jax.device_get(params["embeddings"]))
-            if "output_embeddings" in params and \
-                    "output_embeddings_2" not in params:
-                # output-embedding vectors (reference: BaseModelEmbedding
-                # output_vector save path)
-                tensors["output_emp_params"] = np.asarray(
-                    jax.device_get(params["output_embeddings"]))
+            else:
+                if "embeddings" in params:
+                    tensors["emp_params"] = np.asarray(
+                        jax.device_get(params["embeddings"]))
+                if "output_embeddings" in params:
+                    # output-embedding vectors (reference:
+                    # BaseModelEmbedding output_vector save path)
+                    tensors["output_emp_params"] = np.asarray(
+                        jax.device_get(params["output_embeddings"]))
             if not destination.endswith(".safetensors"):
                 destination = destination + ".safetensors"
             save_safetensors(destination, tensors, metadata={"format": "pt"})

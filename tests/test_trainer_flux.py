@@ -107,3 +107,72 @@ def test_flux_e2e_lora_quantized_base(tmp_path):
     sd = load_safetensors(config.output_model_destination)
     assert any(k.startswith("lora_transformer_") and k.endswith("lora_down.weight")
                for k in sd)
+
+
+def test_flux_embedding_e2e(tmp_path):
+    """FLUX textual inversion: clip + t5 vector tables, T5 output
+    embeddings, saved as clip_l/t5[_out]
+    (reference: FluxModelEmbedding, FluxEmbeddingSaver.py:29-35,
+    FluxModel.encode_text:278 output scatter on TE2)."""
+    from onetrainer_tpu.config.train_config import TrainEmbeddingConfig
+
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    model = tiny_flux_model()
+    write_tiny_flux_checkpoint(base, model)
+    for name in os.listdir(ds):
+        if name.endswith(".txt"):
+            with open(os.path.join(ds, name), "w") as f:
+                f.write("<fx-emb> test prompt")
+
+    config = TrainConfig.default_values()
+    config.model_type = ModelType.FLUX_DEV_1
+    config.training_method = TrainingMethod.EMBEDDING
+    config.base_model_name = base
+    config.workspace_dir = str(tmp_path / "ws")
+    config.cache_dir = str(tmp_path / "cache")
+    config.epochs = 1
+    config.batch_size = 2
+    config.resolution = "32"
+    config.aspect_ratio_bucketing = False
+    config.learning_rate = 1e-3
+    config.learning_rate_warmup_steps = 0.0
+    config.tensorboard = False
+    config.sample_after_unit = TimeUnit.NEVER
+    config.backup_after_unit = TimeUnit.NEVER
+    config.save_every_unit = TimeUnit.NEVER
+    config.ema = EMAMode.OFF
+    config.optimizer.stochastic_rounding = False
+    config.samples = []
+    emb = TrainEmbeddingConfig.default_values()
+    emb.placeholder = "<fx-emb>"
+    emb.token_count = 2
+    emb.initial_embedding_text = "thing"
+    config.embedding = emb
+    out_emb = TrainEmbeddingConfig.default_values()
+    out_emb.uuid = "out-1"
+    out_emb.placeholder = "<fx-out>"
+    out_emb.token_count = 1
+    out_emb.initial_embedding_text = "thing"
+    out_emb.is_output_embedding = True
+    config.additional_embeddings = [out_emb]
+    concept = ConceptConfig.default_values()
+    concept.path = ds
+    concept.seed = 3
+    config.concepts = [concept]
+    config.output_model_destination = str(tmp_path / "out_fx_emb.safetensors")
+    config.backup_before_save = False
+
+    trainer = GenericTrainer(config)
+    trainer.start()
+    params = trainer.setup.state.params
+    assert params["embeddings"].shape == (2, 20)     # clip hidden
+    assert params["embeddings_2"].shape == (2, 24)   # t5 d_model
+    assert params["output_embeddings_2"].shape == (1, 24)
+    trainer.train()
+    trainer.end()
+
+    sd = load_safetensors(config.output_model_destination)
+    assert sd["clip_l"].shape == (2, 20)
+    assert sd["t5"].shape == (2, 24)
+    assert sd["t5_out"].shape == (1, 24)

@@ -91,3 +91,74 @@ def test_pixart_e2e_lora(tmp_path):
     assert trainer.train_progress.global_step >= 2
     sd = load_safetensors(config.output_model_destination)
     assert any(k.startswith("lora_transformer_") for k in sd)
+
+
+def test_pixart_embedding_e2e(tmp_path):
+    """PixArt textual inversion on the T5 encoder, t5/t5_out artifact
+    keys (reference: PixArtAlphaModelEmbedding,
+    PixArtAlphaEmbeddingSaver.py:29-31)."""
+    import numpy as np
+
+    from onetrainer_tpu.config.train_config import TrainEmbeddingConfig
+
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    model = tiny_pixart_model()
+    write_tiny_pixart_checkpoint(base, model)
+    for name in os.listdir(ds):
+        if name.endswith(".txt"):
+            with open(os.path.join(ds, name), "w") as f:
+                f.write("<px-emb> test prompt")
+
+    config = TrainConfig.default_values()
+    config.model_type = ModelType.PIXART_ALPHA
+    config.training_method = TrainingMethod.EMBEDDING
+    config.base_model_name = base
+    config.workspace_dir = str(tmp_path / "ws")
+    config.cache_dir = str(tmp_path / "cache")
+    config.epochs = 1
+    config.batch_size = 2
+    config.resolution = "32"
+    config.aspect_ratio_bucketing = False
+    config.learning_rate = 1e-3
+    config.learning_rate_warmup_steps = 0.0
+    config.tensorboard = False
+    config.sample_after_unit = TimeUnit.NEVER
+    config.backup_after_unit = TimeUnit.NEVER
+    config.save_every_unit = TimeUnit.NEVER
+    config.ema = EMAMode.OFF
+    config.optimizer.stochastic_rounding = False
+    config.samples = []
+    emb = TrainEmbeddingConfig.default_values()
+    emb.placeholder = "<px-emb>"
+    emb.token_count = 2
+    emb.initial_embedding_text = "thing"
+    config.embedding = emb
+    out_emb = TrainEmbeddingConfig.default_values()
+    out_emb.uuid = "out-1"
+    out_emb.placeholder = "<px-out>"
+    out_emb.token_count = 1
+    out_emb.initial_embedding_text = "thing"
+    out_emb.is_output_embedding = True
+    config.additional_embeddings = [out_emb]
+    concept = ConceptConfig.default_values()
+    concept.path = ds
+    concept.seed = 3
+    config.concepts = [concept]
+    config.output_model_destination = str(tmp_path / "out_px_emb.safetensors")
+    config.backup_before_save = False
+
+    trainer = GenericTrainer(config)
+    trainer.start()
+    params = trainer.setup.state.params
+    assert params["embeddings"].shape == (2, 24)
+    assert params["output_embeddings"].shape == (1, 24)
+    before = np.asarray(params["embeddings"]).copy()
+    trainer.train()
+    trainer.end()
+
+    after = np.asarray(jax.device_get(trainer.setup.state.params["embeddings"]))
+    assert not np.allclose(before, after)
+    sd = load_safetensors(config.output_model_destination)
+    assert sd["t5"].shape == (2, 24)
+    assert sd["t5_out"].shape == (1, 24)

@@ -6,6 +6,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from onetrainer_tpu.config.concept_config import ConceptConfig
 from onetrainer_tpu.config.train_config import TrainConfig
@@ -113,3 +114,80 @@ def test_sd3_e2e_lora(tmp_path):
     assert trainer.train_progress.global_step >= 2
     sd = load_safetensors(config.output_model_destination)
     assert any(k.startswith("lora_transformer_") for k in sd)
+
+
+def test_sd3_embedding_e2e(tmp_path):
+    """SD3 textual inversion: three per-TE vector tables (clip_l/clip_g/
+    t5) + per-TE output embeddings, saved in the SD3 multi-TE embedding
+    format (reference: StableDiffusion3ModelEmbedding,
+    StableDiffusion3EmbeddingSaver.py:29-39)."""
+    from onetrainer_tpu.config.train_config import TrainEmbeddingConfig
+
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    model = tiny_sd3_model()
+    write_tiny_sd3_checkpoint(base, model)
+    for name in os.listdir(ds):
+        if name.endswith(".txt"):
+            path = os.path.join(ds, name)
+            with open(path, "w") as f:
+                f.write("<sd3-emb> test prompt")
+
+    config = TrainConfig.default_values()
+    config.model_type = ModelType.STABLE_DIFFUSION_3
+    config.training_method = TrainingMethod.EMBEDDING
+    config.base_model_name = base
+    config.workspace_dir = str(tmp_path / "ws")
+    config.cache_dir = str(tmp_path / "cache")
+    config.epochs = 1
+    config.batch_size = 2
+    config.resolution = "32"
+    config.aspect_ratio_bucketing = False
+    config.learning_rate = 1e-3
+    config.learning_rate_warmup_steps = 0.0
+    config.tensorboard = False
+    config.sample_after_unit = TimeUnit.NEVER
+    config.backup_after_unit = TimeUnit.NEVER
+    config.save_every_unit = TimeUnit.NEVER
+    config.ema = EMAMode.OFF
+    config.optimizer.stochastic_rounding = False
+    config.samples = []
+    emb = TrainEmbeddingConfig.default_values()
+    emb.placeholder = "<sd3-emb>"
+    emb.token_count = 2
+    emb.initial_embedding_text = "thing"
+    config.embedding = emb
+    out_emb = TrainEmbeddingConfig.default_values()
+    out_emb.uuid = "out-1"
+    out_emb.placeholder = "<sd3-out>"
+    out_emb.token_count = 1
+    out_emb.initial_embedding_text = "thing"
+    out_emb.is_output_embedding = True
+    config.additional_embeddings = [out_emb]
+    concept = ConceptConfig.default_values()
+    concept.path = ds
+    concept.seed = 3
+    config.concepts = [concept]
+    config.output_model_destination = str(tmp_path / "out_sd3_emb.safetensors")
+    config.backup_before_save = False
+
+    trainer = GenericTrainer(config)
+    trainer.start()
+    params = trainer.setup.state.params
+    # per-TE dims in the tiny model: clip_l 6, clip_g 10, t5 24
+    assert params["embeddings"].shape == (2, 6)
+    assert params["embeddings_2"].shape == (2, 10)
+    assert params["embeddings_3"].shape == (2, 24)
+    assert params["output_embeddings_3"].shape == (1, 24)
+    before = np.asarray(params["embeddings_3"]).copy()
+    trainer.train()
+    trainer.end()
+
+    after = np.asarray(jax.device_get(
+        trainer.setup.state.params["embeddings_3"]))
+    assert not np.allclose(before, after)     # the T5 table trained
+    sd = load_safetensors(config.output_model_destination)
+    assert sd["clip_l"].shape == (2, 6)
+    assert sd["clip_g"].shape == (2, 10)
+    assert sd["t5"].shape == (2, 24)
+    assert sd["t5_out"].shape == (1, 24)
