@@ -9,6 +9,8 @@ by the per-family *_flax_to_state_dict converters)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -668,6 +670,396 @@ def load_pixart_single_file(path: str, weight_dtype=np.float32,
             unet_state_dict_to_flax(_cast_tree(diff_sd, np_dtype))),
         "vae_params": None,
         "te_params": None,
+        "tokenizer_dir": None,
+        "prediction_type": "epsilon",
+    }
+
+
+# -- HunyuanVideo (original-repo ckpt layout) -----------------------------------------
+
+def hunyuan_transformer_to_ckpt(sd: dict, prefix: str = "model.model") -> dict:
+    """diffusers HunyuanVideoTransformer3DModel keys -> original-repo ckpt
+    keys (reference: convert_hunyuan_video_diffusers_to_ckpt.py:64-149)."""
+    out: dict = {}
+
+    def put(ok, ik):
+        out[_combine(prefix, ok)] = sd[ik]
+
+    def put_wb(op, ip):
+        for wb in ("weight", "bias"):
+            put(f"{op}.{wb}", f"{ip}.{wb}")
+
+    put_wb("txt_in.c_embedder.in_layer",
+           "context_embedder.time_text_embed.text_embedder.linear_1")
+    put_wb("txt_in.c_embedder.out_layer",
+           "context_embedder.time_text_embed.text_embedder.linear_2")
+    put_wb("txt_in.t_embedder.in_layer",
+           "context_embedder.time_text_embed.timestep_embedder.linear_1")
+    put_wb("txt_in.t_embedder.out_layer",
+           "context_embedder.time_text_embed.timestep_embedder.linear_2")
+    put_wb("txt_in.input_embedder", "context_embedder.proj_in")
+    out[_combine(prefix, "final_layer.adaLN_modulation.1.weight")] = \
+        _swap_chunks(np.asarray(sd["norm_out.linear.weight"]))
+    out[_combine(prefix, "final_layer.adaLN_modulation.1.bias")] = \
+        _swap_chunks(np.asarray(sd["norm_out.linear.bias"]))
+    put_wb("final_layer.linear", "proj_out")
+    put_wb("guidance_in.in_layer", "time_text_embed.guidance_embedder.linear_1")
+    put_wb("guidance_in.out_layer", "time_text_embed.guidance_embedder.linear_2")
+    put_wb("vector_in.in_layer", "time_text_embed.text_embedder.linear_1")
+    put_wb("vector_in.out_layer", "time_text_embed.text_embedder.linear_2")
+    put_wb("time_in.in_layer", "time_text_embed.timestep_embedder.linear_1")
+    put_wb("time_in.out_layer", "time_text_embed.timestep_embedder.linear_2")
+    put_wb("img_in.proj", "x_embedder.proj")
+
+    i = 0
+    while f"context_embedder.token_refiner.refiner_blocks.{i}.attn.to_q.weight" in sd:
+        ip = f"context_embedder.token_refiner.refiner_blocks.{i}"
+        op = f"txt_in.individual_token_refiner.blocks.{i}"
+        for wb in ("weight", "bias"):
+            out[_combine(prefix, f"{op}.self_attn.qkv.{wb}")] = _cat(sd, [
+                f"{ip}.attn.to_q.{wb}", f"{ip}.attn.to_k.{wb}",
+                f"{ip}.attn.to_v.{wb}"])
+        put_wb(f"{op}.self_attn.proj", f"{ip}.attn.to_out.0")
+        put_wb(f"{op}.mlp.0", f"{ip}.ff.net.0.proj")
+        put_wb(f"{op}.mlp.2", f"{ip}.ff.net.2")
+        put_wb(f"{op}.adaLN_modulation.1", f"{ip}.norm_out.linear")
+        put_wb(f"{op}.norm1", f"{ip}.norm1")
+        put_wb(f"{op}.norm2", f"{ip}.norm2")
+        i += 1
+
+    i = 0
+    while f"transformer_blocks.{i}.attn.to_q.weight" in sd:
+        ip, op = f"transformer_blocks.{i}", f"double_blocks.{i}"
+        for wb in ("weight", "bias"):
+            out[_combine(prefix, f"{op}.img_attn.qkv.{wb}")] = _cat(sd, [
+                f"{ip}.attn.to_q.{wb}", f"{ip}.attn.to_k.{wb}",
+                f"{ip}.attn.to_v.{wb}"])
+            out[_combine(prefix, f"{op}.txt_attn.qkv.{wb}")] = _cat(sd, [
+                f"{ip}.attn.add_q_proj.{wb}", f"{ip}.attn.add_k_proj.{wb}",
+                f"{ip}.attn.add_v_proj.{wb}"])
+        put(f"{op}.img_attn.norm.query_norm.scale", f"{ip}.attn.norm_q.weight")
+        put(f"{op}.img_attn.norm.key_norm.scale", f"{ip}.attn.norm_k.weight")
+        put(f"{op}.txt_attn.norm.query_norm.scale",
+            f"{ip}.attn.norm_added_q.weight")
+        put(f"{op}.txt_attn.norm.key_norm.scale",
+            f"{ip}.attn.norm_added_k.weight")
+        put_wb(f"{op}.img_attn.proj", f"{ip}.attn.to_out.0")
+        put_wb(f"{op}.img_mlp.0", f"{ip}.ff.net.0.proj")
+        put_wb(f"{op}.img_mlp.2", f"{ip}.ff.net.2")
+        put_wb(f"{op}.img_mod.lin", f"{ip}.norm1.linear")
+        put_wb(f"{op}.txt_attn.proj", f"{ip}.attn.to_add_out")
+        put_wb(f"{op}.txt_mlp.0", f"{ip}.ff_context.net.0.proj")
+        put_wb(f"{op}.txt_mlp.2", f"{ip}.ff_context.net.2")
+        put_wb(f"{op}.txt_mod.lin", f"{ip}.norm1_context.linear")
+        i += 1
+
+    i = 0
+    while f"single_transformer_blocks.{i}.attn.to_q.weight" in sd:
+        ip, op = f"single_transformer_blocks.{i}", f"single_blocks.{i}"
+        for wb in ("weight", "bias"):
+            out[_combine(prefix, f"{op}.linear1.{wb}")] = _cat(sd, [
+                f"{ip}.attn.to_q.{wb}", f"{ip}.attn.to_k.{wb}",
+                f"{ip}.attn.to_v.{wb}", f"{ip}.proj_mlp.{wb}"])
+        put(f"{op}.norm.query_norm.scale", f"{ip}.attn.norm_q.weight")
+        put(f"{op}.norm.key_norm.scale", f"{ip}.attn.norm_k.weight")
+        put_wb(f"{op}.linear2", f"{ip}.proj_out")
+        put_wb(f"{op}.modulation.lin", f"{ip}.norm.linear")
+        i += 1
+    return out
+
+
+def hunyuan_ckpt_to_transformer(sd: dict, prefix: str = "model.model") -> dict:
+    """Inverse of hunyuan_transformer_to_ckpt (original ckpt -> diffusers)."""
+    sd = {k[len(prefix) + 1:] if prefix and k.startswith(prefix + ".") else k: v
+          for k, v in sd.items()}
+    out: dict = {}
+
+    def put_wb(op, ip):
+        for wb in ("weight", "bias"):
+            out[f"{op}.{wb}"] = sd[f"{ip}.{wb}"]
+
+    put_wb("context_embedder.time_text_embed.text_embedder.linear_1",
+           "txt_in.c_embedder.in_layer")
+    put_wb("context_embedder.time_text_embed.text_embedder.linear_2",
+           "txt_in.c_embedder.out_layer")
+    put_wb("context_embedder.time_text_embed.timestep_embedder.linear_1",
+           "txt_in.t_embedder.in_layer")
+    put_wb("context_embedder.time_text_embed.timestep_embedder.linear_2",
+           "txt_in.t_embedder.out_layer")
+    put_wb("context_embedder.proj_in", "txt_in.input_embedder")
+    out["norm_out.linear.weight"] = _swap_chunks(
+        np.asarray(sd["final_layer.adaLN_modulation.1.weight"]))
+    out["norm_out.linear.bias"] = _swap_chunks(
+        np.asarray(sd["final_layer.adaLN_modulation.1.bias"]))
+    put_wb("proj_out", "final_layer.linear")
+    put_wb("time_text_embed.guidance_embedder.linear_1", "guidance_in.in_layer")
+    put_wb("time_text_embed.guidance_embedder.linear_2", "guidance_in.out_layer")
+    put_wb("time_text_embed.text_embedder.linear_1", "vector_in.in_layer")
+    put_wb("time_text_embed.text_embedder.linear_2", "vector_in.out_layer")
+    put_wb("time_text_embed.timestep_embedder.linear_1", "time_in.in_layer")
+    put_wb("time_text_embed.timestep_embedder.linear_2", "time_in.out_layer")
+    put_wb("x_embedder.proj", "img_in.proj")
+
+    i = 0
+    while f"txt_in.individual_token_refiner.blocks.{i}.self_attn.qkv.weight" in sd:
+        ip = f"txt_in.individual_token_refiner.blocks.{i}"
+        op = f"context_embedder.token_refiner.refiner_blocks.{i}"
+        for wb in ("weight", "bias"):
+            _split3(out, sd, f"{ip}.self_attn.qkv.{wb}", [
+                f"{op}.attn.to_q.{wb}", f"{op}.attn.to_k.{wb}",
+                f"{op}.attn.to_v.{wb}"])
+        put_wb(f"{op}.attn.to_out.0", f"{ip}.self_attn.proj")
+        put_wb(f"{op}.ff.net.0.proj", f"{ip}.mlp.0")
+        put_wb(f"{op}.ff.net.2", f"{ip}.mlp.2")
+        put_wb(f"{op}.norm_out.linear", f"{ip}.adaLN_modulation.1")
+        put_wb(f"{op}.norm1", f"{ip}.norm1")
+        put_wb(f"{op}.norm2", f"{ip}.norm2")
+        i += 1
+
+    i = 0
+    while f"double_blocks.{i}.img_attn.qkv.weight" in sd:
+        ip, op = f"double_blocks.{i}", f"transformer_blocks.{i}"
+        for wb in ("weight", "bias"):
+            _split3(out, sd, f"{ip}.img_attn.qkv.{wb}", [
+                f"{op}.attn.to_q.{wb}", f"{op}.attn.to_k.{wb}",
+                f"{op}.attn.to_v.{wb}"])
+            _split3(out, sd, f"{ip}.txt_attn.qkv.{wb}", [
+                f"{op}.attn.add_q_proj.{wb}", f"{op}.attn.add_k_proj.{wb}",
+                f"{op}.attn.add_v_proj.{wb}"])
+        out[f"{op}.attn.norm_q.weight"] = sd[f"{ip}.img_attn.norm.query_norm.scale"]
+        out[f"{op}.attn.norm_k.weight"] = sd[f"{ip}.img_attn.norm.key_norm.scale"]
+        out[f"{op}.attn.norm_added_q.weight"] = \
+            sd[f"{ip}.txt_attn.norm.query_norm.scale"]
+        out[f"{op}.attn.norm_added_k.weight"] = \
+            sd[f"{ip}.txt_attn.norm.key_norm.scale"]
+        put_wb(f"{op}.attn.to_out.0", f"{ip}.img_attn.proj")
+        put_wb(f"{op}.ff.net.0.proj", f"{ip}.img_mlp.0")
+        put_wb(f"{op}.ff.net.2", f"{ip}.img_mlp.2")
+        put_wb(f"{op}.norm1.linear", f"{ip}.img_mod.lin")
+        put_wb(f"{op}.attn.to_add_out", f"{ip}.txt_attn.proj")
+        put_wb(f"{op}.ff_context.net.0.proj", f"{ip}.txt_mlp.0")
+        put_wb(f"{op}.ff_context.net.2", f"{ip}.txt_mlp.2")
+        put_wb(f"{op}.norm1_context.linear", f"{ip}.txt_mod.lin")
+        i += 1
+
+    i = 0
+    while f"single_blocks.{i}.linear1.weight" in sd:
+        ip, op = f"single_blocks.{i}", f"single_transformer_blocks.{i}"
+        hidden = np.asarray(sd[f"{ip}.linear2.weight"]).shape[0]
+        for wb in ("weight", "bias"):
+            fused = np.asarray(sd[f"{ip}.linear1.{wb}"])
+            q, k, v, mlp = np.split(
+                fused, [hidden, 2 * hidden, 3 * hidden], axis=0)
+            out[f"{op}.attn.to_q.{wb}"] = q
+            out[f"{op}.attn.to_k.{wb}"] = k
+            out[f"{op}.attn.to_v.{wb}"] = v
+            out[f"{op}.proj_mlp.{wb}"] = mlp
+        out[f"{op}.attn.norm_q.weight"] = sd[f"{ip}.norm.query_norm.scale"]
+        out[f"{op}.attn.norm_k.weight"] = sd[f"{ip}.norm.key_norm.scale"]
+        put_wb(f"{op}.proj_out", f"{ip}.linear2")
+        put_wb(f"{op}.norm.linear", f"{ip}.modulation.lin")
+        i += 1
+    return out
+
+
+# -- Stable Cascade (stage_c single-file layout) --------------------------------------
+
+def cascade_prior_to_ckpt(sd: dict) -> dict:
+    """diffusers StableCascadeUNet keys -> stage_c.safetensors keys: fuse
+    to_q/to_k/to_v into attention.attn.in_proj_*, rename to_out.0 ->
+    attn.out_proj; everything else is key-identical
+    (reference: convert_stable_cascade_diffusers_to_ckpt.py:32-50)."""
+    out: dict = {}
+    for key, value in sd.items():
+        if ".attention.to_out.0." in key:
+            out[key.replace(".attention.to_out.0.",
+                            ".attention.attn.out_proj.")] = value
+        elif ".attention.to_q." in key:
+            base, wb = key.rsplit(".", 1)
+            stem = base[: -len(".attention.to_q")]
+            suffix = "in_proj_weight" if wb == "weight" else "in_proj_bias"
+            out[f"{stem}.attention.attn.{suffix}"] = _cat(sd, [
+                f"{stem}.attention.to_q.{wb}",
+                f"{stem}.attention.to_k.{wb}",
+                f"{stem}.attention.to_v.{wb}"])
+        elif ".attention.to_k." in key or ".attention.to_v." in key:
+            continue
+        else:
+            out[key] = value
+    return out
+
+
+def cascade_ckpt_to_prior(sd: dict) -> dict:
+    """Inverse of cascade_prior_to_ckpt (stage_c -> diffusers)."""
+    out: dict = {}
+    for key, value in sd.items():
+        if ".attention.attn.out_proj." in key:
+            out[key.replace(".attention.attn.out_proj.",
+                            ".attention.to_out.0.")] = value
+        elif key.endswith(".attention.attn.in_proj_weight") or \
+                key.endswith(".attention.attn.in_proj_bias"):
+            stem = key[: key.index(".attention.attn.in_proj_")]
+            wb = "weight" if key.endswith("weight") else "bias"
+            _split3(out, sd, key, [
+                f"{stem}.attention.to_q.{wb}",
+                f"{stem}.attention.to_k.{wb}",
+                f"{stem}.attention.to_v.{wb}"])
+        else:
+            out[key] = value
+    return out
+
+
+def load_hunyuan_single_file(path: str, weight_dtype=np.float32,
+                             compute_dtype=None,
+                             gradient_checkpointing=False,
+                             device: bool = True):
+    """HunyuanVideo original-repo single-file checkpoint (transformer only,
+    `model.model.*` prefix; reference: HunyuanVideoModelLoader
+    __load_safetensors via from_single_file). VAE / Llama / CLIP stay None."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from onetrainer_tpu.io.hunyuan_checkpoints import (
+        hunyuan_config_from_diffusers, hunyuan_state_dict_to_flax,
+        llama_config_from_transformers, video_vae_config_from_diffusers,
+    )
+    from onetrainer_tpu.io.sd_checkpoints import (
+        _cast_tree, _read_single_file, clip_config_from_transformers,
+    )
+
+    compute_dtype = compute_dtype or jnp.bfloat16
+    np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16}.get(weight_dtype, weight_dtype)
+    to_jnp = (lambda t: jax.tree.map(jnp.asarray, t)) if device else (lambda t: t)
+
+    tensors = _read_single_file(path)
+    prefix = "model.model" if any(
+        k.startswith("model.model.") for k in tensors) else ""
+    diff_sd = hunyuan_ckpt_to_transformer(tensors, prefix=prefix)
+
+    n_double = 1 + max((int(k.split(".")[1]) for k in diff_sd
+                        if k.startswith("transformer_blocks.")), default=-1)
+    n_single = 1 + max((int(k.split(".")[1]) for k in diff_sd
+                        if k.startswith("single_transformer_blocks.")),
+                       default=-1)
+    n_refiner = 1 + max(
+        (int(k.split(".")[3]) for k in diff_sd
+         if k.startswith("context_embedder.token_refiner.refiner_blocks.")),
+        default=-1)
+    xw = np.asarray(diff_sd["x_embedder.proj.weight"])
+    hidden, in_ch = int(xw.shape[0]), int(xw.shape[1])
+    # qk-norm scale length == head_dim
+    head_dim = int(np.asarray(
+        diff_sd["transformer_blocks.0.attn.norm_q.weight"]).shape[0]) \
+        if "transformer_blocks.0.attn.norm_q.weight" in diff_sd else 128
+    tcfg = hunyuan_config_from_diffusers({
+        "num_layers": n_double, "num_single_layers": n_single,
+        "num_refiner_layers": n_refiner,
+        "in_channels": in_ch,
+        "out_channels": int(np.asarray(diff_sd["proj_out.weight"]).shape[0])
+        // 4,   # t_patch=1, p=2x2 -> out*4
+        "num_attention_heads": hidden // head_dim,
+        "attention_head_dim": head_dim,
+        "text_embed_dim": int(np.asarray(
+            diff_sd["context_embedder.proj_in.weight"]).shape[1]),
+        "pooled_projection_dim": int(np.asarray(
+            diff_sd["time_text_embed.text_embedder.linear_1.weight"]).shape[1]),
+        "guidance_embeds":
+            "time_text_embed.guidance_embedder.linear_1.weight" in diff_sd,
+    }, compute_dtype, gradient_checkpointing)
+
+    print("vae / text encoders not in single-file checkpoint, "
+          "continuing without them")
+    return {
+        "transformer_config": tcfg,
+        "vae_config": video_vae_config_from_diffusers({}, compute_dtype),
+        "te_config": llama_config_from_transformers({}, compute_dtype),
+        "te2_config": clip_config_from_transformers({}, compute_dtype),
+        "transformer_params": to_jnp(
+            hunyuan_state_dict_to_flax(_cast_tree(diff_sd, np_dtype))),
+        "vae_params": None,
+        "te_params": None,
+        "te2_params": None,
+        "tokenizer_dir": None,
+        "tokenizer_2_dir": None,
+        "prediction_type": "flow",
+    }
+
+
+def load_cascade_single_file(path: str, weight_dtype=np.float32,
+                             compute_dtype=None,
+                             gradient_checkpointing=False,
+                             device: bool = True):
+    """Stable Cascade stage_c.safetensors (fused in_proj attention keys;
+    reference: WuerstchenModelLoader single-file branch). A sibling
+    text_encoder.safetensors is picked up when present."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from onetrainer_tpu.io.sd_checkpoints import (
+        _cast_tree, _read_single_file, clip_config_from_transformers,
+    )
+    from onetrainer_tpu.io.torch_flax import clip_state_dict_to_flax
+    from onetrainer_tpu.io.wuerstchen_checkpoints import (
+        prior_config_from_diffusers, prior_state_dict_to_flax,
+    )
+    from onetrainer_tpu.models.wuerstchen import EffnetConfig
+
+    compute_dtype = compute_dtype or jnp.bfloat16
+    np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16}.get(weight_dtype, weight_dtype)
+    to_jnp = (lambda t: jax.tree.map(jnp.asarray, t)) if device else (lambda t: t)
+
+    tensors = _read_single_file(path)
+    diff_sd = cascade_ckpt_to_prior(tensors)
+
+    def _count(prefix):
+        seen = set()
+        for k in diff_sd:
+            if k.startswith(prefix):
+                seen.add(int(k[len(prefix):].split(".")[0]))
+        return 1 + max(seen) if seen else 0
+
+    emb = np.asarray(diff_sd["embedding.1.weight"])
+    hidden0 = int(emb.shape[0])
+    hidden1 = int(np.asarray(
+        diff_sd["down_downscalers.1.1.blocks.0.weight"]).shape[0]) \
+        if "down_downscalers.1.1.blocks.0.weight" in diff_sd else hidden0
+    pcfg = prior_config_from_diffusers({
+        "_class_name": "StableCascadeUNet",
+        "in_channels": int(np.asarray(diff_sd["clf.1.weight"]).shape[0]) // 4,
+        "block_out_channels": (hidden0, hidden1),
+        "down_num_layers_per_block": (_count("down_blocks.0.") // 3,
+                                      _count("down_blocks.1.") // 3),
+        "clip_text_in_channels": int(np.asarray(
+            diff_sd["clip_txt_mapper.weight"]).shape[1]),
+        "clip_text_pooled_in_channels": int(np.asarray(
+            diff_sd["clip_txt_pooled_mapper.weight"]).shape[1]),
+        "clip_image_in_channels": int(np.asarray(
+            diff_sd["clip_img_mapper.weight"]).shape[1]),
+    }, compute_dtype, gradient_checkpointing)
+
+    te_path = os.path.join(os.path.dirname(path) or ".",
+                           "text_encoder.safetensors")
+    te_params = None
+    tcfg_dict: dict = {}
+    if os.path.isfile(te_path):
+        te_sd = _read_single_file(te_path)
+        tcfg_dict = {"hidden_size": int(np.asarray(te_sd[
+            "text_model.embeddings.token_embedding.weight"]).shape[1])}
+        te_params = to_jnp(clip_state_dict_to_flax(_cast_tree(te_sd, np_dtype)))
+    else:
+        print("text_encoder.safetensors not found next to stage_c, "
+              "continuing without the text encoder")
+
+    return {
+        "prior_config": pcfg,
+        "effnet_config": EffnetConfig(dtype=compute_dtype),
+        "te_config": clip_config_from_transformers(tcfg_dict, compute_dtype),
+        "prior_params": to_jnp(
+            prior_state_dict_to_flax(_cast_tree(diff_sd, np_dtype))),
+        "effnet_params": None,
+        "te_params": te_params,
         "tokenizer_dir": None,
         "prediction_type": "epsilon",
     }

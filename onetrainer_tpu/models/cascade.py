@@ -29,6 +29,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import flax.linen as nn
+from onetrainer_tpu.models.convpad import conv_padding
 import jax
 import jax.numpy as jnp
 
@@ -70,7 +71,7 @@ class CascadeResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, skip=None):
         res = x
-        h = LoraConv(self.c, (3, 3), padding=1, feature_group_count=self.c,
+        h = LoraConv(self.c, (3, 3), padding=conv_padding(1), feature_group_count=self.c,
                      dtype=self.dtype, name="depthwise")(x)
         h = _layer_norm_no_affine(h)
         if skip is not None:

@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import flax.linen as nn
+from onetrainer_tpu.models.convpad import conv_padding
 import jax
 import jax.numpy as jnp
 
@@ -63,10 +64,10 @@ class DCAEResBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         res = x
-        h = LoraConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = LoraConv(self.out_channels, (3, 3), padding=conv_padding(1), dtype=self.dtype,
                      name="conv1")(x)
         h = nn.silu(h)
-        h = LoraConv(self.out_channels, (3, 3), padding=1, use_bias=False,
+        h = LoraConv(self.out_channels, (3, 3), padding=conv_padding(1), use_bias=False,
                      dtype=self.dtype, name="conv2")(h)
         h = RMSNorm2d(self.out_channels, name="norm")(h)
         return h + res
@@ -85,7 +86,7 @@ class GLUMBConvDC(nn.Module):
         h = LoraConv(mid * 2, (1, 1), dtype=self.dtype,
                      name="conv_inverted")(x)
         h = nn.silu(h)
-        h = LoraConv(mid * 2, (3, 3), padding=1, feature_group_count=mid * 2,
+        h = LoraConv(mid * 2, (3, 3), padding=conv_padding(1), feature_group_count=mid * 2,
                      dtype=self.dtype, name="conv_depth")(h)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.silu(gate)
@@ -108,7 +109,7 @@ class LiteMLA(nn.Module):
         qkv = LoraConv(3 * c, (1, 1), use_bias=False, dtype=self.dtype,
                        name="qkv")(x)
         # multiscale branch: 5x5 depthwise aggregation of qkv
-        ms = LoraConv(3 * c, (5, 5), padding=2, feature_group_count=3 * c,
+        ms = LoraConv(3 * c, (5, 5), padding=conv_padding(2), feature_group_count=3 * c,
                       use_bias=False, dtype=self.dtype, name="aggreg_0")(qkv)
         outs = []
         for branch in (qkv, ms):
@@ -149,7 +150,7 @@ class DCDown(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return LoraConv(self.out_channels, (3, 3), strides=2, padding=1,
+        return LoraConv(self.out_channels, (3, 3), strides=2, padding=conv_padding(1),
                         dtype=self.dtype, name="conv")(x)
 
 
@@ -161,7 +162,7 @@ class DCUp(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return LoraConv(self.out_channels, (3, 3), padding=1,
+        return LoraConv(self.out_channels, (3, 3), padding=conv_padding(1),
                         dtype=self.dtype, name="conv")(x)
 
 
@@ -172,7 +173,7 @@ class DCAEEncoder(nn.Module):
     def __call__(self, x):
         c = self.cfg
         chans = c.encoder_block_out_channels
-        x = LoraConv(chans[0], (3, 3), padding=1, dtype=c.dtype,
+        x = LoraConv(chans[0], (3, 3), padding=conv_padding(1), dtype=c.dtype,
                      name="conv_in")(x.astype(c.dtype))
         for s, ch in enumerate(chans):
             for i in range(c.encoder_layers_per_block[s]):
@@ -186,7 +187,7 @@ class DCAEEncoder(nn.Module):
             if s + 1 < len(chans):
                 x = DCDown(chans[s + 1], dtype=c.dtype,
                            name=f"downsamplers_{s}")(x)
-        return LoraConv(c.latent_channels, (3, 3), padding=1, dtype=c.dtype,
+        return LoraConv(c.latent_channels, (3, 3), padding=conv_padding(1), dtype=c.dtype,
                         name="conv_out")(x)
 
 
@@ -197,7 +198,7 @@ class DCAEDecoder(nn.Module):
     def __call__(self, z):
         c = self.cfg
         chans = c.decoder_block_out_channels
-        x = LoraConv(chans[-1], (3, 3), padding=1, dtype=c.dtype,
+        x = LoraConv(chans[-1], (3, 3), padding=conv_padding(1), dtype=c.dtype,
                      name="conv_in")(z.astype(c.dtype))
         for s in reversed(range(len(chans))):
             for i in range(c.decoder_layers_per_block[s]):
@@ -213,7 +214,7 @@ class DCAEDecoder(nn.Module):
                          name=f"upsamplers_{s}")(x)
         x = RMSNorm2d(chans[0], name="norm_out")(x)
         x = nn.silu(x)
-        return LoraConv(c.in_channels, (3, 3), padding=1, dtype=jnp.float32,
+        return LoraConv(c.in_channels, (3, 3), padding=conv_padding(1), dtype=jnp.float32,
                         name="conv_out")(x)
 
 

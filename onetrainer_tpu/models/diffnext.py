@@ -22,6 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import flax.linen as nn
+from onetrainer_tpu.models.convpad import conv_padding
 import jax
 import jax.numpy as jnp
 
@@ -79,7 +80,7 @@ class WResBlockStageB(nn.Module):
     def __call__(self, x, skip=None):
         k = self.kernel_size
         res = x
-        h = LoraConv(self.c, (k, k), padding=k // 2,
+        h = LoraConv(self.c, (k, k), padding=conv_padding(k // 2),
                      feature_group_count=self.c, dtype=self.dtype,
                      name="depthwise")(x)
         h = _layer_norm_no_affine(h)

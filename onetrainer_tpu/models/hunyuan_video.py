@@ -27,6 +27,7 @@ from onetrainer_tpu.models.flux import (
     RMSNorm, TimeTextEmbed, apply_rope, rope_tables,
 )
 from onetrainer_tpu.models.unet import timestep_embedding
+from onetrainer_tpu.parallel.sp import shard_heads, shard_seq
 from onetrainer_tpu.peft.layers import LoraDense
 
 # the llama prompt template crop (reference: HunyuanVideoModel.py
@@ -239,16 +240,18 @@ class HunyuanJointAttention(nn.Module):
         q_t = RMSNorm(c.head_dim, c.dtype, name="norm_added_q")(q_t)
         k_t = RMSNorm(c.head_dim, c.dtype, name="norm_added_k")(k_t)
 
-        q = jnp.concatenate([q_i, q_t], axis=1)
-        k = jnp.concatenate([k_i, k_t], axis=1)
-        v = jnp.concatenate([v_i, v_t], axis=1)
+        # Ulysses boundary: reshard [B,S,H,Dh] from seq- to head-parallel
+        # (XLA all-to-all); every head attends over the full sequence
+        q = shard_heads(jnp.concatenate([q_i, q_t], axis=1))
+        k = shard_heads(jnp.concatenate([k_i, k_t], axis=1))
+        v = shard_heads(jnp.concatenate([v_i, v_t], axis=1))
         mask = None
         if txt_mask is not None:
             keep = jnp.concatenate(
                 [jnp.ones((b, s_img), bool), txt_mask.astype(bool)], axis=1)
             mask = keep[:, None, None, :]
         out = dot_product_attention(q, k, v, mask=mask)
-        out = out.reshape(b, s_img + s_txt, c.hidden_size)
+        out = shard_seq(out.reshape(b, s_img + s_txt, c.hidden_size))
         out_img = LoraDense(c.hidden_size, dtype=c.dtype,
                             name="to_out_0")(out[:, :s_img])
         out_txt = LoraDense(c.hidden_size, dtype=c.dtype,
@@ -300,16 +303,21 @@ class _HunyuanSingleAttention(nn.Module):
         def heads(t):
             return t.reshape(b, s, c.num_heads, c.head_dim)
 
-        q = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="to_q")(normed))
-        k = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="to_k")(normed))
-        v = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="to_v")(normed))
+        # Ulysses boundary: head-parallel attention over the full sequence
+        q = shard_heads(heads(
+            LoraDense(c.hidden_size, dtype=c.dtype, name="to_q")(normed)))
+        k = shard_heads(heads(
+            LoraDense(c.hidden_size, dtype=c.dtype, name="to_k")(normed)))
+        v = shard_heads(heads(
+            LoraDense(c.hidden_size, dtype=c.dtype, name="to_v")(normed)))
         q = RMSNorm(c.head_dim, c.dtype, name="norm_q")(q)
         k = RMSNorm(c.head_dim, c.dtype, name="norm_k")(k)
         # rope on the image prefix only
         q = jnp.concatenate([apply_rope(q[:, :s_img], cos, sin), q[:, s_img:]], 1)
         k = jnp.concatenate([apply_rope(k[:, :s_img], cos, sin), k[:, s_img:]], 1)
         mask = keep_mask[:, None, None, :] if keep_mask is not None else None
-        return dot_product_attention(q, k, v, mask=mask).reshape(b, s, -1)
+        out = dot_product_attention(q, k, v, mask=mask)
+        return shard_seq(out.reshape(b, s, -1))
 
 
 class HunyuanSingleBlock(nn.Module):
@@ -359,6 +367,9 @@ class HunyuanVideoTransformer3D(nn.Module):
         packed = pack_video_latents(latents)
 
         img = _XEmbedder(c, name="x_embedder")(packed)
+        # sequence parallelism: img tokens shard over the "sp" mesh axis
+        # from here on; txt tokens are short and stay replicated
+        img = shard_seq(img)
         txt = TokenRefiner(c, name="context_embedder")(
             text_states, timestep.astype(jnp.float32), text_mask)
 
@@ -385,11 +396,14 @@ class HunyuanVideoTransformer3D(nn.Module):
         for i in range(c.num_layers):
             img, txt = double_cls(c, name=f"transformer_blocks_{i}")(
                 img, txt, temb, rope, text_mask)
+            img = shard_seq(img)
 
         x = jnp.concatenate([img, txt], axis=1)   # img first (hunyuan order)
+        x = shard_seq(x)
         for i in range(c.num_single_layers):
             x = single_cls(c, name=f"single_transformer_blocks_{i}")(
                 x, temb, rope, keep_mask, s_img)
+            x = shard_seq(x)
         img = x[:, :s_img]
 
         img = AdaNormContinuous(c.hidden_size, c.dtype, name="norm_out")(img, temb)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import flax.linen as nn
+from onetrainer_tpu.models.convpad import circular_padding_enabled, conv_padding
 import jax.numpy as jnp
 
 from onetrainer_tpu.models.diffnext import pixel_shuffle, pixel_unshuffle
@@ -59,7 +60,8 @@ class MixingResidualBlock(nn.Module):
         g = g.astype(jnp.float32)
 
         h = _layer_norm_no_affine(x) * (1 + g[0]) + g[1]
-        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    mode="wrap" if circular_padding_enabled() else "edge")
         h = nn.Conv(self.c, (3, 3), padding="VALID",
                     feature_group_count=self.c, dtype=self.dtype,
                     name="depthwise_1")(h)
@@ -124,7 +126,8 @@ class PaellaVQEncoder(nn.Module):
         for i in range(cfg.levels):
             if i > 0:
                 x = nn.Conv(c_levels[i], (4, 4), strides=(2, 2),
-                            padding=((1, 1), (1, 1)), dtype=cfg.dtype,
+                            padding=conv_padding(((1, 1), (1, 1))),
+                            dtype=cfg.dtype,
                             name=f"down_blocks_{j}")(x)
                 j += 1
             x = MixingResidualBlock(c_levels[i], c_levels[i] * 4,

@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import flax.linen as nn
+from onetrainer_tpu.models.convpad import conv_padding
 import jax
 import jax.numpy as jnp
 
@@ -127,7 +128,7 @@ class GLUMBConv(nn.Module):
         h = x.reshape(b, gh, gw, dim)
         h = LoraConv(mid * 2, (1, 1), dtype=c.dtype, name="conv_inverted")(h)
         h = nn.silu(h)
-        h = LoraConv(mid * 2, (3, 3), padding=1, feature_group_count=mid * 2,
+        h = LoraConv(mid * 2, (3, 3), padding=conv_padding(1), feature_group_count=mid * 2,
                      dtype=c.dtype, name="conv_depth")(h)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.silu(gate)

@@ -24,6 +24,7 @@ import math
 from dataclasses import dataclass, field
 
 import flax.linen as nn
+from onetrainer_tpu.models.convpad import conv_padding
 import jax.numpy as jnp
 
 from onetrainer_tpu.ops.attention import attention
@@ -55,6 +56,9 @@ class UNetConfig:
 
 def _remat(cls, policy: str = "full"):
     import jax
+    if policy == "tx_only":
+        # transformer blocks full-remat, resnets saved (see _resnet_remat)
+        return nn.remat(cls)
     if policy == "dots":
         return nn.remat(
             cls, policy=jax.checkpoint_policies.checkpoint_dots)
@@ -154,12 +158,12 @@ class ResnetBlock(nn.Module):
         in_channels = x.shape[-1]
         h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = LoraConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = LoraConv(self.out_channels, (3, 3), padding=conv_padding(1), dtype=self.dtype, name="conv1")(h)
         t = LoraDense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
         h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = LoraConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = LoraConv(self.out_channels, (3, 3), padding=conv_padding(1), dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = LoraConv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
@@ -260,7 +264,7 @@ class Downsample(nn.Module):
     def __call__(self, x):
         # torch Conv2d stride-2 with padding=1 pads both sides; replicate exactly
         return LoraConv(self.out_channels, (3, 3), strides=(2, 2),
-                       padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
+                       padding=conv_padding(((1, 1), (1, 1))), dtype=self.dtype, name="conv")(x)
 
 
 class Upsample(nn.Module):
@@ -271,7 +275,7 @@ class Upsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return LoraConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return LoraConv(self.out_channels, (3, 3), padding=conv_padding(1), dtype=self.dtype, name="conv")(x)
 
 
 # -- down / mid / up blocks ------------------------------------------------------
@@ -289,7 +293,7 @@ class DownBlock(nn.Module):
         is_final = self.block_index == len(cfg.block_out_channels) - 1
 
         resnet_cls = ResnetBlock
-        if cfg.gradient_checkpointing:
+        if cfg.gradient_checkpointing and cfg.remat_policy != "tx_only":
             resnet_cls = _remat(ResnetBlock, cfg.remat_policy)
 
         hidden_states = []
@@ -320,7 +324,7 @@ class MidBlock(nn.Module):
         cfg = self.cfg
         out_ch = cfg.block_out_channels[-1]
         resnet_cls = ResnetBlock
-        if cfg.gradient_checkpointing:
+        if cfg.gradient_checkpointing and cfg.remat_policy != "tx_only":
             resnet_cls = _remat(ResnetBlock, cfg.remat_policy)
         x = resnet_cls(out_ch, dtype=cfg.dtype, name="resnets_0")(x, temb)
         x = Transformer2D(
@@ -353,7 +357,7 @@ class UpBlock(nn.Module):
         is_final = self.block_index == n - 1
 
         resnet_cls = ResnetBlock
-        if cfg.gradient_checkpointing:
+        if cfg.gradient_checkpointing and cfg.remat_policy != "tx_only":
             resnet_cls = _remat(ResnetBlock, cfg.remat_policy)
 
         for i in range(cfg.layers_per_block + 1):
@@ -410,7 +414,7 @@ class UNet2DCondition(nn.Module):
 
         context = encoder_hidden_states.astype(cfg.dtype)
 
-        x = LoraConv(ch0, (3, 3), padding=1, dtype=cfg.dtype, name="conv_in")(
+        x = LoraConv(ch0, (3, 3), padding=conv_padding(1), dtype=cfg.dtype, name="conv_in")(
             sample.astype(cfg.dtype))
 
         skips = [x]
@@ -425,5 +429,5 @@ class UNet2DCondition(nn.Module):
 
         x = nn.GroupNorm(32, epsilon=1e-5, dtype=cfg.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
-        x = LoraConv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(x)
+        x = LoraConv(cfg.out_channels, (3, 3), padding=conv_padding(1), dtype=jnp.float32, name="conv_out")(x)
         return x

@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import flax.linen as nn
+from onetrainer_tpu.models.convpad import conv_padding
 import jax
 import jax.numpy as jnp
 
@@ -57,10 +58,10 @@ class VAEResnetBlock(nn.Module):
         in_channels = x.shape[-1]
         h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=conv_padding(1), dtype=self.dtype, name="conv1")(h)
         h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=conv_padding(1), dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
@@ -117,7 +118,7 @@ class VAEUpsampler(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return nn.Conv(self.channels, (3, 3), padding=conv_padding(1), dtype=self.dtype, name="conv")(x)
 
 
 class DownEncoderBlock(nn.Module):
@@ -156,7 +157,7 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=conv_padding(1),
                     dtype=cfg.dtype, name="conv_in")(x.astype(cfg.dtype))
         n = len(cfg.block_out_channels)
         for i, ch in enumerate(cfg.block_out_channels):
@@ -165,7 +166,7 @@ class Encoder(nn.Module):
         x = VAEMidBlock(cfg.block_out_channels[-1], dtype=cfg.dtype, name="mid_block")(x)
         x = nn.GroupNorm(32, epsilon=1e-6, dtype=cfg.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
-        x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
+        x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=conv_padding(1),
                     dtype=jnp.float32, name="conv_out")(x)
         return x
 
@@ -177,7 +178,7 @@ class Decoder(nn.Module):
     def __call__(self, z):
         cfg = self.cfg
         rev = list(reversed(cfg.block_out_channels))
-        x = nn.Conv(rev[0], (3, 3), padding=1, dtype=cfg.dtype,
+        x = nn.Conv(rev[0], (3, 3), padding=conv_padding(1), dtype=cfg.dtype,
                     name="conv_in")(z.astype(cfg.dtype))
         x = VAEMidBlock(rev[0], dtype=cfg.dtype, name="mid_block")(x)
         for i, ch in enumerate(rev):
@@ -186,7 +187,7 @@ class Decoder(nn.Module):
                                dtype=cfg.dtype, name=f"up_blocks_{i}")(x)
         x = nn.GroupNorm(32, epsilon=1e-6, dtype=cfg.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(x)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=conv_padding(1), dtype=jnp.float32, name="conv_out")(x)
         return x
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import flax.linen as nn
+from onetrainer_tpu.models.convpad import conv_padding
 import jax.numpy as jnp
 
 from onetrainer_tpu.ops.attention import attention
@@ -71,7 +72,7 @@ class WResBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         res = x
-        h = LoraConv(self.c, (3, 3), padding=1, feature_group_count=self.c,
+        h = LoraConv(self.c, (3, 3), padding=conv_padding(1), feature_group_count=self.c,
                      dtype=self.dtype, name="depthwise")(x)
         h = _layer_norm_no_affine(h)
         h = LoraDense(self.c * 4, dtype=self.dtype, name="channelwise_0")(h)
@@ -254,7 +255,7 @@ class ConvNormAct(nn.Module):
     def __call__(self, x):
         pad = (self.kernel - 1) // 2
         x = LoraConv(self.features, (self.kernel, self.kernel),
-                     strides=self.stride, padding=pad, use_bias=False,
+                     strides=self.stride, padding=conv_padding(pad), use_bias=False,
                      feature_group_count=self.groups, dtype=self.dtype,
                      name="conv")(x)
         x = FrozenBatchNorm(self.features, name="norm")(x)

@@ -19,24 +19,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
+SEQ_AXIS = "sp"
 
 
-def create_mesh(devices=None, dp: int | None = None, fsdp: int | None = None) -> Mesh:
-    """Create a ("data", "fsdp") mesh. Default: pure FSDP over all devices
-    (dp=1) — the right default for diffusion models that fit activations
-    per-chip but want weight/optimizer sharding."""
+def create_mesh(devices=None, dp: int | None = None, fsdp: int | None = None,
+                sp: int = 1) -> Mesh:
+    """Create a ("data", "fsdp", "sp") mesh. Default: pure FSDP over all
+    devices (dp=1, sp=1) — the right default for diffusion models that fit
+    activations per-chip but want weight/optimizer sharding. sp > 1 adds
+    Ulysses-style sequence parallelism for video DiTs (long token
+    sequences shard over "sp" between blocks; attention reshards to
+    head-parallel via XLA all-to-alls — see parallel/sp.py)."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if dp is None and fsdp is None:
-        dp, fsdp = 1, n
+        dp, fsdp = 1, n // sp
     elif dp is None:
-        dp = n // fsdp
+        dp = n // (fsdp * sp)
     elif fsdp is None:
-        fsdp = n // dp
-    assert dp * fsdp == n, f"mesh {dp}x{fsdp} != {n} devices"
-    device_array = np.asarray(devices).reshape(dp, fsdp)
-    return Mesh(device_array, (DATA_AXIS, FSDP_AXIS))
+        fsdp = n // (dp * sp)
+    assert dp * fsdp * sp == n, f"mesh {dp}x{fsdp}x{sp} != {n} devices"
+    device_array = np.asarray(devices).reshape(dp, fsdp, sp)
+    return Mesh(device_array, (DATA_AXIS, FSDP_AXIS, SEQ_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -151,6 +151,14 @@ class LoraConv(nn.Module):
         strides = (self.strides, self.strides) \
             if isinstance(self.strides, int) else tuple(self.strides)
         padding = _canon_padding(self.padding, self.kernel_size)
+        if padding == "CIRCULAR":
+            # torch circular padding_mode: wrap-pad the input by the
+            # call site's zero-pad amount ((k-1)//2 for every conv in
+            # this codebase: 3→1, 4→1, 5→2), then convolve VALID
+            ph, pw = (kh - 1) // 2, (kw - 1) // 2
+            x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
+                        mode="wrap")
+            padding = "VALID"
         kernel = self.param("kernel", self.kernel_init,
                             (kh, kw, x.shape[-1] // self.feature_group_count,
                              self.features),

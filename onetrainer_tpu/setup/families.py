@@ -385,12 +385,16 @@ def _hunyuan_load(base_dir, config):
     import jax.numpy as jnp
     from onetrainer_tpu.io.hunyuan_checkpoints import load_hunyuan_diffusers
     from onetrainer_tpu.models.hunyuan_video_model import HunyuanVideoModel
-    loaded = load_hunyuan_diffusers(
-        base_dir,
+    kwargs = dict(
         weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
+    if os.path.isfile(base_dir):
+        from onetrainer_tpu.io.single_file import load_hunyuan_single_file
+        loaded = load_hunyuan_single_file(base_dir, **kwargs)
+    else:
+        loaded = load_hunyuan_diffusers(base_dir, **kwargs)
     return HunyuanVideoModel(
         model_type=config.model_type,
         transformer_config=loaded["transformer_config"],
@@ -433,8 +437,22 @@ def _hunyuan_save_model(setup, out_dir, source_dir):
 
 
 def _hunyuan_save_single_file(setup, path):
-    raise NotImplementedError(
-        "HunyuanVideo single-file export not implemented; use DIFFUSERS format")
+    """Original-repo ckpt layout under the `model.model` prefix (reference:
+    modules/util/convert/convert_hunyuan_video_diffusers_to_ckpt.py:143-149,
+    modules/modelSaver/hunyuanVideo/HunyuanVideoModelSaver.py:60-92)."""
+    import numpy as _np
+    from onetrainer_tpu.io.hunyuan_checkpoints import hunyuan_flax_to_state_dict
+    from onetrainer_tpu.io.sd_checkpoints import _to_numpy_tree
+    from onetrainer_tpu.io.single_file import hunyuan_transformer_to_ckpt
+    from onetrainer_tpu.util.model_spec import make_modelspec_metadata
+    transformer, *_ = setup.merged_inference_params()
+    sd = hunyuan_transformer_to_ckpt(
+        hunyuan_flax_to_state_dict(_to_numpy_tree(transformer)))
+    meta = make_modelspec_metadata(
+        setup.config.model_type, setup.config.training_method,
+        resolution=setup.config.resolution)
+    save_safetensors(path, {k: _np.asarray(v) for k, v in sd.items()},
+                     metadata=meta)
 
 
 # -- Sana -------------------------------------------------------------------------------
@@ -498,13 +516,19 @@ def _wuerstchen_load(base_dir, config):
     import jax.numpy as jnp
     from onetrainer_tpu.io.wuerstchen_checkpoints import load_wuerstchen_diffusers
     from onetrainer_tpu.models.wuerstchen_model import WuerstchenModel
-    loaded = load_wuerstchen_diffusers(
-        base_dir,
-        effnet_path=config.effnet_encoder.model_name or None,
+    kwargs = dict(
         weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
+    if os.path.isfile(base_dir) and config.model_type.is_stable_cascade():
+        from onetrainer_tpu.io.single_file import load_cascade_single_file
+        loaded = load_cascade_single_file(base_dir, **kwargs)
+    else:
+        loaded = load_wuerstchen_diffusers(
+            base_dir,
+            effnet_path=config.effnet_encoder.model_name or None,
+            **kwargs)
     model = WuerstchenModel(
         model_type=config.model_type,
         prior_config=loaded["prior_config"],
@@ -561,8 +585,41 @@ def _wuerstchen_save_model(setup, out_dir, source_dir):
 
 
 def _wuerstchen_save_single_file(setup, path):
-    raise NotImplementedError(
-        "Würstchen single-file export not implemented; use DIFFUSERS format")
+    """Stable Cascade single-file export: stage_c.safetensors (fused
+    in_proj attention keys) + text_encoder.safetensors (reference:
+    modules/modelSaver/wuerstchen/WuerstchenModelSaver.py:41-69 — a
+    directory destination; Würstchen v2 raises NotImplementedError there
+    too). A `*.safetensors` path is taken as the stage_c file with the
+    text encoder saved alongside it."""
+    if not setup.config.model_type.is_stable_cascade():
+        raise NotImplementedError(
+            "Würstchen v2 single-file export is unsupported (reference "
+            "WuerstchenModelSaver.__save_safetensors raises for non-Cascade)")
+    import numpy as _np
+    from onetrainer_tpu.io.sd_checkpoints import _to_numpy_tree
+    from onetrainer_tpu.io.single_file import cascade_prior_to_ckpt
+    from onetrainer_tpu.io.torch_flax import clip_flax_to_state_dict
+    from onetrainer_tpu.io.wuerstchen_checkpoints import prior_flax_to_state_dict
+    from onetrainer_tpu.util.model_spec import make_modelspec_metadata
+    prior, te, _ = setup.merged_inference_params()
+    meta = make_modelspec_metadata(
+        setup.config.model_type, setup.config.training_method,
+        resolution=setup.config.resolution)
+    if path.endswith(".safetensors"):
+        stage_c_path = path
+        te_path = os.path.join(os.path.dirname(path) or ".",
+                               "text_encoder.safetensors")
+    else:
+        os.makedirs(path, exist_ok=True)
+        stage_c_path = os.path.join(path, "stage_c.safetensors")
+        te_path = os.path.join(path, "text_encoder.safetensors")
+    sd = cascade_prior_to_ckpt(prior_flax_to_state_dict(_to_numpy_tree(prior)))
+    save_safetensors(stage_c_path,
+                     {k: _np.asarray(v) for k, v in sd.items()}, metadata=meta)
+    te_sd = clip_flax_to_state_dict(_to_numpy_tree(te))
+    save_safetensors(te_path,
+                     {k: _np.asarray(v) for k, v in te_sd.items()},
+                     metadata=meta)
 
 
 # -- SD3 -----------------------------------------------------------------------------

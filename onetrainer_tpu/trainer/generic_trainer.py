@@ -94,6 +94,12 @@ class GenericTrainer(BaseTrainer):
                 self._restore_backup_meta(last_backup)
 
         self.family = get_family(config.model_type)
+        # tileable-texture training: route every spatially padded conv to
+        # circular padding before the model is built/traced
+        # (reference: modules/util/conv_util.py:6-9 applied in
+        # setup_optimizations, e.g. BaseStableDiffusionSetup.py:51-55)
+        from onetrainer_tpu.models.convpad import set_circular_padding
+        set_circular_padding(bool(config.force_circular_padding))
         self.model = self.family.load(base_model_name, config)
         self._source_dir = base_model_name
 
@@ -157,16 +163,23 @@ class GenericTrainer(BaseTrainer):
         n_devices = jax.device_count()
         dp = int(_os.environ.get("OT_MESH_DP", 0)) or None
         fsdp = int(_os.environ.get("OT_MESH_FSDP", 0)) or None
+        # sequence parallelism for video DiTs (Ulysses; parallel/sp.py)
+        sp = int(_os.environ.get("OT_MESH_SP", 0)) or 1
         # explicit opt-in via env, or automatic on real multi-chip TPU
         # (virtual CPU device farms from tests must not trigger it)
         auto = n_devices > 1 and jax.default_backend() == "tpu"
-        if not (dp or fsdp or auto):
+        if not (dp or fsdp or sp > 1 or auto):
             return
-        self.mesh = create_mesh(dp=dp, fsdp=fsdp)
-        if self.config.batch_size % (self.mesh.devices.size) != 0:
+        self.mesh = create_mesh(dp=dp, fsdp=fsdp, sp=sp)
+        if sp > 1:
+            from onetrainer_tpu.parallel.sp import enable_sp
+            enable_sp(self.mesh)
+        from onetrainer_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS
+        batch_shards = self.mesh.shape[DATA_AXIS] * self.mesh.shape[FSDP_AXIS]
+        if self.config.batch_size % batch_shards != 0:
             raise ValueError(
                 f"batch_size {self.config.batch_size} must be divisible by "
-                f"the {self.mesh.devices.size}-device mesh")
+                f"the mesh's {batch_shards} batch shards (data x fsdp)")
         setup = self.setup
         setup.frozen = {k: shard_params(v, self.mesh) if v is not None else None
                         for k, v in setup.frozen.items()}

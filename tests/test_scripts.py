@@ -97,3 +97,26 @@ def test_calculate_loss_script(tmp_path):
     losses = json.load(open(out))
     assert len(losses) == 4
     assert all(v > 0 for v in losses.values())
+
+
+def test_generate_debug_report(tmp_path):
+    """Debug report builds, anonymizes paths, and never dumps raw env
+    (reference: scripts/generate_debug_report.py)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "generate_debug_report",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "generate_debug_report.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert mod._anonymize("/home/alice/models/x.safetensors") == \
+        "/home/<user>/models/x.safetensors"
+    report = mod.build_report()
+    assert {"os", "cpu", "accelerator", "python", "git", "env"} <= set(report)
+    assert report["python"]["libraries"]["jax"]
+    # only the allow-listed env vars may appear
+    assert set(report["env"]) <= {
+        "XLA_FLAGS", "JAX_PLATFORMS", "LIBTPU_INIT_ARGS",
+        "TPU_WORKER_HOSTNAMES", "JAX_TRACEBACK_FILTERING",
+        "OT_MESH_DP", "OT_MESH_FSDP", "OT_FORCE_FLASH", "OT_PLATFORM"}

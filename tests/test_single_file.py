@@ -191,3 +191,58 @@ def test_load_pixart_single_file(tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+# -- HunyuanVideo / Stable Cascade ckpt round trips ------------------------------------
+
+def test_hunyuan_ckpt_roundtrip():
+    from onetrainer_tpu.io.hunyuan_checkpoints import hunyuan_flax_to_state_dict
+    from onetrainer_tpu.io.single_file import (
+        hunyuan_ckpt_to_transformer, hunyuan_transformer_to_ckpt,
+    )
+    from tests.test_trainer_hunyuan import tiny_hunyuan_model
+
+    model = tiny_hunyuan_model()
+    rng = jax.random.PRNGKey(0)
+    params = model.transformer.init(
+        rng, jnp.zeros((1, 2, 4, 4, 16)), jnp.asarray([500.0]),
+        jnp.zeros((1, 5, 24)), jnp.ones((1, 5), jnp.int32),
+        jnp.zeros((1, 16)))["params"]
+    sd = hunyuan_flax_to_state_dict(jax.device_get(params))
+    converted = _assert_roundtrip(
+        sd, hunyuan_transformer_to_ckpt, hunyuan_ckpt_to_transformer)
+    assert any(k.startswith("model.model.double_blocks.0.img_attn.qkv")
+               for k in converted)
+    assert any(k.startswith("model.model.single_blocks.0.linear1")
+               for k in converted)
+    assert any(k.startswith(
+        "model.model.txt_in.individual_token_refiner.blocks.0.self_attn.qkv")
+        for k in converted)
+
+
+def test_cascade_ckpt_roundtrip():
+    from onetrainer_tpu.io.single_file import (
+        cascade_ckpt_to_prior, cascade_prior_to_ckpt,
+    )
+    from onetrainer_tpu.io.wuerstchen_checkpoints import (
+        prior_flax_to_state_dict,
+    )
+    from onetrainer_tpu.models.cascade import StableCascadePrior, CascadePriorConfig
+
+    cfg = CascadePriorConfig(
+        c_in=16, c_hidden=(32, 48), nhead=(4, 4), blocks=(1, 1),
+        c_cond=32, clip_text_in=24, clip_text_pooled_in=24,
+        clip_image_in=16, dtype=jnp.float32)
+    prior = StableCascadePrior(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = prior.init(
+        rng, jnp.zeros((1, 8, 8, 16)), jnp.asarray([0.5]),
+        jnp.zeros((1, 6, 24)), jnp.zeros((1, 24)), None)["params"]
+    sd = prior_flax_to_state_dict(jax.device_get(params))
+    converted = _assert_roundtrip(
+        sd, cascade_prior_to_ckpt, cascade_ckpt_to_prior)
+    assert any(k.endswith(".attention.attn.in_proj_weight")
+               for k in converted)
+    assert any(k.endswith(".attention.attn.out_proj.weight")
+               for k in converted)
+    assert not any(".attention.to_q." in k for k in converted)

@@ -1,0 +1,108 @@
+"""Sequence parallelism (Ulysses) for the HunyuanVideo DiT: the token
+stream shards over the "sp" mesh axis between blocks and reshards to
+head-parallel inside attention (parallel/sp.py). The reference has no
+sequence scaling at all (SURVEY.md §2.17) — this is a TPU-native
+capability; correctness gate is exact parity with the unsharded step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from onetrainer_tpu.math.losses import LossConfig
+from onetrainer_tpu.math.timesteps import TimestepConfig
+from onetrainer_tpu.parallel.mesh import create_mesh, shard_batch
+from onetrainer_tpu.parallel.sp import disable_sp, enable_sp, sp_enabled
+from onetrainer_tpu.peft.lora import PeftConfig, init_peft_params
+from onetrainer_tpu.train.hunyuan_train_step import make_hunyuan_train_step
+from onetrainer_tpu.train.sd_train_step import SDStepConfig
+from onetrainer_tpu.train.train_state import create_train_state
+from onetrainer_tpu.util.enums import TrainingMethod
+from tests.test_trainer_hunyuan import tiny_hunyuan_model
+
+
+@pytest.fixture(autouse=True)
+def _reset_sp():
+    yield
+    disable_sp()
+
+
+def _make_step_inputs(model):
+    rng = jax.random.PRNGKey(0)
+    transformer_params = model.transformer.init(
+        rng, jnp.zeros((1, 2, 4, 4, 16)), jnp.asarray([500.0]),
+        jnp.zeros((1, 5, 24)), jnp.ones((1, 5), jnp.int32),
+        jnp.zeros((1, 16)))["params"]
+    peft_cfg = PeftConfig(rank=2, alpha=2.0)
+    adapters = init_peft_params(jax.random.PRNGKey(1), transformer_params,
+                                peft_cfg)
+    cfg = SDStepConfig(
+        training_method=TrainingMethod.LORA, timestep=TimestepConfig(),
+        loss=LossConfig(vb_loss_strength=0.0, batch_size=2),
+        stochastic_rounding=False)
+    tx = optax.adamw(1e-3)
+    state = create_train_state({"transformer_lora": adapters}, tx)
+    frozen = {"transformer": transformer_params}
+    b = 2
+    batch = {
+        # 2 frames x 4x4 latents -> 2*2*2 = 8 img tokens (divisible by sp=4
+        # after 2x2 spatial packing: t=2, h/2=2, w/2=2)
+        "latent_image": jax.random.normal(
+            jax.random.PRNGKey(2), (b, 2, 4, 4, 16), jnp.float32),
+        "loss_weight": jnp.ones((b,)),
+        "text_encoder_1_hidden_state": jax.random.normal(
+            jax.random.PRNGKey(3), (b, 5, 24), jnp.float32),
+        "tokens_mask_1": jnp.ones((b, 5), jnp.int32),
+        "text_encoder_2_pooled_state": jax.random.normal(
+            jax.random.PRNGKey(4), (b, 16), jnp.float32),
+    }
+    return state, frozen, batch, cfg, tx, peft_cfg
+
+
+def test_sp_step_matches_unsharded():
+    model = tiny_hunyuan_model()
+    state, frozen, batch, cfg, tx, peft_cfg = _make_step_inputs(model)
+    rng = jax.random.PRNGKey(7)
+
+    # reference: no mesh, no sp
+    step = make_hunyuan_train_step(model, cfg, tx, peft_cfg)
+    ref_state, ref_metrics = step(state, frozen, batch, rng)
+    ref_loss = float(ref_metrics["loss"])
+
+    # sp=4 mesh (data=1, fsdp=2, sp=4 on the 8-device CPU farm)
+    mesh = create_mesh(dp=1, fsdp=2, sp=4)
+    assert dict(mesh.shape) == {"data": 1, "fsdp": 2, "sp": 4}
+    enable_sp(mesh)
+    assert sp_enabled()
+    state2, frozen2, batch2, cfg2, tx2, _ = _make_step_inputs(model)
+    step_sp = make_hunyuan_train_step(model, cfg2, tx2, peft_cfg)
+    batch2 = shard_batch(batch2, mesh)
+    sp_state, sp_metrics = step_sp(state2, frozen2, batch2, rng)
+    sp_loss = float(sp_metrics["loss"])
+
+    assert np.isfinite(sp_loss)
+    np.testing.assert_allclose(sp_loss, ref_loss, rtol=2e-5, atol=2e-5)
+
+    # updated adapter params agree too (full step parity, not just loss)
+    ref_leaves = jax.tree.leaves(ref_state.params)
+    sp_leaves = jax.tree.leaves(jax.device_get(sp_state.params))
+    for a, b_ in zip(ref_leaves, sp_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-5, atol=5e-5)
+
+
+def test_sp_inserts_all_to_all():
+    """The compiled HLO actually contains the Ulysses reshard collectives
+    (all-to-all over "sp"), proving the constraints are not no-ops."""
+    model = tiny_hunyuan_model()
+    mesh = create_mesh(dp=1, fsdp=1, sp=8)
+    enable_sp(mesh)
+    state, frozen, batch, cfg, tx, peft_cfg = _make_step_inputs(model)
+    step = make_hunyuan_train_step(model, cfg, tx, peft_cfg)
+    batch = shard_batch(batch, mesh)
+    compiled = step.lower(state, frozen, batch,
+                          jax.random.PRNGKey(0)).compile()
+    hlo = compiled.as_text()
+    assert "all-to-all" in hlo or "all_to_all" in hlo

@@ -37,7 +37,7 @@ def test_trainer_on_mesh(tmp_path, monkeypatch):
     trainer = GenericTrainer(config)
     trainer.start()
     assert trainer.mesh is not None
-    assert dict(trainer.mesh.shape) == {"data": 2, "fsdp": 4}
+    assert dict(trainer.mesh.shape) == {"data": 2, "fsdp": 4, "sp": 1}
     trainer.train()
     trainer.end()
     assert trainer.train_progress.global_step >= 1
