@@ -16,6 +16,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from onetrainer_tpu.util.platform import maybe_force_platform
 maybe_force_platform()
 
+# multi-host: initialize the JAX distributed runtime before any device
+# access (no-op single-host; OT_COORDINATOR/OT_MULTIHOST env opt in —
+# see onetrainer_tpu/parallel/distributed.py)
+from onetrainer_tpu.parallel.distributed import maybe_initialize_distributed
+maybe_initialize_distributed()
+
 from onetrainer_tpu.config.concept_config import ConceptConfig
 from onetrainer_tpu.config.sample_config import SampleConfig
 from onetrainer_tpu.config.train_config import TrainConfig

@@ -106,3 +106,26 @@ def test_sp_inserts_all_to_all():
                           jax.random.PRNGKey(0)).compile()
     hlo = compiled.as_text()
     assert "all-to-all" in hlo or "all_to_all" in hlo
+
+
+def test_distributed_env_parsing(monkeypatch):
+    """Multi-host bootstrap config (parallel/distributed.py): explicit
+    coordinator vars, bare TPU-pod opt-in, and the zero-config default."""
+    from onetrainer_tpu.parallel import distributed
+
+    monkeypatch.delenv("OT_COORDINATOR", raising=False)
+    monkeypatch.delenv("OT_MULTIHOST", raising=False)
+    assert distributed.distributed_env() is None
+    assert distributed.maybe_initialize_distributed() is False
+
+    monkeypatch.setenv("OT_MULTIHOST", "1")
+    assert distributed.distributed_env() == {}
+
+    monkeypatch.setenv("OT_COORDINATOR", "10.0.0.1:1234")
+    monkeypatch.setenv("OT_NUM_PROCESSES", "4")
+    monkeypatch.setenv("OT_PROCESS_ID", "2")
+    assert distributed.distributed_env() == {
+        "coordinator_address": "10.0.0.1:1234",
+        "num_processes": 4,
+        "process_id": 2,
+    }
