@@ -137,6 +137,34 @@ def _bench_sd15(jax, jnp, optax):
     return bs * n / elapsed, (flops / bs if flops else None)
 
 
+def _bench_vae_cache(jax, jnp):
+    """VAE latent-cache fill throughput (BASELINE.json metric 2): jitted
+    SD-VAE encode of 512px pixel batches, the data loader's cache-fill
+    hot path (setup/sd_setup.py make_encode_fns)."""
+    from onetrainer_tpu.models.vae import AutoencoderKL, sd15_vae_config
+
+    bs, res = 8, 512
+    cfg = sd15_vae_config(dtype=jnp.bfloat16)
+    vae = AutoencoderKL(cfg)
+    rng = jax.random.PRNGKey(0)
+    pixels = jax.random.uniform(
+        jax.random.PRNGKey(1), (bs, res, res, 3), jnp.bfloat16, -1.0, 1.0)
+    params = jax.jit(vae.init)(rng, pixels, jax.random.PRNGKey(2))["params"]
+
+    @jax.jit
+    def encode(pixels):
+        return vae.apply({"params": params}, pixels, method=vae.encode)
+
+    mean, logvar = encode(pixels)
+    mean.block_until_ready()
+    n = 20
+    start = time.perf_counter()
+    for _ in range(n):
+        mean, logvar = encode(pixels)
+    mean.block_until_ready()
+    return bs * n / (time.perf_counter() - start)
+
+
 def main():
     import os
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -148,9 +176,11 @@ def main():
 
     sdxl_ips, sdxl_flops_per_img, sdxl_sec_per_step = _bench_sdxl(jax, jnp, optax)
     sd15_ips, sd15_flops_per_img = _bench_sd15(jax, jnp, optax)
+    vae_ips = _bench_vae_cache(jax, jnp)
 
     extras = {
         "sd15_lora_512_bs4_imgs_per_sec": round(sd15_ips, 3),
+        "vae_latent_cache_512_bs8_imgs_per_sec": round(vae_ips, 3),
     }
     if sdxl_flops_per_img:
         mfu = sdxl_ips * sdxl_flops_per_img / V5E_PEAK_FLOPS

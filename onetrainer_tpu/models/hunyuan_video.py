@@ -27,7 +27,9 @@ from onetrainer_tpu.models.flux import (
     RMSNorm, TimeTextEmbed, apply_rope, rope_tables,
 )
 from onetrainer_tpu.models.unet import timestep_embedding
-from onetrainer_tpu.parallel.sp import shard_heads, shard_seq
+from onetrainer_tpu.parallel.sp import (
+    maybe_ring_attention, shard_heads, shard_seq,
+)
 from onetrainer_tpu.peft.layers import LoraDense
 
 # the llama prompt template crop (reference: HunyuanVideoModel.py
@@ -240,17 +242,22 @@ class HunyuanJointAttention(nn.Module):
         q_t = RMSNorm(c.head_dim, c.dtype, name="norm_added_q")(q_t)
         k_t = RMSNorm(c.head_dim, c.dtype, name="norm_added_k")(k_t)
 
-        # Ulysses boundary: reshard [B,S,H,Dh] from seq- to head-parallel
-        # (XLA all-to-all); every head attends over the full sequence
-        q = shard_heads(jnp.concatenate([q_i, q_t], axis=1))
-        k = shard_heads(jnp.concatenate([k_i, k_t], axis=1))
-        v = shard_heads(jnp.concatenate([v_i, v_t], axis=1))
-        mask = None
+        q = jnp.concatenate([q_i, q_t], axis=1)
+        k = jnp.concatenate([k_i, k_t], axis=1)
+        v = jnp.concatenate([v_i, v_t], axis=1)
+        keep = None
         if txt_mask is not None:
             keep = jnp.concatenate(
                 [jnp.ones((b, s_img), bool), txt_mask.astype(bool)], axis=1)
-            mask = keep[:, None, None, :]
-        out = dot_product_attention(q, k, v, mask=mask)
+        # context parallelism: ring attention when heads can't split over
+        # "sp" (or OT_RING_ATTENTION=1); otherwise the Ulysses reshard —
+        # [B,S,H,Dh] seq- to head-parallel (XLA all-to-all), every head
+        # attends over the full sequence
+        out = maybe_ring_attention(q, k, v, kv_mask=keep)
+        if out is None:
+            q, k, v = shard_heads(q), shard_heads(k), shard_heads(v)
+            mask = keep[:, None, None, :] if keep is not None else None
+            out = dot_product_attention(q, k, v, mask=mask)
         out = shard_seq(out.reshape(b, s_img + s_txt, c.hidden_size))
         out_img = LoraDense(c.hidden_size, dtype=c.dtype,
                             name="to_out_0")(out[:, :s_img])
@@ -303,20 +310,22 @@ class _HunyuanSingleAttention(nn.Module):
         def heads(t):
             return t.reshape(b, s, c.num_heads, c.head_dim)
 
-        # Ulysses boundary: head-parallel attention over the full sequence
-        q = shard_heads(heads(
-            LoraDense(c.hidden_size, dtype=c.dtype, name="to_q")(normed)))
-        k = shard_heads(heads(
-            LoraDense(c.hidden_size, dtype=c.dtype, name="to_k")(normed)))
-        v = shard_heads(heads(
-            LoraDense(c.hidden_size, dtype=c.dtype, name="to_v")(normed)))
+        q = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="to_q")(normed))
+        k = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="to_k")(normed))
+        v = heads(LoraDense(c.hidden_size, dtype=c.dtype, name="to_v")(normed))
         q = RMSNorm(c.head_dim, c.dtype, name="norm_q")(q)
         k = RMSNorm(c.head_dim, c.dtype, name="norm_k")(k)
         # rope on the image prefix only
         q = jnp.concatenate([apply_rope(q[:, :s_img], cos, sin), q[:, s_img:]], 1)
         k = jnp.concatenate([apply_rope(k[:, :s_img], cos, sin), k[:, s_img:]], 1)
-        mask = keep_mask[:, None, None, :] if keep_mask is not None else None
-        out = dot_product_attention(q, k, v, mask=mask)
+        # ring attention (CP) when heads can't split over "sp"; else the
+        # Ulysses head-parallel reshard
+        out = maybe_ring_attention(q, k, v, kv_mask=keep_mask)
+        if out is None:
+            q, k, v = shard_heads(q), shard_heads(k), shard_heads(v)
+            mask = keep_mask[:, None, None, :] \
+                if keep_mask is not None else None
+            out = dot_product_attention(q, k, v, mask=mask)
         return shard_seq(out.reshape(b, s, -1))
 
 

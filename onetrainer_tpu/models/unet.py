@@ -54,6 +54,17 @@ class UNetConfig:
     dtype: jnp.dtype = jnp.bfloat16
 
 
+def _block_policy(cfg, depth_index: int) -> str:
+    """Depth-dependent remat ("depth" policy): the deepest blocks hold
+    most of the FLOPs but the smallest activations (32x32 tokens for
+    SDXL @1024), so they save matmul outputs ("dots") while the
+    high-resolution blocks recompute everything ("full")."""
+    if cfg.remat_policy == "depth":
+        n = len(cfg.block_out_channels)
+        return "dots" if depth_index >= n - 1 else "full"
+    return cfg.remat_policy
+
+
 def _remat(cls, policy: str = "full"):
     import jax
     if policy == "tx_only":
@@ -291,10 +302,11 @@ class DownBlock(nn.Module):
         out_ch = cfg.block_out_channels[self.block_index]
         has_attn = cfg.cross_attn_blocks[self.block_index]
         is_final = self.block_index == len(cfg.block_out_channels) - 1
+        policy = _block_policy(cfg, self.block_index)
 
         resnet_cls = ResnetBlock
-        if cfg.gradient_checkpointing and cfg.remat_policy != "tx_only":
-            resnet_cls = _remat(ResnetBlock, cfg.remat_policy)
+        if cfg.gradient_checkpointing and policy != "tx_only":
+            resnet_cls = _remat(ResnetBlock, policy)
 
         hidden_states = []
         for i in range(cfg.layers_per_block):
@@ -305,7 +317,7 @@ class DownBlock(nn.Module):
                     cfg.transformer_layers_per_block[self.block_index],
                     cfg.use_linear_projection,
                     cfg.gradient_checkpointing,
-                    remat_policy=cfg.remat_policy,
+                    remat_policy=policy,
                     dtype=cfg.dtype,
                     name=f"attentions_{i}",
                 )(x, context)
@@ -323,16 +335,17 @@ class MidBlock(nn.Module):
     def __call__(self, x, temb, context):
         cfg = self.cfg
         out_ch = cfg.block_out_channels[-1]
+        policy = _block_policy(cfg, len(cfg.block_out_channels) - 1)
         resnet_cls = ResnetBlock
-        if cfg.gradient_checkpointing and cfg.remat_policy != "tx_only":
-            resnet_cls = _remat(ResnetBlock, cfg.remat_policy)
+        if cfg.gradient_checkpointing and policy != "tx_only":
+            resnet_cls = _remat(ResnetBlock, policy)
         x = resnet_cls(out_ch, dtype=cfg.dtype, name="resnets_0")(x, temb)
         x = Transformer2D(
             cfg.num_heads[-1],
             cfg.transformer_layers_per_block[-1],
             cfg.use_linear_projection,
             cfg.gradient_checkpointing,
-            remat_policy=cfg.remat_policy,
+            remat_policy=policy,
             dtype=cfg.dtype,
             name="attentions_0",
         )(x, context)
@@ -355,10 +368,11 @@ class UpBlock(nn.Module):
         transformer_layers = list(reversed(cfg.transformer_layers_per_block))[self.block_index]
         num_heads = list(reversed(cfg.num_heads))[self.block_index]
         is_final = self.block_index == n - 1
+        policy = _block_policy(cfg, n - 1 - self.block_index)
 
         resnet_cls = ResnetBlock
-        if cfg.gradient_checkpointing and cfg.remat_policy != "tx_only":
-            resnet_cls = _remat(ResnetBlock, cfg.remat_policy)
+        if cfg.gradient_checkpointing and policy != "tx_only":
+            resnet_cls = _remat(ResnetBlock, policy)
 
         for i in range(cfg.layers_per_block + 1):
             skip = skips.pop()
@@ -370,7 +384,7 @@ class UpBlock(nn.Module):
                     transformer_layers,
                     cfg.use_linear_projection,
                     cfg.gradient_checkpointing,
-                    remat_policy=cfg.remat_policy,
+                    remat_policy=policy,
                     dtype=cfg.dtype,
                     name=f"attentions_{i}",
                 )(x, context)

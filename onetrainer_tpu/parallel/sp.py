@@ -72,3 +72,24 @@ def shard_heads(x):
     if not sp_enabled() or x.shape[2] % _MESH.shape[SEQ_AXIS] != 0:
         return x
     return _constraint(x, None, SEQ_AXIS, None)
+
+
+def maybe_ring_attention(q, k, v, kv_mask=None):
+    """Ring attention (parallel/ring.py) when it is the better SP
+    strategy for these shapes; None when the caller should take the
+    Ulysses / plain path.
+
+    Chosen when SP is on and either OT_RING_ATTENTION=1 forces it or
+    the head count cannot split over "sp" (Ulysses' bound). Requires S
+    divisible by the ring size (shard_map even-division rule)."""
+    if not sp_enabled():
+        return None
+    import os
+    sp = _MESH.shape[SEQ_AXIS]
+    if q.shape[1] % sp != 0:
+        return None
+    forced = os.environ.get("OT_RING_ATTENTION") == "1"
+    if not forced and q.shape[2] % sp == 0:
+        return None
+    from onetrainer_tpu.parallel.ring import ring_attention
+    return ring_attention(q, k, v, _MESH, kv_mask=kv_mask)

@@ -129,3 +129,35 @@ def test_distributed_env_parsing(monkeypatch):
         "num_processes": 4,
         "process_id": 2,
     }
+
+
+def test_sp_ring_attention_path(monkeypatch):
+    """Full train step with ring attention forced (OT_RING_ATTENTION=1)
+    matches the unsharded step: the CP path is a drop-in for Ulysses.
+    Text length 4 makes every attention's sequence (8 img + 4 txt = 12)
+    divisible by the ring size."""
+    monkeypatch.setenv("OT_RING_ATTENTION", "1")
+    model = tiny_hunyuan_model()
+
+    def inputs():
+        state, frozen, batch, cfg, tx, peft_cfg = _make_step_inputs(model)
+        b = 2
+        batch["text_encoder_1_hidden_state"] = jax.random.normal(
+            jax.random.PRNGKey(3), (b, 4, 24), jnp.float32)
+        batch["tokens_mask_1"] = jnp.ones((b, 4), jnp.int32)
+        return state, frozen, batch, cfg, tx, peft_cfg
+
+    state, frozen, batch, cfg, tx, peft_cfg = inputs()
+    rng = jax.random.PRNGKey(11)
+    step = make_hunyuan_train_step(model, cfg, tx, peft_cfg)
+    ref_loss = float(step(state, frozen, batch, rng)[1]["loss"])
+
+    mesh = create_mesh(dp=1, fsdp=2, sp=4)
+    enable_sp(mesh)
+    state2, frozen2, batch2, cfg2, tx2, _ = inputs()
+    step_ring = make_hunyuan_train_step(model, cfg2, tx2, peft_cfg)
+    batch2 = shard_batch(batch2, mesh)
+    compiled = step_ring.lower(state2, frozen2, batch2, rng).compile()
+    assert "collective-permute" in compiled.as_text()  # the ring is real
+    ring_loss = float(step_ring(state2, frozen2, batch2, rng)[1]["loss"])
+    np.testing.assert_allclose(ring_loss, ref_loss, rtol=2e-5, atol=2e-5)
