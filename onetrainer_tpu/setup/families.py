@@ -95,7 +95,8 @@ def _sd_save_single_file(setup, path):
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
         resolution=setup.config.resolution,
-        prediction_type=setup.model.prediction_type)
+        prediction_type=setup.model.prediction_type,
+        train_config=setup.config)
     save_sd_single_file(path, setup.model, unet,
                         setup.effective_vae_params(), te, metadata=meta)
 
@@ -166,7 +167,8 @@ def _sdxl_save_single_file(setup, path):
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
         resolution=setup.config.resolution,
-        prediction_type=setup.model.prediction_type)
+        prediction_type=setup.model.prediction_type,
+        train_config=setup.config)
     save_sdxl_single_file(path, setup.model, unet, setup.model.vae_params,
                           te, te2, metadata=meta)
 
@@ -241,7 +243,8 @@ def _flux_save_single_file(setup, path):
         unet_flax_to_state_dict(_to_numpy_tree(transformer)))
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
-        resolution=setup.config.resolution)
+        resolution=setup.config.resolution,
+        train_config=setup.config)
     save_safetensors(path, {k: _np.asarray(v) for k, v in sd.items()},
                      metadata=meta)
 
@@ -313,7 +316,8 @@ def _pixart_save_single_file(setup, path):
         unet_flax_to_state_dict(_to_numpy_tree(transformer)))
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
-        resolution=setup.config.resolution)
+        resolution=setup.config.resolution,
+        train_config=setup.config)
     save_safetensors(path, {k: _np.asarray(v) for k, v in sd.items()},
                      metadata=meta)
 
@@ -450,7 +454,8 @@ def _hunyuan_save_single_file(setup, path):
         hunyuan_flax_to_state_dict(_to_numpy_tree(transformer)))
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
-        resolution=setup.config.resolution)
+        resolution=setup.config.resolution,
+        train_config=setup.config)
     save_safetensors(path, {k: _np.asarray(v) for k, v in sd.items()},
                      metadata=meta)
 
@@ -604,7 +609,8 @@ def _wuerstchen_save_single_file(setup, path):
     prior, te, _ = setup.merged_inference_params()
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
-        resolution=setup.config.resolution)
+        resolution=setup.config.resolution,
+        train_config=setup.config)
     if path.endswith(".safetensors"):
         stage_c_path = path
         te_path = os.path.join(os.path.dirname(path) or ".",
@@ -714,7 +720,8 @@ def _sd3_save_single_file(setup, path):
                    t5_flax_to_state_dict(_to_numpy_tree(te3)).items()})
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
-        resolution=setup.config.resolution)
+        resolution=setup.config.resolution,
+        train_config=setup.config)
     save_safetensors(path, {k: _np.asarray(v) for k, v in sd.items()},
                      metadata=meta)
 
@@ -1038,4 +1045,9 @@ def save_lora_output(setup, destination: str, lora_prefixes: dict):
                 vectors[start:start + count]
     if not destination.endswith(".safetensors"):
         destination += ".safetensors"
-    save_safetensors(destination, tensors, metadata={"format": "pt"})
+    from onetrainer_tpu.util.model_spec import make_modelspec_metadata
+    meta = make_modelspec_metadata(
+        setup.config.model_type, setup.config.training_method,
+        resolution=setup.config.resolution, train_config=setup.config)
+    save_safetensors(destination, tensors,
+                     metadata={"format": "pt", **meta})

@@ -34,12 +34,33 @@ _ARCHITECTURES = {
 }
 
 
+def _git_info() -> dict[str, str]:
+    """Best-effort ot_branch/ot_revision header fields (reference:
+    DtypeModelSaverMixin._create_safetensors_header + git_util)."""
+    import os
+    import subprocess
+    out = {}
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for field, args in (("ot_branch", ["rev-parse", "--abbrev-ref", "HEAD"]),
+                        ("ot_revision", ["rev-parse", "HEAD"])):
+        try:
+            r = subprocess.run(["git", "-C", root, *args],
+                               capture_output=True, text=True, timeout=5)
+            if r.returncode == 0:
+                out[field] = r.stdout.strip()
+        except Exception:
+            pass
+    return out
+
+
 def make_modelspec_metadata(
         model_type: ModelType,
         training_method: TrainingMethod = TrainingMethod.FINE_TUNE,
         title: str = "",
         resolution: str = "",
         prediction_type: str = "",
+        train_config=None,
 ) -> dict[str, str]:
     arch = _ARCHITECTURES.get(model_type, str(model_type).lower())
     if training_method == TrainingMethod.LORA:
@@ -57,6 +78,24 @@ def make_modelspec_metadata(
         data["modelspec.resolution"] = resolution
     if prediction_type:
         data["modelspec.prediction_type"] = prediction_type
+    data.update(_git_info())
+    # kohya compat keys so the A1111 webui detects model versions
+    # (reference: DtypeModelSaverMixin.py:89-94)
+    if model_type.is_stable_diffusion_xl():
+        data["ss_base_model_version"] = "sdxl_"
+    elif model_type.is_sd_v2():
+        data["ss_v2"] = "True"
+    # optional embedded train config (reference :70-75, include_train_config)
+    if train_config is not None:
+        import json as _json
+        from onetrainer_tpu.util.enums import ConfigPart
+        part = getattr(train_config, "include_train_config", None)
+        if part == ConfigPart.SETTINGS:
+            data["ot_config"] = _json.dumps(
+                train_config.to_settings_dict(secrets=False))
+        elif part == ConfigPart.ALL:
+            data["ot_config"] = _json.dumps(
+                train_config.to_pack_dict(secrets=False))
     return data
 
 
