@@ -1048,6 +1048,7 @@ def save_lora_output(setup, destination: str, lora_prefixes: dict):
     from onetrainer_tpu.util.model_spec import make_modelspec_metadata
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
-        resolution=setup.config.resolution, train_config=setup.config)
+        resolution=setup.config.resolution, train_config=setup.config,
+        tensors=tensors)
     save_safetensors(destination, tensors,
                      metadata={"format": "pt", **meta})

@@ -61,6 +61,7 @@ def make_modelspec_metadata(
         resolution: str = "",
         prediction_type: str = "",
         train_config=None,
+        tensors: dict | None = None,
 ) -> dict[str, str]:
     arch = _ARCHITECTURES.get(model_type, str(model_type).lower())
     if training_method == TrainingMethod.LORA:
@@ -78,6 +79,9 @@ def make_modelspec_metadata(
         data["modelspec.resolution"] = resolution
     if prediction_type:
         data["modelspec.prediction_type"] = prediction_type
+    if tensors is not None:
+        # reference: DtypeModelSaverMixin.__calculate_safetensors_hash
+        data["modelspec.hash_sha256"] = sha256_of_tensors(tensors)
     data.update(_git_info())
     # kohya compat keys so the A1111 webui detects model versions
     # (reference: DtypeModelSaverMixin.py:89-94)
