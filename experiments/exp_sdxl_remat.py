@@ -14,6 +14,7 @@ import time
 def main():
     policy = sys.argv[1] if len(sys.argv) > 1 else "full"
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    offload = len(sys.argv) > 3 and sys.argv[3] == "offload"
 
     import os
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -52,6 +53,9 @@ def main():
         loss=LossConfig(vb_loss_strength=0.0, batch_size=bs),
         stochastic_rounding=False)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
+    if offload:
+        from onetrainer_tpu.train.train_state import configure_offload
+        configure_offload(opt_state=True)
     state = create_train_state({"unet_lora": adapters}, tx)
     step = make_sdxl_train_step(model, cfg, tx, peft_cfg)
     frozen = {"unet": unet_params}
@@ -89,7 +93,8 @@ def main():
     float(metrics["loss"])
     elapsed = time.perf_counter() - start
     ips = bs * n / elapsed
-    out = {"policy": policy, "bs": bs, "imgs_per_sec": round(ips, 3),
+    out = {"policy": policy, "bs": bs, "offload": offload,
+           "imgs_per_sec": round(ips, 3),
            "sec_per_step": round(elapsed / n, 3),
            "compile_s": round(compile_s, 1)}
     if flops:

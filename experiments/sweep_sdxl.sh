@@ -5,10 +5,8 @@ cd /root/repo
 export PATH=/opt/venv/bin:$PATH
 export PYTHONPATH=/root/repo:$PYTHONPATH
 for args in "$@"; do
-  set -- $args
-  policy=$1; bs=$2
-  echo "=== policy=$policy bs=$bs $(date +%H:%M:%S) ===" >> experiments/sweep_log.txt
-  timeout 1200 python experiments/exp_sdxl_remat.py $policy $bs \
+  echo "=== $args $(date +%H:%M:%S) ===" >> experiments/sweep_log.txt
+  timeout 1800 python experiments/exp_sdxl_remat.py $args \
     >> experiments/sweep_log.txt 2>&1 || echo "FAILED rc=$?" >> experiments/sweep_log.txt
 done
 echo "=== sweep done $(date +%H:%M:%S) ===" >> experiments/sweep_log.txt

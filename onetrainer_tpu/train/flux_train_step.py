@@ -20,7 +20,9 @@ from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
 from onetrainer_tpu.peft.lora import PeftConfig, as_variables, lora_variables
 from onetrainer_tpu.train.ema import maybe_update_ema
 from onetrainer_tpu.train.sd_train_step import SDStepConfig
-from onetrainer_tpu.train.train_state import TrainState
+from onetrainer_tpu.train.train_state import (
+    TrainState, ema_to_compute, ema_to_storage, opt_to_compute, opt_to_storage,
+)
 from onetrainer_tpu.util.enums import TrainingMethod
 
 
@@ -164,7 +166,8 @@ def make_flux_train_step(model, cfg: SDStepConfig, tx,
         rng_loss, rng_round = jax.random.split(jax.random.fold_in(rng, state.step))
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, frozen, batch, rng_loss)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, opt_state = tx.update(
+            grads, opt_to_compute(state.opt_state), state.params)
         if cfg.stochastic_rounding:
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
@@ -180,11 +183,12 @@ def make_flux_train_step(model, cfg: SDStepConfig, tx,
                           cfg.output_embedding_stds_2)}
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
-            ema = maybe_update_ema(ema, params, cfg.ema_decay, state.step,
+            ema = maybe_update_ema(ema_to_compute(ema), params, cfg.ema_decay, state.step,
                                    cfg.ema_update_interval,
                                    cfg.accum)
         new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state, ema=ema)
+                               opt_state=opt_to_storage(opt_state),
+                               ema=ema_to_storage(ema))
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
     return jax.jit(train_step, donate_argnums=(0,))

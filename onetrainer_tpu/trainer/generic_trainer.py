@@ -100,6 +100,16 @@ class GenericTrainer(BaseTrainer):
         # setup_optimizations, e.g. BaseStableDiffusionSetup.py:51-55)
         from onetrainer_tpu.models.convpad import set_circular_padding
         set_circular_padding(bool(config.force_circular_padding))
+        # host offload: optimizer state when gradient_checkpointing is
+        # CPU_OFFLOADED, EMA params when ema mode is CPU — the reference's
+        # RAM-offload / EMAMode.CPU analogs via XLA pinned_host memories
+        # (reference: LayerOffloadConductor.py, EMAModule.py EMAMode.CPU).
+        # Single-chip only; _setup_mesh disables it (FSDP is the mesh tool)
+        from onetrainer_tpu.train.train_state import configure_offload
+        from onetrainer_tpu.util.enums import EMAMode
+        configure_offload(
+            opt_state=config.gradient_checkpointing.offload(),
+            ema=config.ema == EMAMode.CPU)
         self.model = self.family.load(base_model_name, config)
         self._source_dir = base_model_name
 
@@ -171,6 +181,10 @@ class GenericTrainer(BaseTrainer):
         if not (dp or fsdp or sp > 1 or auto):
             return
         self.mesh = create_mesh(dp=dp, fsdp=fsdp, sp=sp)
+        # on a mesh, FSDP sharding replaces host offload (single-device
+        # pinned_host placement would fight the NamedShardings)
+        from onetrainer_tpu.train.train_state import configure_offload
+        configure_offload(opt_state=False, ema=False)
         if sp > 1:
             from onetrainer_tpu.parallel.sp import enable_sp
             enable_sp(self.mesh)
@@ -204,12 +218,13 @@ class GenericTrainer(BaseTrainer):
             try:
                 tree = load_pytree(opt_path)
                 state = self.setup.state
+                from onetrainer_tpu.train.train_state import opt_to_storage
                 self.setup.state = TrainState(
                     step=jnp.asarray(self.train_progress.global_step, jnp.int32),
                     params=tree["params"],
-                    opt_state=jax.tree.unflatten(
+                    opt_state=opt_to_storage(jax.tree.unflatten(
                         jax.tree.structure(state.opt_state),
-                        jax.tree.leaves(tree["opt_state"])),
+                        jax.tree.leaves(tree["opt_state"]))),
                     ema=state.ema)
                 print("restored optimizer state")
             except Exception as e:
@@ -218,10 +233,12 @@ class GenericTrainer(BaseTrainer):
         if os.path.exists(ema_path) and self.setup.state.ema is not None:
             try:
                 from onetrainer_tpu.train.ema import EMAState
+                from onetrainer_tpu.train.train_state import ema_to_storage
                 tree = load_pytree(ema_path)
                 self.setup.state = self.setup.state.replace(
-                    ema=EMAState(params=tree["params"],
-                                 step=jnp.asarray(tree["step"], jnp.int32)))
+                    ema=ema_to_storage(
+                        EMAState(params=tree["params"],
+                                 step=jnp.asarray(tree["step"], jnp.int32))))
             except Exception as e:
                 print(f"could not restore ema state: {e}")
 
