@@ -43,6 +43,33 @@ class CloudTrainer(BaseTrainer):
     def remote_commands_path(self) -> str:
         return f"{self.config.cloud.remote_dir}/{self.config.cloud.run_id}-commands.json"
 
+    @staticmethod
+    def _decode_sample_args(args):
+        """Rehydrate streamed JPEG payloads into SamplerOutput objects
+        (remote side encodes in train_remote.make_streaming_callbacks)."""
+        decoded = []
+        for arg in args:
+            if isinstance(arg, dict) and "image_jpeg_b64" in arg:
+                try:
+                    import base64
+                    import io
+
+                    import numpy as np
+                    from PIL import Image
+
+                    from onetrainer_tpu.sampling.sd_sampler import (
+                        SamplerOutput,
+                    )
+                    img = Image.open(io.BytesIO(
+                        base64.b64decode(arg["image_jpeg_b64"])))
+                    decoded.append(SamplerOutput(
+                        image=np.asarray(img.convert("RGB"))))
+                    continue
+                except Exception:
+                    pass
+            decoded.append(arg)
+        return decoded
+
     def _dispatch_event(self, event: dict):
         name, args = event.get("event"), event.get("args", [])
         try:
@@ -52,7 +79,13 @@ class CloudTrainer(BaseTrainer):
                 self.callbacks.on_update_sample_default_progress(*args)
             elif name == "on_update_sample_custom_progress":
                 self.callbacks.on_update_sample_custom_progress(*args)
-            # progress/sample events carry dict payloads; forward raw
+            elif name == "on_sample_default":
+                self.callbacks.on_sample_default(
+                    *self._decode_sample_args(args))
+            elif name == "on_sample_custom":
+                self.callbacks.on_sample_custom(
+                    *self._decode_sample_args(args))
+            # progress events carry dict payloads; forward raw
         except Exception:
             traceback.print_exc()
 

@@ -48,8 +48,25 @@ def make_streaming_callbacks(path: str) -> TrainCallbacks:
         for arg in args:
             if hasattr(arg, "to_dict"):
                 payload.append(arg.to_dict())
-            elif hasattr(arg, "image"):        # SamplerOutput: shape only
-                payload.append({"image_shape": list(arg.image.shape)})
+            elif hasattr(arg, "image"):
+                # SamplerOutput: stream the image as JPEG bytes so the
+                # local side can display it live (reference pickles JPEG
+                # via ModelSamplerOutput.__reduce__ —
+                # modules/modelSampler/BaseModelSampler.py:20-48)
+                entry = {"image_shape": list(arg.image.shape)}
+                try:
+                    import base64
+                    import io
+
+                    from PIL import Image
+                    buf = io.BytesIO()
+                    Image.fromarray(arg.image).save(buf, format="JPEG",
+                                                    quality=90)
+                    entry["image_jpeg_b64"] = base64.b64encode(
+                        buf.getvalue()).decode("ascii")
+                except Exception:
+                    pass
+                payload.append(entry)
             else:
                 payload.append(arg)
         with lock, open(path, "a") as f:

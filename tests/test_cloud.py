@@ -43,3 +43,41 @@ def test_install_command():
     config.cloud.install_onetrainer = False
     config.cloud.update_onetrainer = False
     assert LinuxCloud(config).install_command() == "true"
+
+
+def test_sample_image_jpeg_streaming_roundtrip(tmp_path):
+    """Remote sampler outputs stream as JPEG (reference pickles JPEG via
+    ModelSamplerOutput.__reduce__); the local CloudTrainer rehydrates a
+    SamplerOutput for its callbacks."""
+    import importlib.util
+    import json
+    import os
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "train_remote",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "train_remote.py"))
+    tr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tr)
+
+    from onetrainer_tpu.sampling.sd_sampler import SamplerOutput
+    from onetrainer_tpu.trainer.cloud_trainer import CloudTrainer
+
+    events = tmp_path / "events.jsonl"
+    callbacks = tr.make_streaming_callbacks(str(events))
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[4:12, 4:12] = 200
+    callbacks.on_sample_default(SamplerOutput(image=img))
+
+    line = json.loads(events.read_text().splitlines()[0])
+    assert line["event"] == "on_sample_default"
+    assert "image_jpeg_b64" in line["args"][0]
+
+    decoded = CloudTrainer._decode_sample_args(line["args"])
+    assert isinstance(decoded[0], SamplerOutput)
+    assert decoded[0].image.shape == (16, 16, 3)
+    # jpeg is lossy; the bright square must survive approximately
+    assert abs(int(decoded[0].image[8, 8, 0]) - 200) < 30
+    assert int(decoded[0].image[0, 0, 0]) < 40
