@@ -44,10 +44,13 @@ def _bench_sdxl(jax, jnp, optax):
     from onetrainer_tpu.train.train_state import create_train_state
     from onetrainer_tpu.util.enums import ModelType, TrainingMethod
 
-    bs, res = 2, 1024   # bs4 @1024 OOMs on one v5e with the XLA-attention path
+    bs, res = 2, 1024   # bs4 @1024 OOMs on one v5e (by 481M with full remat)
     lat = res // 8
+    # tx_only: transformer blocks rematted, resnet activations saved —
+    # measured 3.45 vs 3.33 imgs/sec for full remat (experiments/sweep_log)
     model = create_sdxl_model(ModelType.STABLE_DIFFUSION_XL_10_BASE,
-                              dtype=jnp.bfloat16, gradient_checkpointing=True)
+                              dtype=jnp.bfloat16, gradient_checkpointing=True,
+                              remat_policy="tx_only")
     rng = jax.random.PRNGKey(0)
     unet_params = jax.jit(lambda r: model.unet.init(
         r, jnp.zeros((1, lat, lat, 4), jnp.bfloat16), jnp.asarray([1]),

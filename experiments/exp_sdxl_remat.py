@@ -14,7 +14,9 @@ import time
 def main():
     policy = sys.argv[1] if len(sys.argv) > 1 else "full"
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    offload = len(sys.argv) > 3 and sys.argv[3] == "offload"
+    offload = "offload" in sys.argv[3:]
+    opt8 = "opt8" in sys.argv[3:]
+    bf16_adapters = "bf16ad" in sys.argv[3:]
 
     import os
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -48,11 +50,17 @@ def main():
         jnp.zeros((1, 6), jnp.bfloat16)))(rng)["params"]
     peft_cfg = PeftConfig(rank=16, alpha=16.0)
     adapters = init_peft_params(jax.random.PRNGKey(1), unet_params, peft_cfg)
+    if bf16_adapters:
+        adapters = jax.tree.map(lambda x: x.astype(jnp.bfloat16), adapters)
     cfg = SDStepConfig(
         training_method=TrainingMethod.LORA, timestep=TimestepConfig(),
         loss=LossConfig(vb_loss_strength=0.0, batch_size=bs),
-        stochastic_rounding=False)
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
+        stochastic_rounding=bf16_adapters)
+    inner = optax.adamw(1e-4)
+    if opt8:
+        from onetrainer_tpu.ops.quant_opt import int8_optimizer_state
+        inner = int8_optimizer_state(inner)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), inner)
     if offload:
         from onetrainer_tpu.train.train_state import configure_offload
         configure_offload(opt_state=True)
@@ -93,7 +101,7 @@ def main():
     float(metrics["loss"])
     elapsed = time.perf_counter() - start
     ips = bs * n / elapsed
-    out = {"policy": policy, "bs": bs, "offload": offload,
+    out = {"policy": policy, "bs": bs, "flags": sys.argv[3:],
            "imgs_per_sec": round(ips, 3),
            "sec_per_step": round(elapsed / n, 3),
            "compile_s": round(compile_s, 1)}
