@@ -289,3 +289,41 @@ def t5_flax_to_state_dict(params: dict) -> dict[str, np.ndarray]:
         key = key.replace('encoder.block.', 'encoder.block.')
         out[key] = arr
     return out
+
+
+# -- scan-over-layers param layout ----------------------------------------------------
+
+def stack_scanned_blocks(params: dict, prefix: str) -> dict:
+    """Per-layer subtrees `{prefix}_0..{prefix}_{L-1}` -> one stacked
+    subtree `{prefix: {"block": tree}}` with a leading layer axis, the
+    layout `nn.scan(variable_axes={"params": 0})` expects
+    (models/flux.py scan_layers). Checkpoints on disk stay per-layer;
+    this runs after load, `unstack_scanned_blocks` before save."""
+    layers = []
+    i = 0
+    while f"{prefix}_{i}" in params:
+        layers.append(params.pop(f"{prefix}_{i}"))
+        i += 1
+    if not layers:
+        return params
+    import jax
+    stacked = jax.tree.map(lambda *xs: np.stack(
+        [np.asarray(x) for x in xs], axis=0), *layers)
+    params[prefix] = {"block": stacked}
+    return params
+
+
+def unstack_scanned_blocks(params: dict, prefix: str) -> dict:
+    """Inverse of stack_scanned_blocks (for diffusers/kohya export)."""
+    if prefix not in params or "block" not in params.get(prefix, {}):
+        return params
+    stacked = params.pop(prefix)["block"]
+    import jax
+    leaves = jax.tree.leaves(stacked)
+    if not leaves:
+        return params
+    n = np.asarray(leaves[0]).shape[0]
+    for i in range(n):
+        params[f"{prefix}_{i}"] = jax.tree.map(
+            lambda x: np.asarray(x)[i], stacked)
+    return params

@@ -40,6 +40,12 @@ class FluxConfig:
     axes_dims_rope: tuple[int, ...] = (16, 56, 56)
     rope_theta: float = 10000.0
     gradient_checkpointing: bool = False
+    # scan-over-layers: the 19+38 homogeneous blocks run under lax.scan
+    # with stacked [L, ...] params — the block body is traced/compiled
+    # once instead of L times (the canonical TPU DiT layout; throughput
+    # is unchanged, compile time and HLO size drop by ~L). Checkpoints
+    # stay per-layer on disk; io/torch_flax.stack_scanned_blocks converts.
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
 
@@ -320,6 +326,40 @@ class AdaNormContinuous(nn.Module):
         return x * (1 + scale[:, None]) + shift[:, None]
 
 
+class _ScanDoubleBody(nn.Module):
+    """nn.scan body for the double-stream stack: carry = (img, txt);
+    temb/rope broadcast. Params live under <name>/block with a leading
+    layer axis (variable_axes={"params": 0, "lora": 0})."""
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, carry, temb, rope):
+        img, txt = carry
+        blk = nn.remat(FluxDoubleBlock) \
+            if self.cfg.gradient_checkpointing else FluxDoubleBlock
+        img, txt = blk(self.cfg, name="block")(img, txt, temb, rope)
+        return (img, txt), None
+
+
+class _ScanSingleBody(nn.Module):
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, x, temb, rope):
+        blk = nn.remat(FluxSingleBlock) \
+            if self.cfg.gradient_checkpointing else FluxSingleBlock
+        return blk(self.cfg, name="block")(x, temb, rope), None
+
+
+def _scan(body_cls, length: int):
+    return nn.scan(
+        body_cls,
+        variable_axes={"params": 0, "lora": 0},
+        split_rngs={"params": True},
+        in_axes=(nn.broadcast, nn.broadcast),
+        length=length)
+
+
 class FluxTransformer2D(nn.Module):
     cfg: FluxConfig
 
@@ -350,20 +390,29 @@ class FluxTransformer2D(nn.Module):
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
         rope = rope_tables(ids, c.axes_dims_rope, c.rope_theta)
 
-        double_cls = FluxDoubleBlock
-        single_cls = FluxSingleBlock
-        if c.gradient_checkpointing:
-            double_cls = nn.remat(FluxDoubleBlock, static_argnums=())
-            single_cls = nn.remat(FluxSingleBlock, static_argnums=())
+        if c.scan_layers:
+            (img, txt), _ = _scan(_ScanDoubleBody, c.num_layers)(
+                c, name="transformer_blocks")((img, txt), temb, rope)
+            x = jnp.concatenate([txt, img], axis=1)
+            x, _ = _scan(_ScanSingleBody, c.num_single_layers)(
+                c, name="single_transformer_blocks")(x, temb, rope)
+            img = x[:, txt.shape[1]:]
+        else:
+            double_cls = FluxDoubleBlock
+            single_cls = FluxSingleBlock
+            if c.gradient_checkpointing:
+                double_cls = nn.remat(FluxDoubleBlock, static_argnums=())
+                single_cls = nn.remat(FluxSingleBlock, static_argnums=())
 
-        for i in range(c.num_layers):
-            img, txt = double_cls(c, name=f"transformer_blocks_{i}")(
-                img, txt, temb, rope)
+            for i in range(c.num_layers):
+                img, txt = double_cls(c, name=f"transformer_blocks_{i}")(
+                    img, txt, temb, rope)
 
-        x = jnp.concatenate([txt, img], axis=1)
-        for i in range(c.num_single_layers):
-            x = single_cls(c, name=f"single_transformer_blocks_{i}")(x, temb, rope)
-        img = x[:, txt.shape[1]:]
+            x = jnp.concatenate([txt, img], axis=1)
+            for i in range(c.num_single_layers):
+                x = single_cls(c, name=f"single_transformer_blocks_{i}")(
+                    x, temb, rope)
+            img = x[:, txt.shape[1]:]
 
         img = AdaNormContinuous(c.hidden_size, c.dtype, name="norm_out")(img, temb)
         return LoraDense(c.out_channels, dtype=jnp.float32, name="proj_out")(img)

@@ -78,8 +78,13 @@ def _kernel_paths(params: dict, layer_filter: tuple[str, ...]):
     for path, value in _flatten(params):
         if path[-1] != "kernel":
             continue
-        if not hasattr(value, "ndim") or value.ndim not in (2, 4):
+        # ndim 3 = scan-stacked Dense [L, in, out] (models/flux.py
+        # scan_layers); the leading layer axis carries through the
+        # adapter tensors and nn.scan's variable_axes={"lora": 0}
+        if not hasattr(value, "ndim") or value.ndim not in (2, 3, 4):
             continue
+        if value.ndim == 3 and "block" not in path:
+            continue  # a genuine 3-D kernel, not a scan stack
         if value.ndim == 4 and value.shape[2] == 1 and value.shape[3] > 1 \
                 and value.shape[0] * value.shape[1] > 1:
             # grouped/depthwise conv (in-per-group == 1): rank-r adaptation
@@ -96,6 +101,8 @@ def _fans(kernel: jnp.ndarray) -> tuple[int, int, tuple[int, ...]]:
     """(fan_in, fan_out, spatial) for a flax kernel."""
     if kernel.ndim == 2:          # [in, out]
         return kernel.shape[0], kernel.shape[1], ()
+    if kernel.ndim == 3:          # scan-stacked dense [L, in, out]
+        return kernel.shape[1], kernel.shape[2], ()
     kh, kw, cin, cout = kernel.shape
     return cin * kh * kw, cout, (kh, kw)
 
@@ -118,6 +125,9 @@ def init_peft_params(
         fan_in, fan_out, spatial = _fans(kernel)
         r = cfg.rank
         dt = cfg.weight_dtype
+        # scan-stacked dense [L, in, out]: every adapter tensor carries
+        # the leading layer axis; nn.scan slices it per layer
+        stack = (kernel.shape[0],) if kernel.ndim == 3 else ()
         if spatial:
             kh, kw = spatial
             down_shape = (r, kernel.shape[2], kh, kw)   # torch conv layout [r,in,kh,kw]
@@ -128,22 +138,32 @@ def init_peft_params(
             # kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in))
             bound = 1.0 / math.sqrt(fan_in)
             entry["lora_down"] = jax.random.uniform(
-                krng, down_shape, dtype=dt, minval=-bound, maxval=bound)
-            entry["lora_up"] = jnp.zeros((fan_out, r), dtype=dt)
+                krng, stack + down_shape, dtype=dt,
+                minval=-bound, maxval=bound)
+            entry["lora_up"] = jnp.zeros(stack + (fan_out, r), dtype=dt)
             if cfg.decompose:
-                w2d = _kernel_to_2d(kernel)  # [out, fan_in] torch-style
-                if cfg.decompose_output_axis:
+                if stack:
+                    w2d = jnp.swapaxes(kernel.astype(jnp.float32), 1, 2)
+                    axis = 2 if cfg.decompose_output_axis else 1
                     entry["dora_scale"] = jnp.linalg.norm(
-                        w2d, axis=1, keepdims=True).astype(dt)       # [out, 1]
+                        w2d, axis=axis, keepdims=True).astype(dt)
                 else:
-                    entry["dora_scale"] = jnp.linalg.norm(
-                        w2d, axis=0, keepdims=True).astype(dt)       # [1, fan_in]
+                    w2d = _kernel_to_2d(kernel)  # [out, fan_in] torch-style
+                    if cfg.decompose_output_axis:
+                        entry["dora_scale"] = jnp.linalg.norm(
+                            w2d, axis=1, keepdims=True).astype(dt)   # [out, 1]
+                    else:
+                        entry["dora_scale"] = jnp.linalg.norm(
+                            w2d, axis=0, keepdims=True).astype(dt)   # [1, fan_in]
         elif cfg.peft_type == PeftType.LOHA:
             k1, k2, k3 = jax.random.split(krng, 3)
-            entry["hada_w1_a"] = 0.1 * jax.random.normal(k1, (fan_out, r), dtype=dt)
-            entry["hada_w1_b"] = jax.random.normal(k2, down_shape, dtype=dt)
-            entry["hada_w2_a"] = jnp.zeros((fan_out, r), dtype=dt)
-            entry["hada_w2_b"] = jax.random.normal(k3, down_shape, dtype=dt)
+            entry["hada_w1_a"] = 0.1 * jax.random.normal(
+                k1, stack + (fan_out, r), dtype=dt)
+            entry["hada_w1_b"] = jax.random.normal(
+                k2, stack + down_shape, dtype=dt)
+            entry["hada_w2_a"] = jnp.zeros(stack + (fan_out, r), dtype=dt)
+            entry["hada_w2_b"] = jax.random.normal(
+                k3, stack + down_shape, dtype=dt)
         else:
             raise ValueError(cfg.peft_type)
         adapters[SEP.join(module_path)] = entry
@@ -185,6 +205,21 @@ def _merged_kernel(kernel, entry: dict, cfg: PeftConfig,
     from onetrainer_tpu.ops.quant import is_quantized, dequantize_array
     if is_quantized(kernel):
         kernel = dequantize_array(kernel, jnp.bfloat16)
+    if kernel.ndim == 3:
+        # scan-stacked dense [L, in, out]: batched per-layer merge
+        w = jnp.swapaxes(kernel.astype(jnp.float32), 1, 2)   # [L, out, in]
+        scale = cfg.alpha / cfg.rank
+        down = entry["lora_down"].astype(jnp.float32)        # [L, r, in]
+        up = entry["lora_up"].astype(jnp.float32)            # [L, out, r]
+        wp = w + jnp.einsum("lor,lri->loi", up, down) * scale
+        if cfg.decompose and "dora_scale" in entry:
+            eps = jnp.finfo(jnp.float32).eps \
+                if cfg.decompose_norm_epsilon else 0.0
+            axis = 2 if cfg.decompose_output_axis else 1
+            norm = jax.lax.stop_gradient(
+                jnp.linalg.norm(wp, axis=axis, keepdims=True)) + eps
+            wp = entry["dora_scale"].astype(jnp.float32) * wp / norm
+        return jnp.swapaxes(wp, 1, 2).astype(kernel.dtype)
     w2d = _kernel_to_2d(kernel).astype(jnp.float32)
     wp = w2d + _delta_2d(entry, cfg, rng)
     if cfg.decompose and "dora_scale" in entry:
@@ -257,9 +292,16 @@ def adapters_to_lora_collection(
         if "lora_down" in entry:
             down = entry["lora_down"] * scale
             if cfg.dropout > 0 and rng is not None:
+                # rank dropout: mask rows of the rank axis (leading axis,
+                # or axis 1 under a scan stack [L, r, in])
+                up_ndim = entry["lora_up"].ndim
+                if up_ndim == 3:   # scan-stacked dense
+                    keep_shape = (down.shape[0], down.shape[1]) \
+                        + (1,) * (down.ndim - 2)
+                else:
+                    keep_shape = (down.shape[0],) + (1,) * (down.ndim - 1)
                 keep = jax.random.bernoulli(
-                    jax.random.fold_in(rng, i), 1.0 - cfg.dropout,
-                    (down.shape[0],) + (1,) * (down.ndim - 1))
+                    jax.random.fold_in(rng, i), 1.0 - cfg.dropout, keep_shape)
                 down = down * keep / (1.0 - cfg.dropout)
             e["lora_down"] = down
             e["lora_up"] = entry["lora_up"]
@@ -318,6 +360,82 @@ def _module_key_to_kohya(prefix: str, module_key: str) -> str:
     return prefix + "_" + key.replace(SEP, "_")
 
 
+def _is_scan_key(module_key: str, entry: dict | None = None) -> bool:
+    """True for nn.scan-stacked adapter keys: a 'block' segment *below*
+    the stack name ('transformer_blocks/block/...'), and — when the entry
+    is available — tensors that actually carry the leading layer axis
+    (a module literally named 'block' at the tree root is not a stack)."""
+    parts = module_key.split(SEP)
+    if "block" not in parts[:-1] or parts.index("block") < 1:
+        return False
+    if entry is not None:
+        probe = entry.get("lora_up", entry.get("hada_w1_a"))
+        if probe is not None:
+            return getattr(probe, "ndim", 2) == 3
+    return True
+
+
+def _unstack_scan_adapters(adapters: dict) -> dict:
+    """{prefix/block/rest: [L,...]} -> {prefix_i/rest: [...]} per layer."""
+    import numpy as np
+    out: dict = {}
+    for module_key, entry in adapters.items():
+        if not _is_scan_key(module_key, entry):
+            out[module_key] = entry
+            continue
+        parts = module_key.split(SEP)
+        j = parts.index("block")
+        leaves = list(entry.values())
+        n = int(np.asarray(leaves[0]).shape[0])
+        for i in range(n):
+            per = {k: np.asarray(v)[i] for k, v in entry.items()}
+            key = SEP.join(parts[:j - 1] + [f"{parts[j - 1]}_{i}"]
+                           + parts[j + 1:])
+            out[key] = per
+    return out
+
+
+def stack_scan_adapters(adapters: dict, stacked_keys: set[str]) -> dict:
+    """Inverse of _unstack_scan_adapters: group per-layer adapter entries
+    back into the scan layout described by `stacked_keys` (the module
+    keys init_peft_params produced for the scan-stacked base)."""
+    import numpy as np
+    out: dict = {}
+    groups: dict[str, dict[int, dict]] = {}
+    for module_key, entry in adapters.items():
+        placed = False
+        # map prefix_{i}/rest -> prefix/block/rest
+        for skey in stacked_keys:
+            sparts = skey.split(SEP)
+            if "block" not in sparts:
+                continue
+            j = sparts.index("block")
+            mparts = module_key.split(SEP)
+            if len(mparts) != len(sparts) - 1:
+                continue
+            head = sparts[j - 1]
+            if not mparts[j - 1].startswith(head + "_"):
+                continue
+            suffix = mparts[j - 1][len(head) + 1:]
+            if not suffix.isdigit():
+                continue
+            if mparts[:j - 1] == sparts[:j - 1] \
+                    and mparts[j:] == sparts[j + 1:]:
+                groups.setdefault(skey, {})[int(suffix)] = entry
+                placed = True
+                break
+        if not placed:
+            out[module_key] = entry
+    for skey, per_layer in groups.items():
+        n = max(per_layer) + 1
+        names = per_layer[0].keys()
+        out[skey] = {
+            name: np.stack([np.asarray(per_layer[i][name])
+                            for i in range(n)], axis=0)
+            for name in names}
+    return out
+
+
 def peft_to_kohya_state_dict(
         adapters: dict,
         cfg: PeftConfig,
@@ -331,6 +449,10 @@ def peft_to_kohya_state_dict(
     via omi/kohya key sets)
     """
     import numpy as np
+    # scan-stacked adapters export as the per-layer keys the kohya
+    # ecosystem expects: 'transformer_blocks/block/...' with [L, ...]
+    # leaves becomes 'transformer_blocks_{i}/...' per layer
+    adapters = _unstack_scan_adapters(adapters)
     out: dict[str, "np.ndarray"] = {}
     for module_key, entry in adapters.items():
         kkey = _module_key_to_kohya(prefix, module_key)
@@ -379,17 +501,41 @@ def apply_lora_checkpoint(
         adapters = trainable.get(group)
         if adapters is None:
             continue
+        scan_keys = {k for k in adapters
+                     if _is_scan_key(k, adapters[k])}
+        if scan_keys:
+            # kohya files are per-layer; expand the scan keys for
+            # matching, then restack into the scan layout
+            expanded = _unstack_scan_adapters(
+                {k: adapters[k] for k in scan_keys})
+            expected = [k for k in adapters if k not in scan_keys] \
+                + list(expanded.keys())
+        else:
+            expected = list(adapters.keys())
         loaded, group_alpha = kohya_state_dict_to_peft(
-            state_dict, prefix, list(adapters.keys()))
+            state_dict, prefix, expected)
+        if scan_keys and loaded:
+            # layers missing from the file keep their fresh init so the
+            # restack is always complete
+            from_file = {k: v for k, v in loaded.items() if k in expanded}
+            plain = {k: v for k, v in loaded.items() if k not in expanded}
+            if from_file:
+                merged = {**expanded, **from_file}
+                plain.update(stack_scan_adapters(merged, scan_keys))
+            loaded = plain
         for key, entry in loaded.items():
             adapters[key] = {
                 name: jnp.asarray(value, jnp.float32)
                 for name, value in {**adapters[key], **entry}.items()
             }
             if "lora_down" in entry:
-                rank = int(entry["lora_down"].shape[0])
+                down = entry["lora_down"]
+                rank = int(down.shape[1] if down.ndim == 3
+                           else down.shape[0])
             elif "hada_w1_b" in entry:
-                rank = int(entry["hada_w1_b"].shape[0])
+                w1b = entry["hada_w1_b"]
+                rank = int(w1b.shape[1] if w1b.ndim == 3
+                           else w1b.shape[0])
             loaded_any = True
         if group_alpha is not None:
             alpha = group_alpha

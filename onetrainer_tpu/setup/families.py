@@ -189,6 +189,21 @@ def _flux_load(base_dir, config):
         loaded = load_flux_single_file(base_dir, **kwargs)
     else:
         loaded = load_flux_diffusers(base_dir, **kwargs)
+    if os.environ.get("OT_SCAN_LAYERS") == "1":
+        # scan-over-layers: homogeneous DiT stacks run under lax.scan
+        # with [L, ...] params — compile time / HLO size drop ~L
+        # (models/flux.py scan_layers; disk layout stays per-layer)
+        from dataclasses import replace as _dc_replace
+
+        from onetrainer_tpu.io.torch_flax import stack_scanned_blocks
+        loaded["transformer_config"] = _dc_replace(
+            loaded["transformer_config"], scan_layers=True)
+        p = dict(loaded["transformer_params"])
+        stack_scanned_blocks(p, "transformer_blocks")
+        stack_scanned_blocks(p, "single_transformer_blocks")
+        import jax as _jax
+        import jax.numpy as _jnp
+        loaded["transformer_params"] = _jax.tree.map(_jnp.asarray, p)
     return FluxModel(
         model_type=config.model_type,
         transformer_config=loaded["transformer_config"],
@@ -223,10 +238,20 @@ def _flux_sample(setup, sample_config, on_progress):
         extra_embeddings=extra, on_update_progress=on_progress)
 
 
+def _flux_unstacked(transformer):
+    """Scan-stacked transformer params -> per-layer layout for export
+    (no-op for the ordinary loop layout)."""
+    from onetrainer_tpu.io.torch_flax import unstack_scanned_blocks
+    transformer = dict(transformer)
+    unstack_scanned_blocks(transformer, "transformer_blocks")
+    unstack_scanned_blocks(transformer, "single_transformer_blocks")
+    return transformer
+
+
 def _flux_save_model(setup, out_dir, source_dir):
     from onetrainer_tpu.io.flux_checkpoints import save_flux_diffusers
     transformer, te, te2, _ = setup.merged_inference_params()
-    save_flux_diffusers(out_dir, setup.model, transformer,
+    save_flux_diffusers(out_dir, setup.model, _flux_unstacked(transformer),
                         setup.model.vae_params, te, te2, source_dir=source_dir)
 
 
@@ -240,7 +265,7 @@ def _flux_save_single_file(setup, path):
     from onetrainer_tpu.util.model_spec import make_modelspec_metadata
     transformer, *_ = setup.merged_inference_params()
     sd = flux_transformer_to_bfl(
-        unet_flax_to_state_dict(_to_numpy_tree(transformer)))
+        unet_flax_to_state_dict(_to_numpy_tree(_flux_unstacked(transformer))))
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
         resolution=setup.config.resolution,
