@@ -65,6 +65,9 @@ class HunyuanVideoConfig:
     patch_size: int = 2
     patch_size_t: int = 1
     gradient_checkpointing: bool = False
+    # scan-over-layers (same pattern as models/flux.py scan_layers):
+    # 20 double + 40 single blocks under lax.scan with stacked params
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
 
@@ -358,6 +361,40 @@ class _XEmbedder(nn.Module):
                          name="proj")(packed.astype(self.cfg.dtype))
 
 
+class _HunyuanDoubleScanBody(nn.Module):
+    cfg: HunyuanVideoConfig
+
+    @nn.compact
+    def __call__(self, carry, temb, rope, txt_mask):
+        img, txt = carry
+        blk = nn.remat(HunyuanDoubleBlock) \
+            if self.cfg.gradient_checkpointing else HunyuanDoubleBlock
+        img, txt = blk(self.cfg, name="block")(img, txt, temb, rope, txt_mask)
+        img = shard_seq(img)
+        return (img, txt), None
+
+
+class _HunyuanSingleScanBody(nn.Module):
+    cfg: HunyuanVideoConfig
+    s_img: int
+
+    @nn.compact
+    def __call__(self, x, temb, rope, keep_mask):
+        blk = nn.remat(HunyuanSingleBlock, static_argnums=(5,)) \
+            if self.cfg.gradient_checkpointing else HunyuanSingleBlock
+        x = blk(self.cfg, name="block")(x, temb, rope, keep_mask, self.s_img)
+        return shard_seq(x), None
+
+
+def _hv_scan(body_cls, length: int, n_broadcast: int, **kw):
+    return nn.scan(
+        body_cls,
+        variable_axes={"params": 0, "lora": 0},
+        split_rngs={"params": True},
+        in_axes=tuple([nn.broadcast] * n_broadcast),
+        length=length)
+
+
 class HunyuanVideoTransformer3D(nn.Module):
     cfg: HunyuanVideoConfig
 
@@ -397,22 +434,31 @@ class HunyuanVideoTransformer3D(nn.Module):
             keep_mask = jnp.concatenate(
                 [jnp.ones((b, s_img), bool), text_mask.astype(bool)], axis=1)
 
-        double_cls, single_cls = HunyuanDoubleBlock, HunyuanSingleBlock
-        if c.gradient_checkpointing:
-            double_cls = nn.remat(HunyuanDoubleBlock)
-            single_cls = nn.remat(HunyuanSingleBlock, static_argnums=(5,))
+        if c.scan_layers:
+            (img, txt), _ = _hv_scan(_HunyuanDoubleScanBody, c.num_layers, 3)(
+                c, name="transformer_blocks")((img, txt), temb, rope,
+                                              text_mask)
+            x = shard_seq(jnp.concatenate([img, txt], axis=1))
+            x, _ = _hv_scan(_HunyuanSingleScanBody, c.num_single_layers, 3)(
+                c, s_img, name="single_transformer_blocks")(
+                x, temb, rope, keep_mask)
+        else:
+            double_cls, single_cls = HunyuanDoubleBlock, HunyuanSingleBlock
+            if c.gradient_checkpointing:
+                double_cls = nn.remat(HunyuanDoubleBlock)
+                single_cls = nn.remat(HunyuanSingleBlock, static_argnums=(5,))
 
-        for i in range(c.num_layers):
-            img, txt = double_cls(c, name=f"transformer_blocks_{i}")(
-                img, txt, temb, rope, text_mask)
-            img = shard_seq(img)
+            for i in range(c.num_layers):
+                img, txt = double_cls(c, name=f"transformer_blocks_{i}")(
+                    img, txt, temb, rope, text_mask)
+                img = shard_seq(img)
 
-        x = jnp.concatenate([img, txt], axis=1)   # img first (hunyuan order)
-        x = shard_seq(x)
-        for i in range(c.num_single_layers):
-            x = single_cls(c, name=f"single_transformer_blocks_{i}")(
-                x, temb, rope, keep_mask, s_img)
+            x = jnp.concatenate([img, txt], axis=1)   # img first
             x = shard_seq(x)
+            for i in range(c.num_single_layers):
+                x = single_cls(c, name=f"single_transformer_blocks_{i}")(
+                    x, temb, rope, keep_mask, s_img)
+                x = shard_seq(x)
         img = x[:, :s_img]
 
         img = AdaNormContinuous(c.hidden_size, c.dtype, name="norm_out")(img, temb)

@@ -238,7 +238,7 @@ def _flux_sample(setup, sample_config, on_progress):
         extra_embeddings=extra, on_update_progress=on_progress)
 
 
-def _flux_unstacked(transformer):
+def _unstacked_blocks(transformer):
     """Scan-stacked transformer params -> per-layer layout for export
     (no-op for the ordinary loop layout)."""
     from onetrainer_tpu.io.torch_flax import unstack_scanned_blocks
@@ -251,7 +251,7 @@ def _flux_unstacked(transformer):
 def _flux_save_model(setup, out_dir, source_dir):
     from onetrainer_tpu.io.flux_checkpoints import save_flux_diffusers
     transformer, te, te2, _ = setup.merged_inference_params()
-    save_flux_diffusers(out_dir, setup.model, _flux_unstacked(transformer),
+    save_flux_diffusers(out_dir, setup.model, _unstacked_blocks(transformer),
                         setup.model.vae_params, te, te2, source_dir=source_dir)
 
 
@@ -265,7 +265,7 @@ def _flux_save_single_file(setup, path):
     from onetrainer_tpu.util.model_spec import make_modelspec_metadata
     transformer, *_ = setup.merged_inference_params()
     sd = flux_transformer_to_bfl(
-        unet_flax_to_state_dict(_to_numpy_tree(_flux_unstacked(transformer))))
+        unet_flax_to_state_dict(_to_numpy_tree(_unstacked_blocks(transformer))))
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
         resolution=setup.config.resolution,
@@ -424,6 +424,18 @@ def _hunyuan_load(base_dir, config):
         loaded = load_hunyuan_single_file(base_dir, **kwargs)
     else:
         loaded = load_hunyuan_diffusers(base_dir, **kwargs)
+    if os.environ.get("OT_SCAN_LAYERS") == "1":
+        from dataclasses import replace as _dc_replace
+
+        from onetrainer_tpu.io.torch_flax import stack_scanned_blocks
+        loaded["transformer_config"] = _dc_replace(
+            loaded["transformer_config"], scan_layers=True)
+        p = dict(loaded["transformer_params"])
+        stack_scanned_blocks(p, "transformer_blocks")
+        stack_scanned_blocks(p, "single_transformer_blocks")
+        import jax as _jax
+        import jax.numpy as _jnp
+        loaded["transformer_params"] = _jax.tree.map(_jnp.asarray, p)
     return HunyuanVideoModel(
         model_type=config.model_type,
         transformer_config=loaded["transformer_config"],
@@ -461,8 +473,8 @@ def _hunyuan_sample(setup, sample_config, on_progress):
 def _hunyuan_save_model(setup, out_dir, source_dir):
     from onetrainer_tpu.io.hunyuan_checkpoints import save_hunyuan_diffusers
     transformer, te, _, _ = setup.merged_inference_params()
-    save_hunyuan_diffusers(out_dir, setup.model, transformer, te,
-                           source_dir=source_dir)
+    save_hunyuan_diffusers(out_dir, setup.model, _unstacked_blocks(transformer),
+                           te, source_dir=source_dir)
 
 
 def _hunyuan_save_single_file(setup, path):
@@ -476,7 +488,8 @@ def _hunyuan_save_single_file(setup, path):
     from onetrainer_tpu.util.model_spec import make_modelspec_metadata
     transformer, *_ = setup.merged_inference_params()
     sd = hunyuan_transformer_to_ckpt(
-        hunyuan_flax_to_state_dict(_to_numpy_tree(transformer)))
+        hunyuan_flax_to_state_dict(
+            _to_numpy_tree(_unstacked_blocks(transformer))))
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
         resolution=setup.config.resolution,

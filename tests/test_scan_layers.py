@@ -210,3 +210,38 @@ def test_scan_apply_peft_merge_matches_loop():
         {"params": apply_peft(scan_base, scan_adapters, peft_cfg)}, *args)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_hunyuan_scan_matches_loop():
+    """HunyuanVideo scan path (double + single stacks) matches the
+    per-layer loop bit-for-bit at fp32 tolerance."""
+    from onetrainer_tpu.models.hunyuan_video import (
+        HunyuanVideoConfig, HunyuanVideoTransformer3D,
+    )
+
+    kw = dict(num_layers=2, num_single_layers=2, num_refiner_layers=1,
+              hidden_size=48, num_heads=4, head_dim=12,
+              text_embed_dim=24, pooled_projection_dim=16,
+              axes_dims_rope=(4, 4, 4), dtype=jnp.float32)
+    loop_model = HunyuanVideoTransformer3D(HunyuanVideoConfig(**kw))
+    scan_model = HunyuanVideoTransformer3D(
+        HunyuanVideoConfig(scan_layers=True, **kw))
+
+    args = (
+        jax.random.normal(jax.random.PRNGKey(2), (2, 2, 4, 4, 16),
+                          jnp.float32),
+        jnp.asarray([500.0, 300.0]),
+        jax.random.normal(jax.random.PRNGKey(3), (2, 5, 24), jnp.float32),
+        jnp.ones((2, 5), jnp.int32),
+        jax.random.normal(jax.random.PRNGKey(4), (2, 16), jnp.float32),
+    )
+    params = loop_model.init(jax.random.PRNGKey(0), *args)["params"]
+    stacked = dict(jax.device_get(params))
+    stack_scanned_blocks(stacked, "transformer_blocks")
+    stack_scanned_blocks(stacked, "single_transformer_blocks")
+
+    ref = loop_model.apply({"params": params}, *args)
+    out = scan_model.apply({"params": jax.tree.map(jnp.asarray, stacked)},
+                           *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
