@@ -293,7 +293,8 @@ def t5_flax_to_state_dict(params: dict) -> dict[str, np.ndarray]:
 
 # -- scan-over-layers param layout ----------------------------------------------------
 
-def stack_scanned_blocks(params: dict, prefix: str) -> dict:
+def stack_scanned_blocks(params: dict, prefix: str,
+                         count: int | None = None) -> dict:
     """Per-layer subtrees `{prefix}_0..{prefix}_{L-1}` -> one stacked
     subtree `{prefix: {"block": tree}}` with a leading layer axis, the
     layout `nn.scan(variable_axes={"params": 0})` expects
@@ -301,7 +302,7 @@ def stack_scanned_blocks(params: dict, prefix: str) -> dict:
     this runs after load, `unstack_scanned_blocks` before save."""
     layers = []
     i = 0
-    while f"{prefix}_{i}" in params:
+    while f"{prefix}_{i}" in params and (count is None or i < count):
         layers.append(params.pop(f"{prefix}_{i}"))
         i += 1
     if not layers:

@@ -39,6 +39,10 @@ class SD3Config:
     pos_embed_max_size: int = 192
     qk_norm: bool = False            # SD3.5
     gradient_checkpointing: bool = False
+    # scan-over-layers (models/flux.py pattern): the first N-1 joint
+    # blocks are homogeneous and scan; the final context-pre-only block
+    # stays a separate module (different param set)
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -190,6 +194,28 @@ class TimeTextEmbedSD3(nn.Module):
         return emb
 
 
+class _SD3ScanBody(nn.Module):
+    cfg: SD3Config
+
+    @nn.compact
+    def __call__(self, carry, temb):
+        img, txt = carry
+        blk = nn.remat(JointTransformerBlock) \
+            if self.cfg.gradient_checkpointing else JointTransformerBlock
+        img, txt = blk(self.cfg, context_pre_only=False,
+                       name="block")(img, txt, temb)
+        return (img, txt), None
+
+
+def _sd3_scan(length: int):
+    return nn.scan(
+        _SD3ScanBody,
+        variable_axes={"params": 0, "lora": 0},
+        split_rngs={"params": True},
+        in_axes=(nn.broadcast,),
+        length=length)
+
+
 class SD3Transformer2D(nn.Module):
     cfg: SD3Config
 
@@ -213,10 +239,17 @@ class SD3Transformer2D(nn.Module):
         if c.gradient_checkpointing:
             block_cls = nn.remat(JointTransformerBlock)
 
-        for i in range(c.num_layers):
+        if c.scan_layers:
+            (img, txt), _ = _sd3_scan(c.num_layers - 1)(
+                c, name="transformer_blocks")((img, txt), temb)
             img, txt = block_cls(
-                c, context_pre_only=(i == c.num_layers - 1),
-                name=f"transformer_blocks_{i}")(img, txt, temb)
+                c, context_pre_only=True,
+                name=f"transformer_blocks_{c.num_layers - 1}")(img, txt, temb)
+        else:
+            for i in range(c.num_layers):
+                img, txt = block_cls(
+                    c, context_pre_only=(i == c.num_layers - 1),
+                    name=f"transformer_blocks_{i}")(img, txt, temb)
 
         img = AdaNormContinuous(c.hidden_size, c.dtype, name="norm_out")(img, temb)
         img = LoraDense(c.patch_size ** 2 * c.out_channels, dtype=jnp.float32,

@@ -682,6 +682,20 @@ def _sd3_load(base_dir, config):
         loaded = load_sd3_single_file(base_dir, **kwargs)
     else:
         loaded = load_sd3_diffusers(base_dir, **kwargs)
+    if os.environ.get("OT_SCAN_LAYERS") == "1":
+        # first N-1 joint blocks scan; the final context-pre-only block
+        # stays per-layer (models/sd3.py scan_layers)
+        from dataclasses import replace as _dc_replace
+
+        from onetrainer_tpu.io.torch_flax import stack_scanned_blocks
+        tcfg = loaded["transformer_config"]
+        loaded["transformer_config"] = _dc_replace(tcfg, scan_layers=True)
+        p = dict(loaded["transformer_params"])
+        stack_scanned_blocks(p, "transformer_blocks",
+                             count=tcfg.num_layers - 1)
+        import jax as _jax
+        import jax.numpy as _jnp
+        loaded["transformer_params"] = _jax.tree.map(_jnp.asarray, p)
     return StableDiffusion3Model(
         model_type=config.model_type,
         transformer_config=loaded["transformer_config"],
@@ -722,7 +736,7 @@ def _sd3_sample(setup, sample_config, on_progress):
 def _sd3_save_model(setup, out_dir, source_dir):
     from onetrainer_tpu.io.sd3_checkpoints import save_sd3_diffusers
     transformer, te, te2, te3, _ = setup.merged_inference_params()
-    save_sd3_diffusers(out_dir, setup.model, transformer,
+    save_sd3_diffusers(out_dir, setup.model, _unstacked_blocks(transformer),
                        setup.model.vae_params, te, te2, te3,
                        source_dir=source_dir)
 
@@ -746,7 +760,7 @@ def _sd3_save_single_file(setup, path):
     sd.update({f"first_stage_model.{k}": v for k, v in vae_sd.items()})
     sd.update({f"model.diffusion_model.{k}": v for k, v in
                sd3_transformer_to_sai(unet_flax_to_state_dict(
-                   _to_numpy_tree(transformer))).items()})
+                   _to_numpy_tree(_unstacked_blocks(transformer)))).items()})
     if te is not None:
         sd.update({f"text_encoders.clip_l.transformer.{k}": v for k, v in
                    clip_flax_to_state_dict(_to_numpy_tree(te)).items()})

@@ -245,3 +245,35 @@ def test_hunyuan_scan_matches_loop():
                            *args)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sd3_scan_matches_loop():
+    """SD3 scan path: first N-1 joint blocks scan, the context-pre-only
+    final block stays separate; output parity with the loop."""
+    from onetrainer_tpu.io.torch_flax import stack_scanned_blocks as _stack
+    from onetrainer_tpu.models.sd3 import SD3Config, SD3Transformer2D
+
+    kw = dict(sample_size=8, patch_size=2, in_channels=4, out_channels=4,
+              num_layers=3, num_heads=2, head_dim=8,
+              joint_attention_dim=24, caption_projection_dim=16,
+              pooled_projection_dim=16, pos_embed_max_size=16,
+              dtype=jnp.float32)
+    loop_model = SD3Transformer2D(SD3Config(**kw))
+    scan_model = SD3Transformer2D(SD3Config(scan_layers=True, **kw))
+    args = (
+        jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 4), jnp.float32),
+        jnp.asarray([500.0, 300.0]),
+        jax.random.normal(jax.random.PRNGKey(3), (2, 16), jnp.float32),
+        jax.random.normal(jax.random.PRNGKey(4), (2, 6, 24), jnp.float32),
+    )
+    params = loop_model.init(jax.random.PRNGKey(0), *args)["params"]
+    stacked = dict(jax.device_get(params))
+    _stack(stacked, "transformer_blocks", count=2)
+    assert "transformer_blocks_2" in stacked     # final block kept apart
+    assert "transformer_blocks" in stacked
+
+    ref = loop_model.apply({"params": params}, *args)
+    out = scan_model.apply({"params": jax.tree.map(jnp.asarray, stacked)},
+                           *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
