@@ -6,10 +6,15 @@ Config JSON is the reference's v6 schema (older versions migrate on load).
 """
 
 import argparse
+import faulthandler
 import json
 import os
 import sys
 import traceback
+
+# SIGABRT/SIGSEGV stack dumps for hang/crash reports
+# (reference: modules/ui/ProfilingWindow.py:40-43 faulthandler)
+faulthandler.enable()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
