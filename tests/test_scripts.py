@@ -120,3 +120,24 @@ def test_generate_debug_report(tmp_path):
         "XLA_FLAGS", "JAX_PLATFORMS", "LIBTPU_INIT_ARGS",
         "TPU_WORKER_HOSTNAMES", "JAX_TRACEBACK_FILTERING",
         "OT_MESH_DP", "OT_MESH_FSDP", "OT_FORCE_FLASH", "OT_PLATFORM"}
+
+
+def test_step_profiler_and_memory_stats(tmp_path):
+    """util/profiling.py: windowed jax.profiler trace + device memory
+    stats (the reference's TorchMemoryRecorder/ProfilingWindow analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    from onetrainer_tpu.util.profiling import StepProfiler, device_memory_stats
+
+    prof = StepProfiler(str(tmp_path / "prof"), window="2:4")
+    for step in range(6):
+        prof.maybe_start(step)
+        jnp.square(jnp.arange(8.0)).block_until_ready()
+        prof.maybe_stop(step)
+    prof.close()
+    # a trace directory was produced for the window
+    assert any((tmp_path / "prof").rglob("*")), "no profiler output"
+
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
