@@ -72,8 +72,12 @@ def _ring_attention_local(q, k, v, kv_mask, axis_name: str, axis_size: int):
         m_blk = jax.lax.ppermute(m_blk, axis_name, perm)
         return (num, den, new_mx, k_blk, v_blk, m_blk), None
 
+    # checkpoint the step: the backward pass recomputes each block's
+    # score matrix instead of saving L of them (flash-attention memory
+    # semantics — O(S/p) residuals, not O(S^2/p))
     (num, den, mx, _, _, _), _ = jax.lax.scan(
-        step, (num, den, mx, k, v, dummy_mask), None, length=axis_size)
+        jax.checkpoint(step), (num, den, mx, k, v, dummy_mask), None,
+        length=axis_size)
     out = num / jnp.maximum(den, 1e-30)[..., None]
     return out.astype(q.dtype)
 
