@@ -11,6 +11,7 @@ import time
 
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    policy = sys.argv[2] if len(sys.argv) > 2 else "full"
 
     import os
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -36,7 +37,8 @@ def main():
         pass
 
     model = _Model()
-    cfgm = sd3_medium_config(dtype=jnp.bfloat16, gradient_checkpointing=True)
+    cfgm = sd3_medium_config(dtype=jnp.bfloat16, gradient_checkpointing=True,
+                             remat_policy=policy)
     model.transformer = SD3Transformer2D(cfgm)
     model.model_type = ModelType.STABLE_DIFFUSION_3
 
@@ -82,7 +84,7 @@ def main():
     float(metrics["loss"])
     elapsed = time.perf_counter() - start
     ips = bs * n / elapsed
-    out = {"workload": f"sd3_medium_lora_{res}px_bs{bs}",
+    out = {"workload": f"sd3_medium_lora_{res}px_bs{bs}_{policy}",
            "imgs_per_sec": round(ips, 3),
            "sec_per_step": round(elapsed / n, 3)}
     if flops:

@@ -43,6 +43,10 @@ class SD3Config:
     # blocks are homogeneous and scan; the final context-pre-only block
     # stays a separate module (different param set)
     scan_layers: bool = False
+    # remat flavor for the joint blocks: "full" recomputes everything,
+    # "dots_nb" saves weight-matmul outputs (less recompute, more HBM —
+    # see models/unet.py _remat for the SDXL measurements)
+    remat_policy: str = "full"
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -194,13 +198,25 @@ class TimeTextEmbedSD3(nn.Module):
         return emb
 
 
+def _sd3_remat(cfg):
+    import jax
+    if cfg.remat_policy == "dots_nb":
+        return nn.remat(
+            JointTransformerBlock,
+            policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+    if cfg.remat_policy == "dots":
+        return nn.remat(JointTransformerBlock,
+                        policy=jax.checkpoint_policies.checkpoint_dots)
+    return nn.remat(JointTransformerBlock)
+
+
 class _SD3ScanBody(nn.Module):
     cfg: SD3Config
 
     @nn.compact
     def __call__(self, carry, temb):
         img, txt = carry
-        blk = nn.remat(JointTransformerBlock) \
+        blk = _sd3_remat(self.cfg) \
             if self.cfg.gradient_checkpointing else JointTransformerBlock
         img, txt = blk(self.cfg, context_pre_only=False,
                        name="block")(img, txt, temb)
@@ -237,7 +253,7 @@ class SD3Transformer2D(nn.Module):
 
         block_cls = JointTransformerBlock
         if c.gradient_checkpointing:
-            block_cls = nn.remat(JointTransformerBlock)
+            block_cls = _sd3_remat(c)
 
         if c.scan_layers:
             (img, txt), _ = _sd3_scan(c.num_layers - 1)(
