@@ -703,8 +703,13 @@ def hunyuan_transformer_to_ckpt(sd: dict, prefix: str = "model.model") -> dict:
     out[_combine(prefix, "final_layer.adaLN_modulation.1.bias")] = \
         _swap_chunks(np.asarray(sd["norm_out.linear.bias"]))
     put_wb("final_layer.linear", "proj_out")
-    put_wb("guidance_in.in_layer", "time_text_embed.guidance_embedder.linear_1")
-    put_wb("guidance_in.out_layer", "time_text_embed.guidance_embedder.linear_2")
+    if "time_text_embed.guidance_embedder.linear_1.weight" in sd:
+        # guidance-distilled models only (guidance_embeds=False variants
+        # like SkyReels ship without these)
+        put_wb("guidance_in.in_layer",
+               "time_text_embed.guidance_embedder.linear_1")
+        put_wb("guidance_in.out_layer",
+               "time_text_embed.guidance_embedder.linear_2")
     put_wb("vector_in.in_layer", "time_text_embed.text_embedder.linear_1")
     put_wb("vector_in.out_layer", "time_text_embed.text_embedder.linear_2")
     put_wb("time_in.in_layer", "time_text_embed.timestep_embedder.linear_1")
@@ -792,8 +797,11 @@ def hunyuan_ckpt_to_transformer(sd: dict, prefix: str = "model.model") -> dict:
     out["norm_out.linear.bias"] = _swap_chunks(
         np.asarray(sd["final_layer.adaLN_modulation.1.bias"]))
     put_wb("proj_out", "final_layer.linear")
-    put_wb("time_text_embed.guidance_embedder.linear_1", "guidance_in.in_layer")
-    put_wb("time_text_embed.guidance_embedder.linear_2", "guidance_in.out_layer")
+    if "guidance_in.in_layer.weight" in sd:
+        put_wb("time_text_embed.guidance_embedder.linear_1",
+               "guidance_in.in_layer")
+        put_wb("time_text_embed.guidance_embedder.linear_2",
+               "guidance_in.out_layer")
     put_wb("time_text_embed.text_embedder.linear_1", "vector_in.in_layer")
     put_wb("time_text_embed.text_embedder.linear_2", "vector_in.out_layer")
     put_wb("time_text_embed.timestep_embedder.linear_1", "time_in.in_layer")
@@ -989,10 +997,12 @@ def load_hunyuan_single_file(path: str, weight_dtype=np.float32,
 def load_cascade_single_file(path: str, weight_dtype=np.float32,
                              compute_dtype=None,
                              gradient_checkpointing=False,
-                             device: bool = True):
+                             device: bool = True,
+                             effnet_path: str | None = None):
     """Stable Cascade stage_c.safetensors (fused in_proj attention keys;
     reference: WuerstchenModelLoader single-file branch). A sibling
-    text_encoder.safetensors is picked up when present."""
+    text_encoder.safetensors is picked up when present; the EfficientNet
+    encoder loads from `effnet_path` like the diffusers branch."""
     import jax
     import jax.numpy as jnp
     import ml_dtypes
@@ -1025,10 +1035,14 @@ def load_cascade_single_file(path: str, weight_dtype=np.float32,
     hidden1 = int(np.asarray(
         diff_sd["down_downscalers.1.1.blocks.0.weight"]).shape[0]) \
         if "down_downscalers.1.1.blocks.0.weight" in diff_sd else hidden0
+    # head_dim is 64 across Cascade variants (stage_c 2048/32, lite
+    # 1536/24) — infer per-level head counts so lite files don't silently
+    # load with the full-model's 32 heads
     pcfg = prior_config_from_diffusers({
         "_class_name": "StableCascadeUNet",
         "in_channels": int(np.asarray(diff_sd["clf.1.weight"]).shape[0]) // 4,
         "block_out_channels": (hidden0, hidden1),
+        "num_attention_heads": (hidden0 // 64, hidden1 // 64),
         "down_num_layers_per_block": (_count("down_blocks.0.") // 3,
                                       _count("down_blocks.1.") // 3),
         "clip_text_in_channels": int(np.asarray(
@@ -1052,13 +1066,25 @@ def load_cascade_single_file(path: str, weight_dtype=np.float32,
         print("text_encoder.safetensors not found next to stage_c, "
               "continuing without the text encoder")
 
+    effnet_params = None
+    if effnet_path and os.path.isfile(effnet_path):
+        from onetrainer_tpu.io.safetensors_io import load_safetensors
+        from onetrainer_tpu.io.wuerstchen_checkpoints import (
+            effnet_state_dict_to_flax,
+        )
+        sd = load_safetensors(effnet_path)
+        sd = {k: np.asarray(v).astype(np_dtype)
+              if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+              for k, v in sd.items()}
+        effnet_params = to_jnp(effnet_state_dict_to_flax(sd))
+
     return {
         "prior_config": pcfg,
         "effnet_config": EffnetConfig(dtype=compute_dtype),
         "te_config": clip_config_from_transformers(tcfg_dict, compute_dtype),
         "prior_params": to_jnp(
             prior_state_dict_to_flax(_cast_tree(diff_sd, np_dtype))),
-        "effnet_params": None,
+        "effnet_params": effnet_params,
         "te_params": te_params,
         "tokenizer_dir": None,
         "prediction_type": "epsilon",

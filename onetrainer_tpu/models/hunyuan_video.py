@@ -386,7 +386,7 @@ class _HunyuanSingleScanBody(nn.Module):
         return shard_seq(x), None
 
 
-def _hv_scan(body_cls, length: int, n_broadcast: int, **kw):
+def _hv_scan(body_cls, length: int, n_broadcast: int):
     return nn.scan(
         body_cls,
         variable_axes={"params": 0, "lora": 0},

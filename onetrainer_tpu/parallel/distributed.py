@@ -35,6 +35,14 @@ def distributed_env() -> dict | None:
     runtime discovers everything from the metadata server, so
     OT_MULTIHOST=1 alone requests a bare initialize()."""
     if os.environ.get("OT_COORDINATOR"):
+        missing = [v for v in ("OT_NUM_PROCESSES", "OT_PROCESS_ID")
+                   if v not in os.environ]
+        if missing:
+            raise ValueError(
+                f"OT_COORDINATOR is set but {', '.join(missing)} "
+                f"missing — explicit multi-host launches need all three; "
+                f"on TPU pods use OT_MULTIHOST=1 instead (the runtime "
+                f"discovers topology itself)")
         return {
             "coordinator_address": os.environ["OT_COORDINATOR"],
             "num_processes": int(os.environ["OT_NUM_PROCESSES"]),

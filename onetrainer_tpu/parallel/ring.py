@@ -50,13 +50,19 @@ def _ring_attention_local(q, k, v, kv_mask, axis_name: str, axis_size: int):
     den = jnp.zeros((b, sq, h), jnp.float32)        # softmax denominator
     mx = jnp.full((b, sq, h), NEG_INF, jnp.float32)  # running max
 
-    dummy_mask = jnp.ones(k.shape[:2], bool) if kv_mask is None else kv_mask
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
     def step(carry, _):
-        num, den, mx, k_blk, v_blk, m_blk = carry
+        # masked path carries (and rotates) the mask block; the common
+        # unmasked video path skips that ICI traffic entirely
+        if kv_mask is not None:
+            num, den, mx, k_blk, v_blk, m_blk = carry
+        else:
+            num, den, mx, k_blk, v_blk = carry
+            m_blk = None
         # scores for the current K/V block: [B, Sq, H, Skv]
         s = jnp.einsum("bqhd,bkhd->bqhk", qf, k_blk.astype(jnp.float32))
-        if kv_mask is not None:
+        if m_blk is not None:
             s = jnp.where(m_blk[:, None, None, :], s, NEG_INF)
         blk_max = s.max(axis=-1)                          # [B, Sq, H]
         new_mx = jnp.maximum(mx, blk_max)
@@ -66,18 +72,21 @@ def _ring_attention_local(q, k, v, kv_mask, axis_name: str, axis_size: int):
             "bqhk,bkhd->bqhd", p, v_blk.astype(jnp.float32))
         den = den * correction + p.sum(axis=-1)
         # rotate K/V (+mask) one step around the ring
-        perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        m_blk = jax.lax.ppermute(m_blk, axis_name, perm)
-        return (num, den, new_mx, k_blk, v_blk, m_blk), None
+        if m_blk is not None:
+            m_blk = jax.lax.ppermute(m_blk, axis_name, perm)
+            return (num, den, new_mx, k_blk, v_blk, m_blk), None
+        return (num, den, new_mx, k_blk, v_blk), None
 
+    init = (num, den, mx, k, v) if kv_mask is None \
+        else (num, den, mx, k, v, kv_mask)
     # checkpoint the step: the backward pass recomputes each block's
     # score matrix instead of saving L of them (flash-attention memory
     # semantics — O(S/p) residuals, not O(S^2/p))
-    (num, den, mx, _, _, _), _ = jax.lax.scan(
-        jax.checkpoint(step), (num, den, mx, k, v, dummy_mask), None,
-        length=axis_size)
+    out_carry, _ = jax.lax.scan(
+        jax.checkpoint(step), init, None, length=axis_size)
+    num, den, mx = out_carry[0], out_carry[1], out_carry[2]
     out = num / jnp.maximum(den, 1e-30)[..., None]
     return out.astype(q.dtype)
 

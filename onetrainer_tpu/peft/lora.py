@@ -209,9 +209,19 @@ def _merged_kernel(kernel, entry: dict, cfg: PeftConfig,
         # scan-stacked dense [L, in, out]: batched per-layer merge
         w = jnp.swapaxes(kernel.astype(jnp.float32), 1, 2)   # [L, out, in]
         scale = cfg.alpha / cfg.rank
-        down = entry["lora_down"].astype(jnp.float32)        # [L, r, in]
-        up = entry["lora_up"].astype(jnp.float32)            # [L, out, r]
-        wp = w + jnp.einsum("lor,lri->loi", up, down) * scale
+        if "hada_w1_a" in entry:                             # LoHa
+            w1 = jnp.einsum("lor,lri->loi",
+                            entry["hada_w1_a"].astype(jnp.float32),
+                            entry["hada_w1_b"].astype(jnp.float32))
+            w2 = jnp.einsum("lor,lri->loi",
+                            entry["hada_w2_a"].astype(jnp.float32),
+                            entry["hada_w2_b"].astype(jnp.float32))
+            delta = (w1 * w2) * scale
+        else:
+            down = entry["lora_down"].astype(jnp.float32)    # [L, r, in]
+            up = entry["lora_up"].astype(jnp.float32)        # [L, out, r]
+            delta = jnp.einsum("lor,lri->loi", up, down) * scale
+        wp = w + delta
         if cfg.decompose and "dora_scale" in entry:
             eps = jnp.finfo(jnp.float32).eps \
                 if cfg.decompose_norm_epsilon else 0.0
@@ -520,6 +530,24 @@ def apply_lora_checkpoint(
             from_file = {k: v for k, v in loaded.items() if k in expanded}
             plain = {k: v for k, v in loaded.items() if k not in expanded}
             if from_file:
+                missing = set(expanded) - set(from_file)
+                if missing:
+                    fresh_shape = next(iter(expanded.values()))[
+                        "lora_down"].shape \
+                        if "lora_down" in next(iter(expanded.values())) \
+                        else None
+                    file_shape = next(iter(from_file.values())).get(
+                        "lora_down", next(iter(
+                            from_file.values())).get("hada_w1_b")).shape
+                    if fresh_shape is not None \
+                            and tuple(fresh_shape) != tuple(file_shape):
+                        raise ValueError(
+                            f"LoRA file {path} covers only some scanned "
+                            f"layers and its rank {file_shape[0]} differs "
+                            f"from the configured rank {fresh_shape[0]}; "
+                            f"with OT_SCAN_LAYERS either match lora_rank "
+                            f"to the file or use a file covering every "
+                            f"layer")
                 merged = {**expanded, **from_file}
                 plain.update(stack_scan_adapters(merged, scan_keys))
             loaded = plain

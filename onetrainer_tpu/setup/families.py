@@ -173,6 +173,29 @@ def _sdxl_save_single_file(setup, path):
                           te, te2, metadata=meta)
 
 
+
+def _apply_scan_layers(loaded, count: int | None = None,
+                       single_count: int | None = None):
+    """OT_SCAN_LAYERS=1: mark the transformer config scan_layers=True and
+    stack its homogeneous block prefixes into the [L, ...] layout
+    (io/torch_flax.stack_scanned_blocks; inverse: _unstacked_blocks)."""
+    if os.environ.get("OT_SCAN_LAYERS") != "1":
+        return loaded
+    from dataclasses import replace as _dc_replace
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from onetrainer_tpu.io.torch_flax import stack_scanned_blocks
+    loaded["transformer_config"] = _dc_replace(
+        loaded["transformer_config"], scan_layers=True)
+    p = dict(loaded["transformer_params"])
+    stack_scanned_blocks(p, "transformer_blocks", count=count)
+    stack_scanned_blocks(p, "single_transformer_blocks", count=single_count)
+    loaded["transformer_params"] = _jax.tree.map(_jnp.asarray, p)
+    return loaded
+
+
 # -- FLUX -----------------------------------------------------------------------------
 
 def _flux_load(base_dir, config):
@@ -189,21 +212,7 @@ def _flux_load(base_dir, config):
         loaded = load_flux_single_file(base_dir, **kwargs)
     else:
         loaded = load_flux_diffusers(base_dir, **kwargs)
-    if os.environ.get("OT_SCAN_LAYERS") == "1":
-        # scan-over-layers: homogeneous DiT stacks run under lax.scan
-        # with [L, ...] params — compile time / HLO size drop ~L
-        # (models/flux.py scan_layers; disk layout stays per-layer)
-        from dataclasses import replace as _dc_replace
-
-        from onetrainer_tpu.io.torch_flax import stack_scanned_blocks
-        loaded["transformer_config"] = _dc_replace(
-            loaded["transformer_config"], scan_layers=True)
-        p = dict(loaded["transformer_params"])
-        stack_scanned_blocks(p, "transformer_blocks")
-        stack_scanned_blocks(p, "single_transformer_blocks")
-        import jax as _jax
-        import jax.numpy as _jnp
-        loaded["transformer_params"] = _jax.tree.map(_jnp.asarray, p)
+    loaded = _apply_scan_layers(loaded)
     return FluxModel(
         model_type=config.model_type,
         transformer_config=loaded["transformer_config"],
@@ -424,18 +433,7 @@ def _hunyuan_load(base_dir, config):
         loaded = load_hunyuan_single_file(base_dir, **kwargs)
     else:
         loaded = load_hunyuan_diffusers(base_dir, **kwargs)
-    if os.environ.get("OT_SCAN_LAYERS") == "1":
-        from dataclasses import replace as _dc_replace
-
-        from onetrainer_tpu.io.torch_flax import stack_scanned_blocks
-        loaded["transformer_config"] = _dc_replace(
-            loaded["transformer_config"], scan_layers=True)
-        p = dict(loaded["transformer_params"])
-        stack_scanned_blocks(p, "transformer_blocks")
-        stack_scanned_blocks(p, "single_transformer_blocks")
-        import jax as _jax
-        import jax.numpy as _jnp
-        loaded["transformer_params"] = _jax.tree.map(_jnp.asarray, p)
+    loaded = _apply_scan_layers(loaded)
     return HunyuanVideoModel(
         model_type=config.model_type,
         transformer_config=loaded["transformer_config"],
@@ -566,7 +564,9 @@ def _wuerstchen_load(base_dir, config):
     )
     if os.path.isfile(base_dir) and config.model_type.is_stable_cascade():
         from onetrainer_tpu.io.single_file import load_cascade_single_file
-        loaded = load_cascade_single_file(base_dir, **kwargs)
+        loaded = load_cascade_single_file(
+            base_dir, effnet_path=config.effnet_encoder.model_name or None,
+            **kwargs)
     else:
         loaded = load_wuerstchen_diffusers(
             base_dir,
@@ -682,20 +682,10 @@ def _sd3_load(base_dir, config):
         loaded = load_sd3_single_file(base_dir, **kwargs)
     else:
         loaded = load_sd3_diffusers(base_dir, **kwargs)
-    if os.environ.get("OT_SCAN_LAYERS") == "1":
-        # first N-1 joint blocks scan; the final context-pre-only block
-        # stays per-layer (models/sd3.py scan_layers)
-        from dataclasses import replace as _dc_replace
-
-        from onetrainer_tpu.io.torch_flax import stack_scanned_blocks
-        tcfg = loaded["transformer_config"]
-        loaded["transformer_config"] = _dc_replace(tcfg, scan_layers=True)
-        p = dict(loaded["transformer_params"])
-        stack_scanned_blocks(p, "transformer_blocks",
-                             count=tcfg.num_layers - 1)
-        import jax as _jax
-        import jax.numpy as _jnp
-        loaded["transformer_params"] = _jax.tree.map(_jnp.asarray, p)
+    # first N-1 joint blocks scan; the final context-pre-only block
+    # stays per-layer (models/sd3.py scan_layers)
+    loaded = _apply_scan_layers(
+        loaded, count=loaded["transformer_config"].num_layers - 1)
     return StableDiffusion3Model(
         model_type=config.model_type,
         transformer_config=loaded["transformer_config"],

@@ -117,7 +117,10 @@ def env_info():
     (it may contain secrets)."""
     keep = ("XLA_FLAGS", "JAX_PLATFORMS", "LIBTPU_INIT_ARGS",
             "TPU_WORKER_HOSTNAMES", "JAX_TRACEBACK_FILTERING",
-            "OT_MESH_DP", "OT_MESH_FSDP", "OT_FORCE_FLASH", "OT_PLATFORM")
+            "OT_MESH_DP", "OT_MESH_FSDP", "OT_MESH_SP",
+            "OT_RING_ATTENTION", "OT_SCAN_LAYERS",
+            "OT_MULTIHOST", "OT_COORDINATOR", "OT_NUM_PROCESSES",
+            "OT_PROCESS_ID", "OT_FORCE_FLASH", "OT_PLATFORM")
     return {k: os.environ[k] for k in keep if k in os.environ}
 
 

@@ -6,8 +6,8 @@ tree device<->host around the update.
 
 The full compiled-step numerics run is TPU-only (the CPU backend's
 memory-space support aborts mid-execution as of jax 0.9); CI covers the
-placement layer, and the TPU run is exercised by
-experiments/exp_offload_tpu.py on real hardware."""
+placement layer, and test_offloaded_step_matches_on_device_tpu below
+runs when the suite executes on real TPU hardware."""
 
 import jax
 import jax.numpy as jnp

@@ -119,7 +119,10 @@ def test_generate_debug_report(tmp_path):
     assert set(report["env"]) <= {
         "XLA_FLAGS", "JAX_PLATFORMS", "LIBTPU_INIT_ARGS",
         "TPU_WORKER_HOSTNAMES", "JAX_TRACEBACK_FILTERING",
-        "OT_MESH_DP", "OT_MESH_FSDP", "OT_FORCE_FLASH", "OT_PLATFORM"}
+        "OT_MESH_DP", "OT_MESH_FSDP", "OT_MESH_SP", "OT_RING_ATTENTION",
+        "OT_SCAN_LAYERS", "OT_MULTIHOST", "OT_COORDINATOR",
+        "OT_NUM_PROCESSES", "OT_PROCESS_ID", "OT_FORCE_FLASH",
+        "OT_PLATFORM"}
 
 
 def test_step_profiler_and_memory_stats(tmp_path):
