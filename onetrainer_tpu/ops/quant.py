@@ -23,7 +23,7 @@ class QuantizedArray(NamedTuple):
 
 
 def is_quantized(x) -> bool:
-    return isinstance(x, QuantizedArray)
+    return isinstance(x, (QuantizedArray, NF4Array))
 
 
 _FP8_MAX = 448.0   # e4m3 max normal
@@ -48,7 +48,9 @@ def dequantize_array(x: QuantizedArray, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def maybe_dequantize(x, dtype=jnp.bfloat16):
-    if is_quantized(x):
+    if isinstance(x, NF4Array):
+        return dequantize_nf4(x, dtype)
+    if isinstance(x, QuantizedArray):
         return dequantize_array(x, dtype)
     return x
 
@@ -61,6 +63,8 @@ def quantize_tree(tree, dtype=jnp.float8_e4m3fn, min_size: int = 4096,
     def visit(leaf):
         leaf = jnp.asarray(leaf)
         if leaf.size >= min_size and jnp.issubdtype(leaf.dtype, jnp.floating):
+            if dtype == "nf4":
+                return quantize_nf4(leaf)
             return quantize_array(leaf, dtype)
         return leaf.astype(keep_dtype) if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf
 
@@ -71,3 +75,64 @@ def dequantize_tree(tree, dtype=jnp.bfloat16):
     return jax.tree.map(
         lambda x: maybe_dequantize(x, dtype), tree,
         is_leaf=is_quantized)
+
+
+# -- NF4 (4-bit NormalFloat, bitsandbytes QLoRA) --------------------------------------
+
+# the 16-level NF4 codebook (Dettmers et al., QLoRA arXiv:2305.14314 —
+# quantiles of N(0,1) normalized to [-1, 1]; identical to bitsandbytes)
+NF4_CODE = (
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
+)
+NF4_BLOCK = 64   # bnb default blocksize
+
+
+@jax.tree_util.register_pytree_node_class
+class NF4Array:
+    """Block-wise NF4: packed 4-bit codes (two per uint8) + per-block
+    absmax scales. 4x smaller than bf16 for the frozen base."""
+
+    def __init__(self, q, scales, shape):
+        self.q = q              # uint8 [ceil(n/2)]
+        self.scales = scales    # f32 [n_blocks]
+        self.shape = tuple(shape)
+
+    def tree_flatten(self):
+        return (self.q, self.scales), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, shape, children):
+        return cls(children[0], children[1], shape)
+
+
+def quantize_nf4(x: jnp.ndarray, block: int = NF4_BLOCK) -> NF4Array:
+    x32 = jnp.ravel(x.astype(jnp.float32))
+    n = x32.size
+    pad = (-n) % block
+    x32 = jnp.pad(x32, (0, pad)).reshape(-1, block)
+    scales = jnp.maximum(jnp.max(jnp.abs(x32), axis=1), 1e-12)   # [nb]
+    normed = x32 / scales[:, None]                               # [-1, 1]
+    code = jnp.asarray(NF4_CODE, jnp.float32)
+    # nearest codebook entry via the midpoint boundaries
+    mids = (code[1:] + code[:-1]) / 2.0
+    idx = jnp.searchsorted(mids, normed).astype(jnp.uint8)       # [nb, block]
+    flat = idx.reshape(-1)
+    packed = (flat[0::2] << 4) | flat[1::2]
+    return NF4Array(q=packed, scales=scales.astype(jnp.float32),
+                    shape=x.shape)
+
+
+def dequantize_nf4(x: NF4Array, dtype=jnp.bfloat16) -> jnp.ndarray:
+    code = jnp.asarray(NF4_CODE, jnp.float32)
+    hi = (x.q >> 4).astype(jnp.int32)
+    lo = (x.q & 0xF).astype(jnp.int32)
+    idx = jnp.stack([hi, lo], axis=1).reshape(-1)
+    vals = code[idx].reshape(-1, NF4_BLOCK) * x.scales[:, None]
+    n = 1
+    for d in x.shape:
+        n *= d
+    return vals.reshape(-1)[:n].reshape(x.shape).astype(dtype)

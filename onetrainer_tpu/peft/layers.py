@@ -36,6 +36,21 @@ from flax.linen.dtypes import promote_dtype
 default_kernel_init = initializers.lecun_normal()
 
 
+def _get_kernel(module: nn.Module, init_fn, shape, param_dtype, dtype):
+    """The base kernel, dequantized when the frozen tree carries a
+    quantized form (fp8/int8/NF4 — ops/quant.py). Dequantization happens
+    transiently inside the layer; under remat the bf16 copy is recomputed
+    in the backward pass, so HBM holds only the packed form. Quantized
+    values bypass `self.param` (flax's leaf-shape validation rejects
+    NF4's packed layout) via direct variable access."""
+    from onetrainer_tpu.ops.quant import is_quantized, maybe_dequantize
+    if module.has_variable("params", "kernel"):
+        value = module.get_variable("params", "kernel")
+        if is_quantized(value):
+            return maybe_dequantize(value, dtype or jnp.bfloat16)
+    return module.param("kernel", init_fn, shape, param_dtype)
+
+
 def _lora_entry(module: nn.Module) -> dict | None:
     """The adapter entry for this module from the 'lora' collection."""
     for leaf in ("lora_down", "hada_w1_a"):
@@ -90,8 +105,9 @@ class LoraDense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        kernel = self.param("kernel", self.kernel_init,
-                            (x.shape[-1], self.features), self.param_dtype)
+        kernel = _get_kernel(self, self.kernel_init,
+                             (x.shape[-1], self.features), self.param_dtype,
+                             self.dtype)
         bias = self.param("bias", self.bias_init, (self.features,),
                           self.param_dtype) if self.use_bias else None
         entry = _lora_entry(self)
@@ -159,10 +175,10 @@ class LoraConv(nn.Module):
             x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
                         mode="wrap")
             padding = "VALID"
-        kernel = self.param("kernel", self.kernel_init,
-                            (kh, kw, x.shape[-1] // self.feature_group_count,
-                             self.features),
-                            self.param_dtype)
+        kernel = _get_kernel(
+            self, self.kernel_init,
+            (kh, kw, x.shape[-1] // self.feature_group_count, self.features),
+            self.param_dtype, self.dtype)
         bias = self.param("bias", self.bias_init, (self.features,),
                           self.param_dtype) if self.use_bias else None
         entry = _lora_entry(self) if self.feature_group_count == 1 else None

@@ -202,9 +202,9 @@ def _down_2d(down: jnp.ndarray) -> jnp.ndarray:
 
 def _merged_kernel(kernel, entry: dict, cfg: PeftConfig,
                    rng: jax.Array | None) -> jnp.ndarray:
-    from onetrainer_tpu.ops.quant import is_quantized, dequantize_array
+    from onetrainer_tpu.ops.quant import is_quantized, maybe_dequantize
     if is_quantized(kernel):
-        kernel = dequantize_array(kernel, jnp.bfloat16)
+        kernel = maybe_dequantize(kernel, jnp.bfloat16)
     if kernel.ndim == 3:
         # scan-stacked dense [L, in, out]: batched per-layer merge
         w = jnp.swapaxes(kernel.astype(jnp.float32), 1, 2)   # [L, out, in]
@@ -255,7 +255,7 @@ def apply_peft(
 ) -> dict:
     """Merge adapters into a copy of the base param tree (pure function,
     differentiable w.r.t. the adapter pytree)."""
-    from onetrainer_tpu.ops.quant import is_quantized, dequantize_array
+    from onetrainer_tpu.ops.quant import is_quantized, maybe_dequantize
 
     def visit(tree: dict, prefix: tuple[str, ...]) -> dict:
         out = {}
@@ -266,7 +266,7 @@ def apply_peft(
             elif key == "kernel" and SEP.join(prefix) in adapters:
                 out[key] = _merged_kernel(value, adapters[SEP.join(prefix)], cfg, rng)
             elif is_quantized(value):
-                out[key] = dequantize_array(value, jnp.bfloat16)
+                out[key] = maybe_dequantize(value, jnp.bfloat16)
             else:
                 out[key] = value
         return out

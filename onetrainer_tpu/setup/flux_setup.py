@@ -133,13 +133,15 @@ def create_flux_setup(model: FluxModel, config: TrainConfig,
         # quantized frozen base (reference: NF4 weight_dtype in flux presets)
         prior_dtype = config.weight_dtypes().prior
         if prior_dtype.is_quantized():
-            qdtype = jnp.int8 if prior_dtype in (DataType.INT_8, DataType.NFLOAT_4) \
-                else jnp.float8_e4m3fn
+            qdtype = ("nf4" if prior_dtype == DataType.NFLOAT_4
+                      else jnp.int8 if prior_dtype == DataType.INT_8
+                      else jnp.float8_e4m3fn)
             frozen["transformer"] = quantize_tree(model.transformer_params, qdtype)
         te2_dtype = config.weight_dtypes().text_encoder_2
         if te2_dtype.is_quantized() and model.te2_params is not None:
-            qdtype = jnp.int8 if te2_dtype in (DataType.INT_8, DataType.NFLOAT_4) \
-                else jnp.float8_e4m3fn
+            qdtype = ("nf4" if te2_dtype == DataType.NFLOAT_4
+                      else jnp.int8 if te2_dtype == DataType.INT_8
+                      else jnp.float8_e4m3fn)
             frozen["text_encoder_2"] = quantize_tree(model.te2_params, qdtype)
     elif method == TrainingMethod.EMBEDDING:
         # per-TE vector tables (reference: FluxModelEmbedding holds

@@ -95,8 +95,9 @@ def create_pixart_setup(model: PixArtAlphaModel, config: TrainConfig,
                 lambda _: "transformer_lora", trainable["transformer_lora"])
         prior_dtype = config.weight_dtypes().prior
         if prior_dtype.is_quantized():
-            qdtype = jnp.int8 if prior_dtype in (DataType.INT_8, DataType.NFLOAT_4) \
-                else jnp.float8_e4m3fn
+            qdtype = ("nf4" if prior_dtype == DataType.NFLOAT_4
+                      else jnp.int8 if prior_dtype == DataType.INT_8
+                      else jnp.float8_e4m3fn)
             frozen["transformer"] = quantize_tree(model.transformer_params, qdtype)
     elif method == TrainingMethod.EMBEDDING:
         # T5 textual inversion (reference: PixArtAlphaModelEmbedding,

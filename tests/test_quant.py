@@ -61,3 +61,66 @@ def test_apply_peft_on_quantized_base():
         return jnp.sum(merged["attn"]["to_q"]["kernel"].astype(jnp.float32) ** 2)
     grads = jax.grad(loss)(adapters)
     assert float(jnp.abs(grads["attn/to_q"]["lora_down"]).max()) > 0
+
+
+def test_nf4_roundtrip_and_tree():
+    """Real NF4 (QLoRA 4-bit NormalFloat, block-64 absmax — the
+    reference's bitsandbytes NF4 base): packs two codes per byte and
+    round-trips within the codebook's quantization error."""
+    import jax
+    import numpy as np
+
+    from onetrainer_tpu.ops.quant import (
+        NF4Array, dequantize_nf4, dequantize_tree, quantize_nf4,
+        quantize_tree,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (128, 64), jnp.float32) * 0.05
+    q = quantize_nf4(x)
+    assert isinstance(q, NF4Array)
+    assert q.q.dtype == jnp.uint8
+    assert q.q.size == x.size // 2          # 4 bits per element
+    back = dequantize_nf4(q, jnp.float32)
+    assert back.shape == x.shape
+    # block-64 absmax NF4: worst-case error bounded by the coarsest
+    # codebook gap times the block absmax
+    err = np.abs(np.asarray(back) - np.asarray(x))
+    scales = np.abs(np.asarray(x)).reshape(-1, 64).max(axis=1)
+    assert (err.reshape(-1, 64) <= scales[:, None] * 0.17 + 1e-6).all()
+
+    tree = {"w": x, "bias": jnp.zeros((8,))}
+    qt = quantize_tree(tree, "nf4", min_size=1024)
+    assert isinstance(qt["w"], NF4Array)
+    assert not isinstance(qt["bias"], NF4Array)
+    dt = dequantize_tree(qt, jnp.float32)
+    np.testing.assert_allclose(np.asarray(dt["w"]), np.asarray(back),
+                               atol=1e-6)
+
+
+def test_nf4_in_layer_lora():
+    """LoraDense/LoraConv consume NF4 kernels directly (dequantized
+    transiently inside the layer) — the in-layer quantized-base path
+    that tiny e2e models skipped via min_size."""
+    import jax
+    import numpy as np
+
+    from onetrainer_tpu.ops.quant import quantize_array, quantize_nf4
+    from onetrainer_tpu.peft.layers import LoraConv, LoraDense
+
+    d = LoraDense(64, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    params = d.init(jax.random.PRNGKey(0), x)["params"]
+    ref = d.apply({"params": params}, x)
+    for q in (quantize_array(params["kernel"], jnp.int8),
+              quantize_nf4(params["kernel"])):
+        y = d.apply({"params": {"kernel": q, "bias": params["bias"]}}, x)
+        assert float(jnp.abs(y - ref).max()) < 0.5
+        assert np.isfinite(np.asarray(y)).all()
+
+    c = LoraConv(8, (3, 3), dtype=jnp.float32)
+    xc = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 8))
+    pc = c.init(jax.random.PRNGKey(0), xc)["params"]
+    refc = c.apply({"params": pc}, xc)
+    yc = c.apply({"params": {"kernel": quantize_nf4(pc["kernel"]),
+                             "bias": pc["bias"]}}, xc)
+    assert float(jnp.abs(yc - refc).max()) < 0.6
