@@ -17,6 +17,8 @@ def main():
     offload = "offload" in sys.argv[3:]
     opt8 = "opt8" in sys.argv[3:]
     bf16_adapters = "bf16ad" in sys.argv[3:]
+    base_quant = next((f for f in sys.argv[3:]
+                       if f in ("fp8", "int8", "nf4")), None)
 
     import os
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -66,6 +68,11 @@ def main():
         configure_offload(opt_state=True)
     state = create_train_state({"unet_lora": adapters}, tx)
     step = make_sdxl_train_step(model, cfg, tx, peft_cfg)
+    if base_quant:
+        from onetrainer_tpu.ops.quant import quantize_tree
+        qdtype = {"fp8": jnp.float8_e4m3fn, "int8": jnp.int8,
+                  "nf4": "nf4"}[base_quant]
+        unet_params = quantize_tree(unet_params, qdtype)
     frozen = {"unet": unet_params}
     batch = {
         "latent_image": jax.random.normal(
