@@ -57,12 +57,14 @@ def maybe_dequantize(x, dtype=jnp.bfloat16):
 
 def quantize_tree(tree, dtype=jnp.float8_e4m3fn, min_size: int = 4096,
                   keep_dtype=jnp.bfloat16):
-    """Quantize all float leaves with >= min_size elements; smaller leaves
-    (norms, biases) are kept in keep_dtype — the same layer-selection
-    policy as the reference's replace-linears pass."""
+    """Quantize float weight leaves (ndim >= 2) with >= min_size
+    elements; 1-D leaves (biases, norm scales) and small tensors are kept
+    in keep_dtype — the same layer-selection policy as the reference's
+    replace-linears pass (weights only, bitsandbytes semantics)."""
     def visit(leaf):
         leaf = jnp.asarray(leaf)
-        if leaf.size >= min_size and jnp.issubdtype(leaf.dtype, jnp.floating):
+        if leaf.ndim >= 2 and leaf.size >= min_size \
+                and jnp.issubdtype(leaf.dtype, jnp.floating):
             if dtype == "nf4":
                 return quantize_nf4(leaf)
             return quantize_array(leaf, dtype)
