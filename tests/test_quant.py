@@ -124,3 +124,46 @@ def test_nf4_in_layer_lora():
     yc = c.apply({"params": {"kernel": quantize_nf4(pc["kernel"]),
                              "bias": pc["bias"]}}, xc)
     assert float(jnp.abs(yc - refc).max()) < 0.6
+
+
+def test_quantized_base_in_layer_train_step():
+    """One SD train step with the frozen base actually quantized
+    (min_size forced low — the default 4096 exempts tiny test models,
+    which previously hid an in-layer crash at real scale). Covers fp8,
+    int8, and NF4 end to end through loss + gradients."""
+    import jax
+    import numpy as np
+    import optax
+
+    from onetrainer_tpu.math.losses import LossConfig
+    from onetrainer_tpu.math.timesteps import TimestepConfig
+    from onetrainer_tpu.ops.quant import quantize_tree
+    from onetrainer_tpu.peft.lora import PeftConfig, init_peft_params
+    from onetrainer_tpu.train.sd_train_step import (
+        SDStepConfig, make_sd_train_step,
+    )
+    from onetrainer_tpu.train.train_state import create_train_state
+    from onetrainer_tpu.util.enums import TrainingMethod
+    from tests.test_train_step import (
+        init_model_params, make_batch, tiny_sd_model,
+    )
+
+    model = tiny_sd_model()
+    unet_params, te_params = init_model_params(model, jax.random.PRNGKey(0))
+    peft_cfg = PeftConfig(rank=4, alpha=8.0)
+    cfg = SDStepConfig(
+        training_method=TrainingMethod.LORA, timestep=TimestepConfig(),
+        loss=LossConfig(vb_loss_strength=0.0), stochastic_rounding=False)
+    tx = optax.adamw(1e-3)
+    batch = make_batch(0)
+
+    for qdtype in (jnp.float8_e4m3fn, jnp.int8, "nf4"):
+        adapters = init_peft_params(jax.random.PRNGKey(1), unet_params,
+                                    peft_cfg)
+        frozen = {"unet": quantize_tree(unet_params, qdtype, min_size=16),
+                  "text_encoder": te_params}
+        state = create_train_state({"unet_lora": adapters}, tx)
+        step = make_sd_train_step(model, cfg, tx, peft_cfg)
+        state, metrics = step(state, frozen, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss"])), qdtype
+        assert np.isfinite(float(metrics["grad_norm"])), qdtype
