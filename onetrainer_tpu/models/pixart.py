@@ -34,6 +34,8 @@ class PixArtConfig:
     cross_attention_dim: int = 4096  # T5
     caption_channels: int = 4096
     gradient_checkpointing: bool = False
+    # scan-over-layers (models/flux.py pattern)
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -164,6 +166,25 @@ class _PatchProj(nn.Module):
                        dtype=c.dtype, name="proj")(latents.astype(c.dtype))
 
 
+class _PixArtScanBody(nn.Module):
+    cfg: "PixArtConfig"
+
+    @nn.compact
+    def __call__(self, x, ctx, t6):
+        blk = nn.remat(PixArtBlock) \
+            if self.cfg.gradient_checkpointing else PixArtBlock
+        return blk(self.cfg, name="block")(x, ctx, t6), None
+
+
+def _pixart_scan(cfg):
+    return nn.scan(
+        _PixArtScanBody,
+        variable_axes={"params": 0, "lora": 0},
+        split_rngs={"params": True},
+        in_axes=(nn.broadcast, nn.broadcast),
+        length=cfg.num_layers)
+
+
 class PixArtTransformer2D(nn.Module):
     cfg: PixArtConfig
 
@@ -187,11 +208,14 @@ class PixArtTransformer2D(nn.Module):
         t6 = AdaLNSingle(c, name="adaln_single")(timestep.astype(jnp.float32))
         ctx = CaptionProjection(c, name="caption_projection")(context)
 
-        block_cls = PixArtBlock
-        if c.gradient_checkpointing:
-            block_cls = nn.remat(PixArtBlock)
-        for i in range(c.num_layers):
-            x = block_cls(c, name=f"transformer_blocks_{i}")(x, ctx, t6)
+        if c.scan_layers:
+            x, _ = _pixart_scan(c)(c, name="transformer_blocks")(x, ctx, t6)
+        else:
+            block_cls = PixArtBlock
+            if c.gradient_checkpointing:
+                block_cls = nn.remat(PixArtBlock)
+            for i in range(c.num_layers):
+                x = block_cls(c, name=f"transformer_blocks_{i}")(x, ctx, t6)
 
         # final AdaLN (2-entry table) + projection
         table = self.param("scale_shift_table", nn.initializers.normal(0.02),

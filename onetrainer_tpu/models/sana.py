@@ -39,6 +39,9 @@ class SanaConfig:
     qkv_bias: bool = False               # attn1 (detected from checkpoint)
     cross_qkv_bias: bool = True          # attn2
     gradient_checkpointing: bool = False
+    # scan-over-layers (models/flux.py pattern): homogeneous blocks under
+    # lax.scan with stacked [L, ...] params
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -180,6 +183,29 @@ class _SanaTimestep(nn.Module):
         return LoraDense(c.hidden_size, dtype=c.dtype, name="linear_2")(x)
 
 
+class _SanaScanBody(nn.Module):
+    cfg: "SanaConfig"
+    gh: int
+    gw: int
+
+    @nn.compact
+    def __call__(self, x, ctx, context_mask, t6):
+        blk = nn.remat(SanaBlock, static_argnums=(5, 6)) \
+            if self.cfg.gradient_checkpointing else SanaBlock
+        x = blk(self.cfg, name="block")(
+            x, ctx, context_mask, t6, self.gh, self.gw)
+        return x, None
+
+
+def _sana_scan(cfg, gh, gw):
+    return nn.scan(
+        _SanaScanBody,
+        variable_axes={"params": 0, "lora": 0},
+        split_rngs={"params": True},
+        in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+        length=cfg.num_layers)
+
+
 class SanaTransformer2D(nn.Module):
     cfg: SanaConfig
 
@@ -214,13 +240,18 @@ class SanaTransformer2D(nn.Module):
                         name="caption_projection_linear_2")(ctx)
         ctx = SanaRMSNorm(c.hidden_size, name="caption_norm")(ctx)
 
-        block_cls = SanaBlock
-        if c.gradient_checkpointing:
-            # argnum 0 is the module instance; gh/gw are args 5 and 6
-            block_cls = nn.remat(SanaBlock, static_argnums=(5, 6))
-        for i in range(c.num_layers):
-            x = block_cls(c, name=f"transformer_blocks_{i}")(
-                x, ctx, context_mask, t6, gh, gw)
+        if c.scan_layers:
+            x, _ = _sana_scan(c, gh, gw)(
+                c, gh, gw, name="transformer_blocks")(
+                x, ctx, context_mask, t6)
+        else:
+            block_cls = SanaBlock
+            if c.gradient_checkpointing:
+                # argnum 0 is the module instance; gh/gw are args 5 and 6
+                block_cls = nn.remat(SanaBlock, static_argnums=(5, 6))
+            for i in range(c.num_layers):
+                x = block_cls(c, name=f"transformer_blocks_{i}")(
+                    x, ctx, context_mask, t6, gh, gw)
 
         table = self.param("scale_shift_table", nn.initializers.normal(0.02),
                            (2, c.hidden_size))

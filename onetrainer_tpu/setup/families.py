@@ -299,6 +299,7 @@ def _pixart_load(base_dir, config):
         loaded = load_pixart_single_file(base_dir, **kwargs)
     else:
         loaded = load_pixart_diffusers(base_dir, **kwargs)
+    loaded = _apply_scan_layers(loaded)
     return PixArtAlphaModel(
         model_type=config.model_type,
         transformer_config=loaded["transformer_config"],
@@ -333,7 +334,7 @@ def _pixart_sample(setup, sample_config, on_progress):
 def _pixart_save_model(setup, out_dir, source_dir):
     from onetrainer_tpu.io.pixart_checkpoints import save_pixart_diffusers
     transformer, te, _ = setup.merged_inference_params()
-    save_pixart_diffusers(out_dir, setup.model, transformer,
+    save_pixart_diffusers(out_dir, setup.model, _unstacked_blocks(transformer),
                           setup.model.vae_params, te, source_dir=source_dir)
 
 
@@ -346,6 +347,7 @@ def _pixart_save_single_file(setup, path):
     from onetrainer_tpu.io.torch_flax import unet_flax_to_state_dict
     from onetrainer_tpu.util.model_spec import make_modelspec_metadata
     transformer, *_ = setup.merged_inference_params()
+    transformer = _unstacked_blocks(transformer)
     sd = pixart_transformer_to_ckpt(
         unet_flax_to_state_dict(_to_numpy_tree(transformer)))
     meta = make_modelspec_metadata(
@@ -508,6 +510,7 @@ def _sana_load(base_dir, config):
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
+    loaded = _apply_scan_layers(loaded)
     return SanaModel(
         model_type=config.model_type,
         transformer_config=loaded["transformer_config"],
@@ -542,8 +545,8 @@ def _sana_sample(setup, sample_config, on_progress):
 def _sana_save_model(setup, out_dir, source_dir):
     from onetrainer_tpu.io.sana_checkpoints import save_sana_diffusers
     transformer, te, _ = setup.merged_inference_params()
-    save_sana_diffusers(out_dir, setup.model, transformer, te,
-                        source_dir=source_dir)
+    save_sana_diffusers(out_dir, setup.model, _unstacked_blocks(transformer),
+                        te, source_dir=source_dir)
 
 
 def _sana_save_single_file(setup, path):

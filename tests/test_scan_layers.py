@@ -277,3 +277,53 @@ def test_sd3_scan_matches_loop():
                            *args)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sana_and_pixart_scan_match_loop():
+    """Sana and PixArt scan paths match their per-layer loops."""
+    from onetrainer_tpu.models.pixart import PixArtConfig, PixArtTransformer2D
+    from onetrainer_tpu.models.sana import SanaConfig, SanaTransformer2D
+
+    # PixArt
+    pkw = dict(sample_size=8, patch_size=2, in_channels=4, out_channels=8,
+               num_layers=2, num_heads=2, head_dim=8,
+               cross_attention_dim=24, dtype=jnp.float32)
+    p_loop = PixArtTransformer2D(PixArtConfig(**pkw))
+    p_scan = PixArtTransformer2D(PixArtConfig(scan_layers=True, **pkw))
+    pargs = (
+        jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 4), jnp.float32),
+        jnp.asarray([500, 300]),
+        jax.random.normal(jax.random.PRNGKey(3), (2, 6, 24), jnp.float32),
+    )
+    params = p_loop.init(jax.random.PRNGKey(0), *pargs)["params"]
+    stacked = dict(jax.device_get(params))
+    stack_scanned_blocks(stacked, "transformer_blocks")
+    np.testing.assert_allclose(
+        np.asarray(p_scan.apply(
+            {"params": jax.tree.map(jnp.asarray, stacked)}, *pargs)),
+        np.asarray(p_loop.apply({"params": params}, *pargs)),
+        rtol=2e-5, atol=2e-5)
+
+    # Sana
+    from tests.test_trainer_sana import tiny_sana_model
+    model = tiny_sana_model()
+    c = model.transformer_config
+    s_loop = SanaTransformer2D(c)
+    s_scan = SanaTransformer2D(
+        c.__class__(**{**c.__dict__, "scan_layers": True}))
+    sargs = (
+        jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, c.in_channels),
+                          jnp.float32),
+        jnp.asarray([0.4, 0.7], jnp.float32),
+        jax.random.normal(jax.random.PRNGKey(3),
+                          (2, 6, c.caption_channels), jnp.float32),
+        jnp.ones((2, 6), jnp.int32),
+    )
+    sparams = s_loop.init(jax.random.PRNGKey(0), *sargs)["params"]
+    sstacked = dict(jax.device_get(sparams))
+    stack_scanned_blocks(sstacked, "transformer_blocks")
+    np.testing.assert_allclose(
+        np.asarray(s_scan.apply(
+            {"params": jax.tree.map(jnp.asarray, sstacked)}, *sargs)),
+        np.asarray(s_loop.apply({"params": sparams}, *sargs)),
+        rtol=2e-5, atol=2e-5)
