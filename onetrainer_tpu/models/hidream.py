@@ -43,6 +43,10 @@ class HiDreamConfig:
     axes_dims_rope: tuple[int, ...] = (64, 32, 32)
     rope_theta: float = 10000.0
     gradient_checkpointing: bool = False
+    # scan-over-layers (models/flux.py pattern): per-block caption
+    # projections stay per-layer params outside the scan; their outputs
+    # stack into a per-iteration xs input
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
 
@@ -197,6 +201,39 @@ class HiDreamSingleBlock(nn.Module):
         return x
 
 
+class _HiDreamDoubleScanBody(nn.Module):
+    cfg: "HiDreamConfig"
+
+    @nn.compact
+    def __call__(self, img, txt, temb, rope):
+        blk = nn.remat(HiDreamDoubleBlock) \
+            if self.cfg.gradient_checkpointing else HiDreamDoubleBlock
+        img, _ = blk(self.cfg, name="block")(img, txt, temb, rope)
+        return img, None
+
+
+class _HiDreamSingleScanBody(nn.Module):
+    cfg: "HiDreamConfig"
+    s_img: int
+
+    @nn.compact
+    def __call__(self, img, txt, temb, rope):
+        blk = nn.remat(HiDreamSingleBlock) \
+            if self.cfg.gradient_checkpointing else HiDreamSingleBlock
+        x = jnp.concatenate([img, txt], axis=1)
+        x = blk(self.cfg, name="block")(x, temb, rope)
+        return x[:, :self.s_img], None
+
+
+def _hidream_scan(body_cls, length):
+    return nn.scan(
+        body_cls,
+        variable_axes={"params": 0, "lora": 0},
+        split_rngs={"params": True},
+        in_axes=(0, nn.broadcast, nn.broadcast),
+        length=length)
+
+
 class HiDreamTransformer2D(nn.Module):
     cfg: HiDreamConfig
 
@@ -247,18 +284,36 @@ class HiDreamTransformer2D(nn.Module):
             double_cls = nn.remat(HiDreamDoubleBlock)
             single_cls = nn.remat(HiDreamSingleBlock)
 
-        for i in range(c.num_layers):
-            txt = jnp.concatenate([t5_tokens, llama_tokens(i)], axis=1)
-            img, _ = double_cls(c, name=f"double_stream_blocks_{i}")(
-                img, txt, temb, rope)
+        if c.scan_layers:
+            # per-block txt streams precomputed (tiny matmuls; the block
+            # bodies compile once under scan)
+            txts_double = jnp.stack(
+                [jnp.concatenate([t5_tokens, llama_tokens(i)], axis=1)
+                 for i in range(c.num_layers)], axis=0)
+            img, _ = _hidream_scan(_HiDreamDoubleScanBody, c.num_layers)(
+                c, name="double_stream_blocks")(img, txts_double, temb, rope)
+            txts_single = jnp.stack(
+                [jnp.concatenate(
+                    [t5_tokens, llama_tokens(c.num_layers + i)], axis=1)
+                 for i in range(c.num_single_layers)], axis=0)
+            img, _ = _hidream_scan(
+                _HiDreamSingleScanBody, c.num_single_layers)(
+                c, s_img, name="single_stream_blocks")(
+                img, txts_single, temb, rope)
+        else:
+            for i in range(c.num_layers):
+                txt = jnp.concatenate([t5_tokens, llama_tokens(i)], axis=1)
+                img, _ = double_cls(c, name=f"double_stream_blocks_{i}")(
+                    img, txt, temb, rope)
 
-        for i in range(c.num_single_layers):
-            block_index = c.num_layers + i
-            txt = jnp.concatenate(
-                [t5_tokens, llama_tokens(block_index)], axis=1)
-            x = jnp.concatenate([img, txt], axis=1)
-            x = single_cls(c, name=f"single_stream_blocks_{i}")(x, temb, rope)
-            img = x[:, :s_img]
+            for i in range(c.num_single_layers):
+                block_index = c.num_layers + i
+                txt = jnp.concatenate(
+                    [t5_tokens, llama_tokens(block_index)], axis=1)
+                x = jnp.concatenate([img, txt], axis=1)
+                x = single_cls(c, name=f"single_stream_blocks_{i}")(
+                    x, temb, rope)
+                img = x[:, :s_img]
 
         # final adaLN + projection (HiDream final_layer)
         mods = LoraDense(2 * c.hidden_size, dtype=c.dtype,

@@ -175,7 +175,9 @@ def _sdxl_save_single_file(setup, path):
 
 
 def _apply_scan_layers(loaded, count: int | None = None,
-                       single_count: int | None = None):
+                       single_count: int | None = None,
+                       prefixes: tuple = ("transformer_blocks",
+                                          "single_transformer_blocks")):
     """OT_SCAN_LAYERS=1: mark the transformer config scan_layers=True and
     stack its homogeneous block prefixes into the [L, ...] layout
     (io/torch_flax.stack_scanned_blocks; inverse: _unstacked_blocks)."""
@@ -190,8 +192,9 @@ def _apply_scan_layers(loaded, count: int | None = None,
     loaded["transformer_config"] = _dc_replace(
         loaded["transformer_config"], scan_layers=True)
     p = dict(loaded["transformer_params"])
-    stack_scanned_blocks(p, "transformer_blocks", count=count)
-    stack_scanned_blocks(p, "single_transformer_blocks", count=single_count)
+    counts = (count, single_count)
+    for prefix, n in zip(prefixes, counts):
+        stack_scanned_blocks(p, prefix, count=n)
     loaded["transformer_params"] = _jax.tree.map(_jnp.asarray, p)
     return loaded
 
@@ -370,6 +373,8 @@ def _hidream_load(base_dir, config):
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
+    loaded = _apply_scan_layers(
+        loaded, prefixes=("double_stream_blocks", "single_stream_blocks"))
     return HiDreamModel(
         model_type=config.model_type,
         transformer_config=loaded["transformer_config"],
@@ -410,6 +415,10 @@ def _hidream_sample(setup, sample_config, on_progress):
 def _hidream_save_model(setup, out_dir, source_dir):
     from onetrainer_tpu.io.hidream_checkpoints import save_hidream_diffusers
     transformer, *_ = setup.merged_inference_params()
+    transformer = dict(transformer)
+    from onetrainer_tpu.io.torch_flax import unstack_scanned_blocks
+    unstack_scanned_blocks(transformer, "double_stream_blocks")
+    unstack_scanned_blocks(transformer, "single_stream_blocks")
     save_hidream_diffusers(out_dir, setup.model, transformer,
                            source_dir=source_dir)
 

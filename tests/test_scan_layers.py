@@ -327,3 +327,44 @@ def test_sana_and_pixart_scan_match_loop():
             {"params": jax.tree.map(jnp.asarray, sstacked)}, *sargs)),
         np.asarray(s_loop.apply({"params": sparams}, *sargs)),
         rtol=2e-5, atol=2e-5)
+
+
+def test_hidream_scan_matches_loop():
+    """HiDream scan: blocks stack, per-block caption projections stay
+    per-layer params and feed the scan as a stacked xs input."""
+    from tests.test_trainer_hidream import tiny_hidream_model
+
+    model = tiny_hidream_model()
+    c = model.transformer_config
+    loop_model = model.transformer
+    scan_model = loop_model.__class__(
+        c.__class__(**{**c.__dict__, "scan_layers": True}))
+
+    llama_layers = 2
+    s_img = 4
+    args = (
+        jax.random.normal(jax.random.PRNGKey(2),
+                          (2, s_img, c.in_channels * c.patch_size ** 2),
+                          jnp.float32),
+        jnp.asarray([500.0, 300.0]),
+        jax.random.normal(jax.random.PRNGKey(3), (2, 5, c.t5_dim),
+                          jnp.float32),
+        jax.random.normal(jax.random.PRNGKey(4),
+                          (llama_layers, 2, 4, c.llama_dim), jnp.float32),
+        jax.random.normal(jax.random.PRNGKey(5), (2, c.pooled_dim),
+                          jnp.float32),
+        jnp.zeros((s_img, 3), jnp.float32),
+    )
+    params = loop_model.init(jax.random.PRNGKey(0), *args)["params"]
+    stacked = dict(jax.device_get(params))
+    stack_scanned_blocks(stacked, "double_stream_blocks")
+    stack_scanned_blocks(stacked, "single_stream_blocks")
+    assert "block" in stacked["double_stream_blocks"]
+    # caption projections stay per-layer
+    assert any(k.startswith("caption_projection_") for k in stacked)
+
+    np.testing.assert_allclose(
+        np.asarray(scan_model.apply(
+            {"params": jax.tree.map(jnp.asarray, stacked)}, *args)),
+        np.asarray(loop_model.apply({"params": params}, *args)),
+        rtol=2e-5, atol=2e-5)
