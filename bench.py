@@ -24,14 +24,16 @@ A100_PEAK_FLOPS = 312e12         # bf16
 A100_ASSUMED_MFU = 0.40
 
 
-def _flops_of(step, *args) -> float | None:
+def _cost_of(step, *args):
+    """(flops, bytes_accessed) from XLA cost analysis, or (None, None)."""
     try:
         analysis = step.lower(*args).compile().cost_analysis()
         if isinstance(analysis, list):
             analysis = analysis[0]
-        return float(analysis["flops"])
+        return (float(analysis["flops"]),
+                float(analysis.get("bytes accessed", 0.0)) or None)
     except Exception:
-        return None
+        return None, None
 
 
 def _bench_sdxl(jax, jnp, optax, base_quant=None):
@@ -87,7 +89,8 @@ def _bench_sdxl(jax, jnp, optax, base_quant=None):
         "crop_offset": jnp.zeros((bs, 2), jnp.int32),
         "crop_resolution": jnp.full((bs, 2), res, jnp.int32),
     }
-    flops = _flops_of(step, state, frozen, batch, jax.random.PRNGKey(6))
+    flops, hbm_bytes = _cost_of(step, state, frozen, batch,
+                                jax.random.PRNGKey(6))
     state, metrics = step(state, frozen, batch, jax.random.PRNGKey(6))
     float(metrics["loss"])
     n = 10
@@ -96,7 +99,8 @@ def _bench_sdxl(jax, jnp, optax, base_quant=None):
         state, metrics = step(state, frozen, batch, jax.random.PRNGKey(6))
     float(metrics["loss"])
     elapsed = time.perf_counter() - start
-    return bs * n / elapsed, (flops / bs if flops else None), elapsed / n
+    return bs * n / elapsed, (flops / bs if flops else None), elapsed / n, \
+        hbm_bytes
 
 
 def _bench_sd15(jax, jnp, optax):
@@ -134,7 +138,7 @@ def _bench_sd15(jax, jnp, optax):
         "text_encoder_hidden_state": jax.random.normal(
             jax.random.PRNGKey(3), (bs, 77, 768), jnp.bfloat16),
     }
-    flops = _flops_of(step, state, frozen, batch, jax.random.PRNGKey(4))
+    flops, _ = _cost_of(step, state, frozen, batch, jax.random.PRNGKey(4))
     state, metrics = step(state, frozen, batch, jax.random.PRNGKey(4))
     float(metrics["loss"])
     n = 20
@@ -185,9 +189,9 @@ def main():
 
     # headline: fp8 frozen base — the fastest supported configuration
     # (and the memory-friendly one); bf16 base reported as an extra
-    sdxl_ips, sdxl_flops_per_img, sdxl_sec_per_step = _bench_sdxl(
-        jax, jnp, optax, base_quant=jnp.float8_e4m3fn)
-    sdxl_bf16_ips, _, _ = _bench_sdxl(jax, jnp, optax)
+    sdxl_ips, sdxl_flops_per_img, sdxl_sec_per_step, sdxl_hbm_bytes = \
+        _bench_sdxl(jax, jnp, optax, base_quant=jnp.float8_e4m3fn)
+    sdxl_bf16_ips, _, _, _ = _bench_sdxl(jax, jnp, optax)
     sd15_ips, sd15_flops_per_img = _bench_sd15(jax, jnp, optax)
     vae_ips = _bench_vae_cache(jax, jnp)
 
@@ -210,6 +214,11 @@ def main():
             mfu * 459e12 / sdxl_flops_per_img, 3)
         extras["v5p_projection_vs_a100"] = round(
             mfu * 459e12 / sdxl_flops_per_img / a100_imgs_per_sec, 3)
+        if sdxl_hbm_bytes:
+            # the honest single-chip story: the step runs at the HBM
+            # bandwidth roofline (v5e ~819 GB/s), not the FLOP roofline
+            extras["sdxl_hbm_roofline_fraction"] = round(
+                (sdxl_hbm_bytes / 819e9) / sdxl_sec_per_step, 3)
         vs_baseline = sdxl_ips / a100_imgs_per_sec
     else:
         # fall back to a fixed analytic point: ~20 TFLOP/img train step
