@@ -9,6 +9,7 @@ import time
 
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    quant = sys.argv[2] if len(sys.argv) > 2 else None
 
     import os
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -43,6 +44,10 @@ def main():
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
     state = create_train_state({"unet_lora": adapters}, tx)
     step = make_sd_train_step(model, cfg, tx, peft_cfg)
+    if quant:
+        from onetrainer_tpu.ops.quant import quantize_tree
+        unet_params = quantize_tree(
+            unet_params, {"fp8": jnp.float8_e4m3fn, "int8": jnp.int8}[quant])
     frozen = {"unet": unet_params, "text_encoder": None}
     batch = {
         "latent_image": jax.random.normal(
@@ -69,7 +74,7 @@ def main():
     float(metrics["loss"])
     elapsed = time.perf_counter() - start
     ips = bs * n / elapsed
-    out = {"workload": f"sd15_lora_512_bs{bs}", "imgs_per_sec": round(ips, 3)}
+    out = {"workload": f"sd15_lora_512_bs{bs}_{quant or 'bf16'}", "imgs_per_sec": round(ips, 3)}
     if flops:
         out["hw_util_v5e"] = round(ips * flops / bs / 197e12, 3)
     print(json.dumps(out))
