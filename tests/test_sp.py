@@ -161,3 +161,69 @@ def test_sp_ring_attention_path(monkeypatch):
     assert "collective-permute" in compiled.as_text()  # the ring is real
     ring_loss = float(step_ring(state2, frozen2, batch2, rng)[1]["loss"])
     np.testing.assert_allclose(ring_loss, ref_loss, rtol=2e-5, atol=2e-5)
+
+
+def test_trainer_e2e_with_sp_mesh(tmp_path, monkeypatch):
+    """Trainer-level SP: GenericTrainer on a dp2 x fsdp2 x sp2 mesh runs
+    the HunyuanVideo family end to end (OT_MESH_SP wiring, batch
+    sharding over (data, fsdp) with sp replication)."""
+    monkeypatch.setenv("OT_MESH_DP", "2")
+    monkeypatch.setenv("OT_MESH_FSDP", "2")
+    monkeypatch.setenv("OT_MESH_SP", "2")
+    from onetrainer_tpu.config.concept_config import ConceptConfig
+    from onetrainer_tpu.config.train_config import TrainConfig
+    from onetrainer_tpu.io.safetensors_io import load_safetensors
+    from onetrainer_tpu.trainer.generic_trainer import GenericTrainer
+    from onetrainer_tpu.util.enums import (
+        EMAMode, ModelType, TimeUnit, TrainingMethod,
+    )
+    from tests.test_trainer_hunyuan import (
+        make_video_dataset, tiny_hunyuan_model, write_tiny_hunyuan_checkpoint,
+    )
+
+    base = str(tmp_path / "ckpt")
+    ds = make_video_dataset(str(tmp_path / "ds"), n_videos=4, n_images=4)
+    model = tiny_hunyuan_model()
+    write_tiny_hunyuan_checkpoint(base, model)
+
+    config = TrainConfig.default_values()
+    config.model_type = ModelType.HUNYUAN_VIDEO
+    config.training_method = TrainingMethod.LORA
+    config.base_model_name = base
+    config.workspace_dir = str(tmp_path / "ws")
+    config.cache_dir = str(tmp_path / "cache")
+    config.epochs = 1
+    config.batch_size = 4          # divisible by dp x fsdp = 4
+    config.resolution = "32"
+    config.frames = "9"
+    config.aspect_ratio_bucketing = False
+    config.lora_rank = 4
+    config.lora_layers = "attn"
+    config.learning_rate = 1e-3
+    config.learning_rate_warmup_steps = 0.0
+    config.tensorboard = False
+    config.sample_after_unit = TimeUnit.NEVER
+    config.backup_after_unit = TimeUnit.NEVER
+    config.save_every_unit = TimeUnit.NEVER
+    config.ema = EMAMode.OFF
+    config.optimizer.stochastic_rounding = False
+    config.prior.train = True
+    config.text_encoder.train = False
+    config.samples = []
+    concept = ConceptConfig.default_values()
+    concept.path = ds
+    concept.seed = 3
+    config.concepts = [concept]
+    config.output_model_destination = str(tmp_path / "out_sp.safetensors")
+    config.backup_before_save = False
+
+    trainer = GenericTrainer(config)
+    trainer.start()
+    assert trainer.mesh is not None
+    assert dict(trainer.mesh.shape) == {"data": 2, "fsdp": 2, "sp": 2}
+    trainer.train()
+    trainer.end()
+
+    assert trainer.train_progress.global_step >= 1
+    sd = load_safetensors(config.output_model_destination)
+    assert any(k.startswith("lora_transformer_") for k in sd)
