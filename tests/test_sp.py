@@ -227,3 +227,44 @@ def test_trainer_e2e_with_sp_mesh(tmp_path, monkeypatch):
     assert trainer.train_progress.global_step >= 1
     sd = load_safetensors(config.output_model_destination)
     assert any(k.startswith("lora_transformer_") for k in sd)
+
+
+def test_sp_composes_with_scan_layers():
+    """OT_SCAN_LAYERS + sp mesh together: the scanned HunyuanVideo step
+    with Ulysses constraints inside the scan body matches the unsharded
+    loop step."""
+    from onetrainer_tpu.io.torch_flax import stack_scanned_blocks
+
+    model = tiny_hunyuan_model()
+    state, frozen, batch, cfg, tx, peft_cfg = _make_step_inputs(model)
+    rng = jax.random.PRNGKey(21)
+    step = make_hunyuan_train_step(model, cfg, tx, peft_cfg)
+    ref_loss = float(step(state, frozen, batch, rng)[1]["loss"])
+
+    # scan-stacked variant of the same model
+    c = model.transformer_config
+    scan_cfg = c.__class__(**{**c.__dict__, "scan_layers": True})
+
+    class _M:
+        pass
+
+    from onetrainer_tpu.models.hunyuan_video import HunyuanVideoTransformer3D
+    scan_model = _M()
+    scan_model.transformer = HunyuanVideoTransformer3D(scan_cfg)
+
+    mesh = create_mesh(dp=1, fsdp=2, sp=4)
+    enable_sp(mesh)
+    state2, frozen2, batch2, cfg2, tx2, _ = _make_step_inputs(model)
+    stacked = dict(jax.device_get(frozen2["transformer"]))
+    stack_scanned_blocks(stacked, "transformer_blocks")
+    stack_scanned_blocks(stacked, "single_transformer_blocks")
+    frozen2 = {"transformer": jax.tree.map(jnp.asarray, stacked)}
+    from onetrainer_tpu.peft.lora import init_peft_params
+    adapters = init_peft_params(jax.random.PRNGKey(1),
+                                frozen2["transformer"], peft_cfg)
+    from onetrainer_tpu.train.train_state import create_train_state
+    state2 = create_train_state({"transformer_lora": adapters}, tx2)
+    step2 = make_hunyuan_train_step(scan_model, cfg2, tx2, peft_cfg)
+    batch2 = shard_batch(batch2, mesh)
+    sp_loss = float(step2(state2, frozen2, batch2, rng)[1]["loss"])
+    np.testing.assert_allclose(sp_loss, ref_loss, rtol=5e-5, atol=5e-5)
