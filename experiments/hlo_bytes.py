@@ -1,0 +1,161 @@
+"""Per-instruction HBM byte attribution from post-optimization HLO text.
+
+Parses `compiled.as_text()` (the optimized HLO module: one instruction per
+kernel after fusion) and charges each ENTRY-computation instruction
+`output_bytes + sum(operand_bytes)` — the same approximation XLA's own cost
+analysis uses for bytes-accessed, but kept *per instruction* so the total
+(which cost_analysis reports as a single number) can be attributed to
+attention / convs / matmuls / optimizer etc. via the op_name metadata that
+JAX stamps on every HLO (the jit name-stack).
+
+Used by experiments/exp_byte_attr.py to answer VERDICT r2 weak#1: *which*
+ops burn the 468 GB/step of the SDXL step.
+"""
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+_DTYPE_BYTES = {
+    "pred": 1, "s4": 1, "u4": 1,
+    "s8": 1, "u8": 1, "f8e4m3fn": 1, "f8e5m2": 1, "f8e4m3": 1,
+    "f8e4m3b11fnuz": 1, "f8e5m2fnuz": 1, "f8e4m3fnuz": 1, "f8e3m4": 1,
+    "f8e8m0fnu": 1,
+    "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4,
+    "s64": 8, "u64": 8, "f64": 8, "c64": 8,
+    "c128": 16,
+    "token": 0, "opaque": 0,
+}
+
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+
+
+def shape_bytes(shape_str: str) -> int:
+    """Bytes of an HLO shape string; tuples sum their elements."""
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(shape_str):
+        if dtype not in _DTYPE_BYTES:
+            continue
+        n = 1
+        if dims:
+            for d in dims.split(","):
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dtype]
+    return total
+
+
+# instruction line inside a computation body:
+#   %name = <shape> opcode(...), attrs
+_INSTR_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^=]*?\))|(?:[a-z0-9]+"
+    r"\[[0-9,]*\](?:\{[^}]*\})?))\s*"
+    r"([\w\-]+)\((.*)$"
+)
+_OPERAND_RE = re.compile(r"%([\w.\-]+)")
+_METADATA_RE = re.compile(r'op_name="([^"]*)"')
+
+# opcodes that are aliases / free (no HBM traffic of their own)
+_FREE_OPS = {
+    "parameter", "get-tuple-element", "tuple", "bitcast", "constant",
+    "after-all", "partition-id", "replica-id",
+}
+
+
+def parse_entry_instructions(hlo_text: str):
+    """Yield dicts for each ENTRY-computation instruction.
+
+    Keys: name, opcode, out_bytes, operand_bytes, total_bytes, op_name.
+    """
+    # locate the ENTRY computation body
+    lines = hlo_text.splitlines()
+    shapes: dict[str, int] = {}
+    in_entry = False
+    depth = 0
+    out = []
+    for line in lines:
+        stripped = line.strip()
+        if stripped.startswith("ENTRY "):
+            in_entry = True
+            depth = line.count("{") - line.count("}")
+            continue
+        if not in_entry:
+            continue
+        depth += line.count("{") - line.count("}")
+        if depth <= 0:
+            break
+        m = _INSTR_RE.match(line)
+        if not m:
+            continue
+        name, shape_str, opcode, rest = m.groups()
+        ob = shape_bytes(shape_str)
+        shapes[name] = ob
+        if opcode in _FREE_OPS:
+            continue
+        # operands: only the portion before the closing paren of the operand
+        # list; attrs follow after "), ". Cheap heuristic: operands are
+        # %refs before the first "), " or the whole rest.
+        op_part = rest.split("), ", 1)[0]
+        operand_bytes = 0
+        for ref in _OPERAND_RE.findall(op_part):
+            operand_bytes += shapes.get(ref, 0)
+        meta = _METADATA_RE.search(rest)
+        out.append({
+            "name": name,
+            "opcode": opcode,
+            "out_bytes": ob,
+            "operand_bytes": operand_bytes,
+            "total_bytes": ob + operand_bytes,
+            "op_name": meta.group(1) if meta else "",
+        })
+    return out
+
+
+_BUCKETS = [
+    ("attention", re.compile(r"attn|attention|_qkv|/(q|k|v|o)_proj|softmax",
+                             re.I)),
+    ("conv", re.compile(r"conv", re.I)),
+    ("ff/matmul", re.compile(r"ff_|ffn|mlp|dense|linear|proj|dot_general|"
+                             r"geglu|gelu", re.I)),
+    ("norm", re.compile(r"norm|group_norm|layer_norm|rms", re.I)),
+    ("optimizer", re.compile(r"adam|opt_state|update|scale_by|clip|lora_step",
+                             re.I)),
+    ("transpose/copy", re.compile(r"transpose|copy|reshape", re.I)),
+]
+
+
+def bucket_of(instr) -> str:
+    label = instr["op_name"] or instr["opcode"]
+    for name, rx in _BUCKETS:
+        if rx.search(label):
+            return name
+    if instr["opcode"] in ("convolution",):
+        return "conv"
+    if instr["opcode"] in ("dot",):
+        return "ff/matmul"
+    if instr["opcode"] in ("copy", "transpose", "copy-start", "copy-done"):
+        return "transpose/copy"
+    return "other"
+
+
+def summarize(instrs, top_n: int = 40):
+    total = sum(i["total_bytes"] for i in instrs)
+    buckets = defaultdict(int)
+    for i in instrs:
+        buckets[bucket_of(i)] += i["total_bytes"]
+    top = sorted(instrs, key=lambda i: -i["total_bytes"])[:top_n]
+    return {
+        "total_gb": total / 1e9,
+        "buckets_gb": {k: round(v / 1e9, 2)
+                       for k, v in sorted(buckets.items(),
+                                          key=lambda kv: -kv[1])},
+        "top": [
+            {
+                "gb": round(i["total_bytes"] / 1e9, 3),
+                "out_gb": round(i["out_bytes"] / 1e9, 3),
+                "opcode": i["opcode"],
+                "op_name": i["op_name"][-160:],
+            }
+            for i in top
+        ],
+    }

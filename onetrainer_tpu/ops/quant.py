@@ -44,7 +44,12 @@ def quantize_array(x: jnp.ndarray, dtype=jnp.float8_e4m3fn) -> QuantizedArray:
 
 
 def dequantize_array(x: QuantizedArray, dtype=jnp.bfloat16) -> jnp.ndarray:
-    return (x.q.astype(jnp.float32) * x.scale).astype(dtype)
+    # scale is a scalar per tensor, or [L] for scan-stacked trees (one
+    # absmax per layer) — broadcast it against the leading axes of q
+    scale = x.scale
+    if scale.ndim and scale.ndim < x.q.ndim:
+        scale = scale.reshape(scale.shape + (1,) * (x.q.ndim - scale.ndim))
+    return (x.q.astype(jnp.float32) * scale).astype(dtype)
 
 
 def maybe_dequantize(x, dtype=jnp.bfloat16):
@@ -55,21 +60,52 @@ def maybe_dequantize(x, dtype=jnp.bfloat16):
     return x
 
 
+def _is_scan_stacked_subtree(v) -> bool:
+    """The OT_SCAN_LAYERS stacked layout is `{prefix: {"block": tree}}` with
+    a leading layer axis on every leaf (io/torch_flax.stack_scanned_blocks).
+    nn.scan(variable_axes={"params": 0}) slices those leaves per layer, so
+    their quantization must be per-layer too (scale [L], codes [L, ...]) —
+    a scalar scale cannot be sliced along the layer axis."""
+    return isinstance(v, dict) and set(v.keys()) == {"block"}
+
+
 def quantize_tree(tree, dtype=jnp.float8_e4m3fn, min_size: int = 4096,
                   keep_dtype=jnp.bfloat16):
     """Quantize float weight leaves (ndim >= 2) with >= min_size
     elements; 1-D leaves (biases, norm scales) and small tensors are kept
     in keep_dtype — the same layer-selection policy as the reference's
-    replace-linears pass (weights only, bitsandbytes semantics)."""
-    def visit(leaf):
+    replace-linears pass (weights only, bitsandbytes semantics).
+
+    Scan-stacked subtrees (`{prefix: {"block": ...}}`, see
+    _is_scan_stacked_subtree) are quantized per layer along axis 0 via
+    vmap so nn.scan can slice the quantized leaves layer by layer."""
+    def visit(leaf, stacked=False):
         leaf = jnp.asarray(leaf)
-        if leaf.ndim >= 2 and leaf.size >= min_size \
-                and jnp.issubdtype(leaf.dtype, jnp.floating):
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf
+        min_ndim = 3 if stacked else 2
+        per_item = leaf.size // leaf.shape[0] if stacked and leaf.ndim else leaf.size
+        if leaf.ndim >= min_ndim and per_item >= min_size:
+            if stacked:
+                if dtype == "nf4":
+                    return jax.vmap(quantize_nf4)(leaf)
+                return jax.vmap(lambda x: quantize_array(x, dtype))(leaf)
             if dtype == "nf4":
                 return quantize_nf4(leaf)
             return quantize_array(leaf, dtype)
-        return leaf.astype(keep_dtype) if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf
+        return leaf.astype(keep_dtype)
 
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            if _is_scan_stacked_subtree(v):
+                out[k] = {"block": jax.tree.map(
+                    lambda leaf: visit(leaf, stacked=True), v["block"])}
+            elif isinstance(v, dict):
+                out[k] = quantize_tree(v, dtype, min_size, keep_dtype)
+            else:
+                out[k] = visit(v)
+        return out
     return jax.tree.map(visit, tree)
 
 
@@ -98,17 +134,19 @@ class NF4Array:
     """Block-wise NF4: packed 4-bit codes (two per uint8) + per-block
     absmax scales. 4x smaller than bf16 for the frozen base."""
 
-    def __init__(self, q, scales, shape):
-        self.q = q              # uint8 [ceil(n/2)]
-        self.scales = scales    # f32 [n_blocks]
+    def __init__(self, q, scales, shape, block: int = NF4_BLOCK):
+        self.q = q              # uint8 [ceil(n/2)]  (or [L, ...] stacked)
+        self.scales = scales    # f32 [n_blocks]     (or [L, n_blocks])
         self.shape = tuple(shape)
+        self.block = int(block)
 
     def tree_flatten(self):
-        return (self.q, self.scales), self.shape
+        return (self.q, self.scales), (self.shape, self.block)
 
     @classmethod
-    def tree_unflatten(cls, shape, children):
-        return cls(children[0], children[1], shape)
+    def tree_unflatten(cls, aux, children):
+        shape, block = aux
+        return cls(children[0], children[1], shape, block)
 
 
 def quantize_nf4(x: jnp.ndarray, block: int = NF4_BLOCK) -> NF4Array:
@@ -125,15 +163,21 @@ def quantize_nf4(x: jnp.ndarray, block: int = NF4_BLOCK) -> NF4Array:
     flat = idx.reshape(-1)
     packed = (flat[0::2] << 4) | flat[1::2]
     return NF4Array(q=packed, scales=scales.astype(jnp.float32),
-                    shape=x.shape)
+                    shape=x.shape, block=block)
 
 
 def dequantize_nf4(x: NF4Array, dtype=jnp.bfloat16) -> jnp.ndarray:
+    if x.q.ndim == 2:
+        # scan-stacked [L, packed] / [L, nb]: per-layer dequant, one layer
+        # per leading-axis slice (quantize_tree's vmap(quantize_nf4) layout)
+        return jax.vmap(
+            lambda q, s: dequantize_nf4(NF4Array(q, s, x.shape, x.block),
+                                        dtype))(x.q, x.scales)
     code = jnp.asarray(NF4_CODE, jnp.float32)
     hi = (x.q >> 4).astype(jnp.int32)
     lo = (x.q & 0xF).astype(jnp.int32)
     idx = jnp.stack([hi, lo], axis=1).reshape(-1)
-    vals = code[idx].reshape(-1, NF4_BLOCK) * x.scales[:, None]
+    vals = code[idx].reshape(-1, x.block) * x.scales[:, None]
     n = 1
     for d in x.shape:
         n *= d

@@ -6,8 +6,14 @@ K/V per device inside attention. Ring attention keeps Q, K, V
 sequence-sharded the whole time — each device computes online-softmax
 partial attention of its local Q block against one K/V block at a time
 while the K/V blocks rotate around the ring (`lax.ppermute` over ICI),
-overlapping compute with neighbor transfers. Memory per device is
-O(S/p), enabling sequences far beyond one chip's HBM
+overlapping compute with neighbor transfers. The forward pass holds
+O(S/p) activations and never materializes the S x S score matrix; the
+backward pass re-derives each block's scores (jax.checkpoint on the
+ring step) but `lax.scan` still records every step's carry — including
+the rotating K/V blocks — as residuals, so training memory is
+O(S) per device (~5 sequence-sized tensors), a p-fold win over
+score-matrix attention but NOT O(S/p). A custom VJP that re-runs the
+ring in reverse would get true O(S/p); not implemented.
 (ring attention: arXiv:2310.01889; blockwise online softmax:
 arXiv:2205.14135).
 
@@ -82,8 +88,9 @@ def _ring_attention_local(q, k, v, kv_mask, axis_name: str, axis_size: int):
     init = (num, den, mx, k, v) if kv_mask is None \
         else (num, den, mx, k, v, kv_mask)
     # checkpoint the step: the backward pass recomputes each block's
-    # score matrix instead of saving L of them (flash-attention memory
-    # semantics — O(S/p) residuals, not O(S^2/p))
+    # score matrix instead of saving axis_size of them (no O(S^2/p)
+    # residuals; the scan carries — K/V blocks etc. — still accumulate
+    # to O(S) per device, see module docstring)
     out_carry, _ = jax.lax.scan(
         jax.checkpoint(step), init, None, length=axis_size)
     num, den, mx = out_carry[0], out_carry[1], out_carry[2]

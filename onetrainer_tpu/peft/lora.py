@@ -220,6 +220,12 @@ def _merged_kernel(kernel, entry: dict, cfg: PeftConfig,
         else:
             down = entry["lora_down"].astype(jnp.float32)    # [L, r, in]
             up = entry["lora_up"].astype(jnp.float32)        # [L, out, r]
+            if cfg.dropout > 0 and rng is not None:
+                # same rank dropout as the 2-D path (_delta_2d), one mask
+                # per (layer, rank) row of the stacked down tensor
+                keep = jax.random.bernoulli(
+                    rng, 1.0 - cfg.dropout, (down.shape[0], down.shape[1], 1))
+                down = down * keep / (1.0 - cfg.dropout)
             delta = jnp.einsum("lor,lri->loi", up, down) * scale
         wp = w + delta
         if cfg.decompose and "dora_scale" in entry:

@@ -104,9 +104,13 @@ def make_modelspec_metadata(
 
 
 def sha256_of_tensors(tensors: dict) -> str:
+    """Digest of tensor BYTES only, iterated in sorted-key order — key names
+    are not mixed in, matching the reference's checkpoint hash
+    (modules/modelSaver/mixin/DtypeModelSaverMixin.py:47-61, which feeds
+    safetensors._tobytes(tensor) per sorted key) so external tools that
+    recompute modelspec.hash_sha256 agree with ours."""
     import numpy as np
     h = hashlib.sha256()
     for key in sorted(tensors):
-        h.update(key.encode())
         h.update(np.ascontiguousarray(tensors[key]).tobytes())
     return "0x" + h.hexdigest()
