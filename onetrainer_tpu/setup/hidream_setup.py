@@ -41,6 +41,11 @@ class HiDreamSetup:
     state: object = None
     embedding_ids: dict = field(default_factory=dict)
     group_schedules: dict = field(default_factory=dict)
+    # artifact key names (reference: HiDreamEmbeddingSaver.py:27-43)
+    embedding_save_keys: dict = field(default_factory=lambda: {
+        "embeddings": "clip_l", "embeddings_2": "clip_g",
+        "embeddings_3": "t5", "embeddings_4": "llama",
+        "output_embeddings_3": "t5_out"})
 
     def merged_inference_params(self, params=None):
         params = params if params is not None else self.state.params
@@ -94,6 +99,10 @@ def create_hidream_setup(
     group_schedules: dict = {}
     labels: dict = {}
     peft_cfg = None
+    embedding_ids: dict = {}
+    out_spans: tuple = ()
+    out_stds: tuple = ()
+    n_input = 0
 
     if method == TrainingMethod.LORA:
         peft_cfg = PeftConfig.from_train_config(config)
@@ -105,6 +114,48 @@ def create_hidream_setup(
                 config.prior, steps_per_epoch)
             labels["transformer_lora"] = jax.tree.map(
                 lambda _: "transformer_lora", trainable["transformer_lora"])
+    elif method == TrainingMethod.EMBEDDING:
+        # 4-TE textual inversion (reference: HiDreamEmbeddingSetup.py;
+        # HiDreamModelEmbedding carries one vector per TE and
+        # HiDreamEmbeddingSaver.py saves clip_l/clip_g/t5/llama keys).
+        # Output embeddings patch the T5 context (is_output_embedding is
+        # set on TE3/TE4 in the reference; the TE4 llama-out path is not
+        # implemented here — the T5 scatter is, matching the t5_out key)
+        from onetrainer_tpu.setup.sd_setup import (
+            _init_embedding_vectors, _init_output_embeddings,
+        )
+        lr = config.embedding_learning_rate or config.learning_rate
+        embedding_ids = {}
+        tes = ((model.te_params, tokenizer, ""),
+               (model.te2_params, tokenizer_2, "_2"),
+               (model.te3_params, tokenizer_3, "_3"),
+               (model.te4_params, tokenizer_4, "_4"))
+        n_input = 0
+        for te_p, tok, suffix in tes:
+            vectors, ids = _init_embedding_vectors(model, te_p, tok, config)
+            if vectors is not None:
+                trainable[f"embeddings{suffix}"] = vectors
+                group_schedules[f"embeddings{suffix}"] = _group_schedule(
+                    config, lr, total_steps)
+                labels[f"embeddings{suffix}"] = f"embeddings{suffix}"
+                if suffix == "":
+                    embedding_ids = ids
+                    n_input = int(vectors.shape[0])
+        out_vec = None
+        for (te_p, tok, suffix), te_mod in zip(
+                tes, (model.text_encoder, model.text_encoder_2,
+                      model.text_encoder_3, model.text_encoder_4)):
+            out_in, vec, out_ids, spans, stds = _init_output_embeddings(
+                te_mod, te_p, tok, config, n_input)
+            if out_in is not None:
+                frozen[f"embedding_inputs{suffix}"] = out_in
+            if suffix == "_3" and vec is not None:
+                out_vec, out_spans, out_stds = vec, spans, stds
+                trainable["output_embeddings_3"] = vec
+                group_schedules["output_embeddings_3"] = _group_schedule(
+                    config, lr, total_steps)
+                labels["output_embeddings_3"] = "output_embeddings_3"
+                embedding_ids.update(out_ids)
     else:
         if config.prior.train:
             trainable["transformer"] = frozen.pop("transformer")
@@ -128,12 +179,17 @@ def create_hidream_setup(
         tx = optax.MultiSteps(tx, every_k_schedule=config.gradient_accumulation_steps)
 
     step_cfg = SDStepConfig.from_train_config(config, "flow", 0)
-    step_cfg = SDStepConfig(**{
-        **step_cfg.__dict__,
+    overrides = {
         "vae_scaling_factor": model.vae_config.scaling_factor,
         "vae_shift_factor": model.vae_config.shift_factor,
-        "train_text_encoder": False,
-    })
+        "train_text_encoder": method == TrainingMethod.EMBEDDING,
+    }
+    if "output_embeddings_3" in trainable:
+        overrides.update(
+            output_embedding_base_id_3=model.te3_config.vocab_size + n_input,
+            output_embedding_spans=out_spans,
+            output_embedding_stds_3=out_stds)
+    step_cfg = SDStepConfig(**{**step_cfg.__dict__, **overrides})
 
     train_step = make_hidream_train_step(model, step_cfg, tx, peft_cfg)
     state = create_train_state(trainable, tx,
@@ -144,7 +200,8 @@ def create_hidream_setup(
         tokenizer_2=tokenizer_2, tokenizer_3=tokenizer_3,
         tokenizer_4=tokenizer_4, peft_cfg=peft_cfg, step_cfg=step_cfg,
         trainable=trainable, frozen=frozen, tx=tx, train_step=train_step,
-        state=state, group_schedules=group_schedules)
+        state=state, embedding_ids=embedding_ids,
+        group_schedules=group_schedules)
 
 
 def make_hidream_encode_fns(setup: HiDreamSetup):
@@ -163,6 +220,19 @@ def make_hidream_encode_fns(setup: HiDreamSetup):
         mean, logvar = _vae_encode(jnp.asarray(images))
         return {"latent_image": np.asarray(mean, np.float32),
                 "latent_logvar": np.asarray(logvar, np.float32)}
+
+    if setup.step_cfg.train_text_encoder:
+        # embedding training: the TEs run inside the jitted step with the
+        # trained vectors spliced in — cache tokens only
+        def encode_text_tokens(prompt: str) -> dict:
+            t4 = setup.tokenizer_4(prompt)
+            return {
+                "tokens_1": setup.tokenizer(prompt),
+                "tokens_2": setup.tokenizer_2(prompt),
+                "tokens_3": setup.tokenizer_3(prompt),
+                "tokens_4": t4, "tokens_mask_4": setup.tokenizer_4.mask(t4),
+            }
+        return encode_images, encode_text_tokens
 
     te = model.te_params
     te2 = model.te2_params

@@ -40,6 +40,10 @@ class HunyuanSetup:
     state: object = None
     embedding_ids: dict = field(default_factory=dict)
     group_schedules: dict = field(default_factory=dict)
+    # artifact key names (reference: HunyuanVideoEmbeddingSaver.py:27-35)
+    embedding_save_keys: dict = field(default_factory=lambda: {
+        "embeddings": "llama", "embeddings_2": "clip_l",
+        "output_embeddings": "llama_out"})
 
     def merged_inference_params(self, params=None):
         params = params if params is not None else self.state.params
@@ -89,6 +93,10 @@ def create_hunyuan_setup(
     group_schedules: dict = {}
     labels: dict = {}
     peft_cfg = None
+    embedding_ids: dict = {}
+    out_spans: tuple = ()
+    out_stds: tuple = ()
+    n_input = 0
 
     if method == TrainingMethod.LORA:
         peft_cfg = PeftConfig.from_train_config(config)
@@ -108,6 +116,49 @@ def create_hunyuan_setup(
                 config.text_encoder, steps_per_epoch)
             labels["te_lora"] = jax.tree.map(
                 lambda _: "te_lora", trainable["te_lora"])
+    elif method == TrainingMethod.EMBEDDING:
+        # llama + clip_l textual inversion; output embeddings patch the
+        # llama context (reference: HunyuanVideoEmbeddingSetup.py,
+        # HunyuanVideoEmbeddingSaver.py llama/clip_l/llama_out keys;
+        # HunyuanVideoModelEmbedding: is_output_embedding on TE1 only)
+        from onetrainer_tpu.setup.sd_setup import (
+            _init_embedding_vectors, _init_output_embeddings,
+        )
+        lr = config.embedding_learning_rate or config.learning_rate
+        vectors, embedding_ids = _init_embedding_vectors(
+            model, model.te_params, tokenizer, config)
+        vectors2, _ = _init_embedding_vectors(
+            model, model.te2_params, tokenizer_2, config)
+        if vectors is not None:
+            trainable["embeddings"] = vectors
+            trainable["embeddings_2"] = vectors2
+            for name in ("embeddings", "embeddings_2"):
+                group_schedules[name] = _group_schedule(config, lr, total_steps)
+                labels[name] = name
+        n_input = int(vectors.shape[0]) if vectors is not None else 0
+
+        def _llama_context(tokens):
+            out = model.text_encoder.apply(
+                {"params": model.te_params}, tokens)
+            return encode_llama_text(out, 0, default_layer=-3,
+                                     crop_start=PROMPT_TEMPLATE_CROP_START)
+
+        out_in, out_vec, out_ids, out_spans, out_stds = \
+            _init_output_embeddings(model.text_encoder, model.te_params,
+                                    tokenizer, config, n_input,
+                                    encode_fn=_llama_context, start=0)
+        # keep the clip tokenizer's placeholder registry aligned
+        out_in2, _, _, _, _ = _init_output_embeddings(
+            model.text_encoder_2, model.te2_params, tokenizer_2, config,
+            n_input)
+        if out_vec is not None:
+            trainable["output_embeddings"] = out_vec
+            frozen["embedding_inputs"] = out_in
+            frozen["embedding_inputs_2"] = out_in2
+            group_schedules["output_embeddings"] = _group_schedule(
+                config, lr, total_steps)
+            labels["output_embeddings"] = "output_embeddings"
+            embedding_ids.update(out_ids)
     else:
         if config.prior.train:
             trainable["transformer"] = frozen.pop("transformer")
@@ -133,11 +184,17 @@ def create_hunyuan_setup(
 
     step_cfg = SDStepConfig.from_train_config(
         config, "flow", config.text_encoder_layer_skip or 0)
-    step_cfg = SDStepConfig(**{
-        **step_cfg.__dict__,
+    overrides = {
         "vae_scaling_factor": model.vae_config.scaling_factor,
-        "train_text_encoder": config.text_encoder.train,
-    })
+        "train_text_encoder": (config.text_encoder.train
+                               or method == TrainingMethod.EMBEDDING),
+    }
+    if "output_embeddings" in trainable:
+        overrides.update(
+            output_embedding_base_id=model.te_config.vocab_size + n_input,
+            output_embedding_spans=out_spans,
+            output_embedding_stds=out_stds)
+    step_cfg = SDStepConfig(**{**step_cfg.__dict__, **overrides})
 
     train_step = make_hunyuan_train_step(
         model, step_cfg, tx, peft_cfg,
@@ -149,7 +206,8 @@ def create_hunyuan_setup(
         model=model, config=config, tokenizer=tokenizer,
         tokenizer_2=tokenizer_2, peft_cfg=peft_cfg, step_cfg=step_cfg,
         trainable=trainable, frozen=frozen, tx=tx, train_step=train_step,
-        state=state, group_schedules=group_schedules)
+        state=state, embedding_ids=embedding_ids,
+        group_schedules=group_schedules)
 
 
 def make_hunyuan_encode_fns(setup: HunyuanSetup):

@@ -38,6 +38,9 @@ class SanaSetup:
     state: object = None
     embedding_ids: dict = field(default_factory=dict)
     group_schedules: dict = field(default_factory=dict)
+    # artifact key names (reference: SanaEmbeddingSaver.py:27-31)
+    embedding_save_keys: dict = field(default_factory=lambda: {
+        "embeddings": "gemma", "output_embeddings": "gemma_out"})
 
     def merged_inference_params(self, params=None):
         params = params if params is not None else self.state.params
@@ -75,6 +78,10 @@ def create_sana_setup(
     group_schedules: dict = {}
     labels: dict = {}
     peft_cfg = None
+    embedding_ids: dict = {}
+    out_spans: tuple = ()
+    out_stds: tuple = ()
+    n_input = 0
 
     if method == TrainingMethod.LORA:
         peft_cfg = PeftConfig.from_train_config(config)
@@ -94,6 +101,30 @@ def create_sana_setup(
                 config.text_encoder, steps_per_epoch)
             labels["te_lora"] = jax.tree.map(
                 lambda _: "te_lora", trainable["te_lora"])
+    elif method == TrainingMethod.EMBEDDING:
+        # Gemma2 textual inversion (reference: SanaEmbeddingSetup.py,
+        # SanaEmbeddingSaver.py gemma/gemma_out keys)
+        from onetrainer_tpu.setup.sd_setup import (
+            _init_embedding_vectors, _init_output_embeddings,
+        )
+        lr = config.embedding_learning_rate or config.learning_rate
+        vectors, embedding_ids = _init_embedding_vectors(
+            model, model.te_params, tokenizer, config)
+        if vectors is not None:
+            trainable["embeddings"] = vectors
+            group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
+            labels["embeddings"] = "embeddings"
+        n_input = int(vectors.shape[0]) if vectors is not None else 0
+        out_in, out_vec, out_ids, out_spans, out_stds = \
+            _init_output_embeddings(model.text_encoder, model.te_params,
+                                    tokenizer, config, n_input)
+        if out_vec is not None:
+            trainable["output_embeddings"] = out_vec
+            frozen["embedding_inputs"] = out_in
+            group_schedules["output_embeddings"] = _group_schedule(
+                config, lr, total_steps)
+            labels["output_embeddings"] = "output_embeddings"
+            embedding_ids.update(out_ids)
     else:
         if config.prior.train:
             trainable["transformer"] = frozen.pop("transformer")
@@ -127,11 +158,17 @@ def create_sana_setup(
 
     step_cfg = SDStepConfig.from_train_config(
         config, "flow", config.text_encoder_layer_skip or 0)
-    step_cfg = SDStepConfig(**{
-        **step_cfg.__dict__,
+    overrides = {
         "vae_scaling_factor": model.vae_config.scaling_factor,
-        "train_text_encoder": config.text_encoder.train,
-    })
+        "train_text_encoder": (config.text_encoder.train
+                               or method == TrainingMethod.EMBEDDING),
+    }
+    if "output_embeddings" in trainable:
+        overrides.update(
+            output_embedding_base_id=model.te_config.vocab_size + n_input,
+            output_embedding_spans=out_spans,
+            output_embedding_stds=out_stds)
+    step_cfg = SDStepConfig(**{**step_cfg.__dict__, **overrides})
 
     train_step = make_sana_train_step(model, step_cfg, tx, peft_cfg)
     state = create_train_state(trainable, tx,
@@ -140,7 +177,8 @@ def create_sana_setup(
     return SanaSetup(
         model=model, config=config, tokenizer=tokenizer, peft_cfg=peft_cfg,
         step_cfg=step_cfg, trainable=trainable, frozen=frozen, tx=tx,
-        train_step=train_step, state=state, group_schedules=group_schedules)
+        train_step=train_step, state=state, embedding_ids=embedding_ids,
+        group_schedules=group_schedules)
 
 
 def make_sana_encode_fns(setup: SanaSetup):

@@ -121,6 +121,16 @@ def _group_schedule(config: TrainConfig, group_lr: float | None, total_steps: in
     return lambda step: schedule(step) * (jnp.asarray(step, jnp.float32) < stop)
 
 
+def _embedding_table(te_params: dict):
+    """The TE input-embedding table: CLIP stores it at 'token_embedding',
+    T5 at 'shared', Gemma2/Llama at 'embed_tokens' (models/gemma.py:155,
+    models/llama.py:127)."""
+    for key in ("token_embedding", "shared", "embed_tokens"):
+        if key in te_params:
+            return te_params[key]
+    raise KeyError("no input embedding table in text-encoder params")
+
+
 def _init_embedding_vectors(model, te_params, tokenizer: SDTokenizer,
                             config: TrainConfig) -> tuple[jnp.ndarray | None, dict]:
     """Create trained-embedding vectors from initial text token embeddings
@@ -130,8 +140,7 @@ def _init_embedding_vectors(model, te_params, tokenizer: SDTokenizer,
     if not embedding_configs:
         return None, {}
     # CLIP tables live at 'token_embedding'; T5 at 'shared'
-    table = np.asarray(te_params.get("token_embedding",
-                                     te_params.get("shared")))
+    table = np.asarray(_embedding_table(te_params))
     vectors = []
     ids_map = {}
     offset = 0
@@ -154,7 +163,8 @@ def _init_embedding_vectors(model, te_params, tokenizer: SDTokenizer,
 
 
 def _init_output_embeddings(te_module, te_params, tokenizer: SDTokenizer,
-                            config: TrainConfig, input_count: int):
+                            config: TrainConfig, input_count: int,
+                            encode_fn=None, start: int | None = None):
     """Output embeddings: trained vectors patched into the TE *output* at
     the placeholder positions; the input-level rows stay frozen at their
     initial-text values (reference: BaseModel._apply_output_embeddings
@@ -167,8 +177,7 @@ def _init_output_embeddings(te_module, te_params, tokenizer: SDTokenizer,
                       if e.is_output_embedding]
     if not output_configs:
         return None, None, {}, (), ()
-    table = np.asarray(te_params.get("token_embedding",
-                                     te_params.get("shared")))
+    table = np.asarray(_embedding_table(te_params))
     input_rows, out_vectors = [], []
     ids_map: dict = {}
     spans: list[tuple[int, int]] = []
@@ -181,14 +190,19 @@ def _init_output_embeddings(te_module, te_params, tokenizer: SDTokenizer,
             [table[init_ids[i % len(init_ids)]] for i in range(count)]))
         # output init: the TE's own output for the initial text
         tokens = tokenizer(e.initial_embedding_text)
-        out = te_module.apply(
-            {"params": te_params}, jnp.asarray(tokens)[None])
+        if encode_fn is not None:
+            out = encode_fn(jnp.asarray(tokens)[None])
+        else:
+            out = te_module.apply(
+                {"params": te_params}, jnp.asarray(tokens)[None])
         hidden = np.asarray(
             out["last_hidden_state"][0] if isinstance(out, dict) else out[0],
             np.float32)
-        # CLIP prompts start with BOS; T5 has none
-        start = 0 if not hasattr(tokenizer, "bos") else 1
-        vec = hidden[start:start + count]
+        # CLIP/Gemma prompts start with BOS; T5 has none; template-prefixed
+        # TEs (HunyuanVideo llama) pass their crop offset via `start`
+        s0 = start if start is not None \
+            else (0 if not hasattr(tokenizer, "bos") else 1)
+        vec = hidden[s0:s0 + count]
         out_vectors.append(vec)
         tokenizer.register_placeholder(e.placeholder, count)
         ids_map[e.uuid] = (input_count + offset, count)

@@ -176,6 +176,7 @@ class GemmaTokenizerWrapper(T5TokenizerWrapper):
             except Exception as e:
                 print(f"gemma tokenizer load failed ({e}); using hash fallback")
         self.placeholders: dict[str, list[int]] = {}
+        self._next_extra = 0
 
     def __call__(self, text: str) -> "np.ndarray":
         pieces: list[int] = []
@@ -225,10 +226,29 @@ class LlamaTokenizerWrapper(T5TokenizerWrapper):
             # tiny test vocabularies: fall back to low special ids
             self.bos, self.eos, self.pad = 2, 1, 0
         self.placeholders: dict[str, list[int]] = {}
+        self._next_extra = 0
 
     def __call__(self, text: str) -> "np.ndarray":
         from onetrainer_tpu.models.hunyuan_video import DEFAULT_PROMPT_TEMPLATE
         if self._tokenizer is not None:
+            if any(ph in text for ph in self.placeholders):
+                # splice placeholder ids (>= vocab_size) into the templated
+                # prompt: template prefix/suffix around {} tokenize with the
+                # real tokenizer, user pieces in between
+                pre, post = DEFAULT_PROMPT_TEMPLATE.split("{}")
+                ids = list(self._tokenizer(pre)["input_ids"])
+                rest = text
+                for ph, ph_ids in self.placeholders.items():
+                    if ph in rest:
+                        before, _, rest = rest.partition(ph)
+                        ids.extend(self._encode_words(before))
+                        ids.extend(ph_ids)
+                ids.extend(self._encode_words(rest))
+                ids.extend(self._tokenizer(post,
+                                           add_special_tokens=False)["input_ids"])
+                ids = ids[: self.max_length]
+                ids = ids + [self.pad] * (self.max_length - len(ids))
+                return np.asarray(ids, np.int32)
             out = self._tokenizer(
                 DEFAULT_PROMPT_TEMPLATE.format(text), padding="max_length",
                 truncation=True, max_length=self.max_length)

@@ -26,10 +26,14 @@ from onetrainer_tpu.util.enums import TrainingMethod
 
 
 def hidream_text_conditioning(model, te, te2, te3, te4, batch,
-                              extra_embeddings=None):
+                              extra_embeddings=None,
+                              output_embedding_base_id_3: int = 0):
     """-> (t5 states, llama all-layer states [L,B,S,D], pooled concat)
     (reference: HiDreamModel.encode_text:300-480,
-    combine_text_encoder_output:472-480)."""
+    combine_text_encoder_output:472-480).
+
+    extra_embeddings: per-TE 4-tuple (clip_l, clip_g, t5, llama) — the
+    reference's HiDreamModelEmbedding carries one vector per TE."""
     if "text_encoder_3_hidden_state" in batch:
         llama = batch["text_encoder_4_hidden_state"]
         if llama.ndim == 4:          # cached rows stack to [B, L, S, D]
@@ -37,13 +41,27 @@ def hidream_text_conditioning(model, te, te2, te3, te4, batch,
         return (batch["text_encoder_3_hidden_state"], llama,
                 jnp.concatenate([batch["text_encoder_1_pooled_state"],
                                  batch["text_encoder_2_pooled_state"]], -1))
+    extras = extra_embeddings if isinstance(extra_embeddings, tuple) \
+        else (extra_embeddings, None, None, None)
+    e1, e2, e3, e4 = extras
     out1 = model.text_encoder.apply(as_variables(te), batch["tokens_1"],
-                                    None, extra_embeddings)
-    out2 = model.text_encoder_2.apply(as_variables(te2), batch["tokens_2"])
-    t5 = model.text_encoder_3.apply(as_variables(te3), batch["tokens_3"])
+                                    None, e1)
+    out2 = model.text_encoder_2.apply(as_variables(te2), batch["tokens_2"],
+                                      None, e2)
+    t5 = model.text_encoder_3.apply(as_variables(te3), batch["tokens_3"], e3)
+    if batch.get("output_embeddings_3") is not None:
+        # output embeddings patch the T5 context (reference:
+        # HiDreamModelEmbedding text_encoder_3 is_output_embedding,
+        # HiDreamEmbeddingSaver.py t5_out key)
+        from onetrainer_tpu.train.sd_train_step import (
+            scatter_output_embeddings,
+        )
+        t5 = scatter_output_embeddings(
+            t5, batch["tokens_3"], batch["output_embeddings_3"],
+            output_embedding_base_id_3)
     mask4 = batch.get("tokens_mask_4")
     out4 = model.text_encoder_4.apply(as_variables(te4), batch["tokens_4"],
-                                      mask4)
+                                      mask4, e4)
     # all decoder layers (transformers hidden_states[1:]), masked
     # (reference: HiDreamModel.py:416-463)
     states = out4["hidden_states"]
@@ -81,7 +99,8 @@ def hidream_predict(model, transformer_params, te, te2, te3, te4, batch, rng,
              + scaled.astype(jnp.float32) * (1.0 - s)).astype(scaled.dtype)
 
     t5, llama, pooled = hidream_text_conditioning(
-        model, te, te2, te3, te4, batch, extra_embeddings)
+        model, te, te2, te3, te4, batch, extra_embeddings,
+        cfg.output_embedding_base_id_3)
 
     packed = pack_latents(noisy)
     img_ids = prepare_latent_image_ids(h, w)
@@ -114,6 +133,18 @@ def make_hidream_train_step(model, cfg: SDStepConfig, tx,
             return (transformer, frozen.get("text_encoder"),
                     frozen.get("text_encoder_2"), frozen.get("text_encoder_3"),
                     frozen.get("text_encoder_4"), trainable.get("embeddings"))
+        if method == TrainingMethod.EMBEDDING:
+            extras = []
+            for suffix in ("", "_2", "_3", "_4"):
+                extra = trainable.get(f"embeddings{suffix}")
+                inputs = frozen.get(f"embedding_inputs{suffix}")
+                if inputs is not None:
+                    rows = ([extra] if extra is not None else []) + [inputs]
+                    extra = jnp.concatenate(rows, axis=0)
+                extras.append(extra)
+            return (frozen["transformer"], frozen.get("text_encoder"),
+                    frozen.get("text_encoder_2"), frozen.get("text_encoder_3"),
+                    frozen.get("text_encoder_4"), tuple(extras))
         return (trainable.get("transformer", frozen.get("transformer")),
                 frozen.get("text_encoder"), frozen.get("text_encoder_2"),
                 frozen.get("text_encoder_3"), frozen.get("text_encoder_4"),
@@ -123,6 +154,9 @@ def make_hidream_train_step(model, cfg: SDStepConfig, tx,
         rng_peft, rng_predict = jax.random.split(rng)
         transformer, te, te2, te3, te4, extra = resolve_params(
             trainable, frozen, rng_peft)
+        if "output_embeddings_3" in trainable:
+            batch = dict(batch,
+                         output_embeddings_3=trainable["output_embeddings_3"])
         data = hidream_predict(model, transformer, te, te2, te3, te4, batch,
                                rng_predict, cfg, extra_embeddings=extra)
         losses = flow_matching_losses(batch, data, cfg.loss,
@@ -139,6 +173,15 @@ def make_hidream_train_step(model, cfg: SDStepConfig, tx,
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
+        if "output_embeddings_3" in params and cfg.output_embedding_spans:
+            from onetrainer_tpu.train.sd_train_step import (
+                normalize_output_embeddings,
+            )
+            params = {**params, "output_embeddings_3":
+                      normalize_output_embeddings(
+                          params["output_embeddings_3"],
+                          cfg.output_embedding_spans,
+                          cfg.output_embedding_stds_3)}
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema_to_compute(ema), params, cfg.ema_decay, state.step,

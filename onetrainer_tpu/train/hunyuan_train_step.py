@@ -25,23 +25,40 @@ from onetrainer_tpu.util.enums import TrainingMethod
 
 def hunyuan_text_conditioning(model, te_params, te2_params, batch,
                               layer_skip: int, crop_start: int,
-                              extra_embeddings=None):
+                              extra_embeddings=None,
+                              output_embedding_base_id: int = 0):
     """-> (llama states [B,S,4096] cropped, mask [B,S], CLIP pooled [B,768])
-    (reference: HunyuanVideoModel.encode_text:214-290)."""
+    (reference: HunyuanVideoModel.encode_text:214-290).
+
+    extra_embeddings: per-TE (llama, clip) tuple — the reference's
+    HunyuanVideoModelEmbedding carries text_encoder_1_vector (llama) and
+    text_encoder_2_vector (clip_l)."""
     if "text_encoder_1_hidden_state" in batch:
         states = batch["text_encoder_1_hidden_state"]
         mask = batch.get("tokens_mask_1")
         pooled = batch["text_encoder_2_pooled_state"]
         return states, mask, pooled
+    extra_1, extra_2 = extra_embeddings if isinstance(extra_embeddings, tuple) \
+        else (extra_embeddings, None)
     mask = batch.get("tokens_mask_1")
     out = model.text_encoder.apply(
-        as_variables(te_params), batch["tokens_1"], mask, extra_embeddings)
+        as_variables(te_params), batch["tokens_1"], mask, extra_1)
     states = encode_llama_text(out, layer_skip, default_layer=-3,
                                crop_start=crop_start)
+    if batch.get("output_embeddings") is not None:
+        # output embeddings patch the cropped llama context (reference:
+        # HunyuanVideoModelEmbedding text_encoder_1 is_output_embedding,
+        # HunyuanVideoEmbeddingSaver.py llama_out key)
+        from onetrainer_tpu.train.sd_train_step import (
+            scatter_output_embeddings,
+        )
+        states = scatter_output_embeddings(
+            states, batch["tokens_1"][:, crop_start:],
+            batch["output_embeddings"], output_embedding_base_id)
     if mask is not None:
         mask = mask[:, crop_start:]
     out2 = model.text_encoder_2.apply(
-        as_variables(te2_params), batch["tokens_2"])
+        as_variables(te2_params), batch["tokens_2"], None, extra_2)
     pooled = out2["pooled_output"]
     return states, mask, pooled
 
@@ -76,7 +93,8 @@ def hunyuan_predict(model, transformer_params, te_params, te2_params, batch,
 
     states, mask, pooled = hunyuan_text_conditioning(
         model, te_params, te2_params, batch, cfg.text_encoder_layer_skip,
-        PROMPT_TEMPLATE_CROP_START, extra_embeddings)
+        PROMPT_TEMPLATE_CROP_START, extra_embeddings,
+        cfg.output_embedding_base_id)
 
     guidance = jnp.full((b,), guidance_scale * 1000.0, jnp.float32)
     predicted = model.transformer.apply(
@@ -108,6 +126,17 @@ def make_hunyuan_train_step(model, cfg: SDStepConfig, tx,
                 te = lora_variables(te, trainable["te_lora"], peft_cfg, rng)
             return transformer, te, frozen.get("text_encoder_2"), \
                 trainable.get("embeddings")
+        if cfg.training_method == TrainingMethod.EMBEDDING:
+            extras = []
+            for suffix in ("", "_2"):
+                extra = trainable.get(f"embeddings{suffix}")
+                inputs = frozen.get(f"embedding_inputs{suffix}")
+                if inputs is not None:
+                    rows = ([extra] if extra is not None else []) + [inputs]
+                    extra = jnp.concatenate(rows, axis=0)
+                extras.append(extra)
+            return (frozen["transformer"], frozen["text_encoder"],
+                    frozen.get("text_encoder_2"), tuple(extras))
         return (trainable.get("transformer", frozen.get("transformer")),
                 trainable.get("text_encoder", frozen.get("text_encoder")),
                 frozen.get("text_encoder_2"),
@@ -116,6 +145,8 @@ def make_hunyuan_train_step(model, cfg: SDStepConfig, tx,
     def loss_fn(trainable, frozen, batch, rng):
         rng_peft, rng_predict = jax.random.split(rng)
         transformer, te, te2, extra = resolve_params(trainable, frozen, rng_peft)
+        if "output_embeddings" in trainable:
+            batch = dict(batch, output_embeddings=trainable["output_embeddings"])
         data = hunyuan_predict(model, transformer, te, te2, batch,
                                rng_predict, cfg, guidance_scale,
                                extra_embeddings=extra)
@@ -133,6 +164,15 @@ def make_hunyuan_train_step(model, cfg: SDStepConfig, tx,
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
+        if "output_embeddings" in params and cfg.output_embedding_spans:
+            from onetrainer_tpu.train.sd_train_step import (
+                normalize_output_embeddings,
+            )
+            params = {**params, "output_embeddings":
+                      normalize_output_embeddings(
+                          params["output_embeddings"],
+                          cfg.output_embedding_spans,
+                          cfg.output_embedding_stds)}
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema_to_compute(ema), params, cfg.ema_decay, state.step,

@@ -24,7 +24,8 @@ from onetrainer_tpu.util.enums import TrainingMethod
 
 
 def sana_text_conditioning(model, te_params, batch, layer_skip: int,
-                           extra_embeddings=None):
+                           extra_embeddings=None,
+                           output_embedding_base_id: int = 0):
     if "text_encoder_hidden_state" in batch:
         return batch["text_encoder_hidden_state"], batch.get("tokens_mask")
     mask = batch.get("tokens_mask")
@@ -33,6 +34,16 @@ def sana_text_conditioning(model, te_params, batch, layer_skip: int,
     hidden = encode_gemma_text(out, layer_skip)
     if layer_skip > 0:
         hidden = apply_gemma_final_norm(te_params, hidden)
+    if batch.get("output_embeddings") is not None:
+        # output embeddings patch the gemma OUTPUT at placeholder positions
+        # (reference: SanaModel._apply_output_embeddings via encode_text:195,
+        # SanaEmbeddingSaver.py gemma_out key)
+        from onetrainer_tpu.train.sd_train_step import (
+            scatter_output_embeddings,
+        )
+        hidden = scatter_output_embeddings(
+            hidden, batch["tokens"], batch["output_embeddings"],
+            output_embedding_base_id)
     return hidden, mask
 
 
@@ -56,7 +67,8 @@ def sana_predict(model, transformer_params, te_params, batch, rng,
              + scaled.astype(jnp.float32) * (1.0 - s)).astype(scaled.dtype)
 
     context, mask = sana_text_conditioning(
-        model, te_params, batch, cfg.text_encoder_layer_skip, extra_embeddings)
+        model, te_params, batch, cfg.text_encoder_layer_skip, extra_embeddings,
+        cfg.output_embedding_base_id)
 
     dit_in = noisy
     if "latent_conditioning_image" in batch:
@@ -92,8 +104,12 @@ def make_sana_train_step(model, cfg: SDStepConfig, tx,
                 te = lora_variables(te, trainable["te_lora"], peft_cfg, rng)
             return transformer, te, trainable.get("embeddings")
         if method == TrainingMethod.EMBEDDING:
-            return (frozen["transformer"], frozen["text_encoder"],
-                    trainable["embeddings"])
+            extra = trainable.get("embeddings")
+            inputs = frozen.get("embedding_inputs")
+            if inputs is not None:
+                rows = ([extra] if extra is not None else []) + [inputs]
+                extra = jnp.concatenate(rows, axis=0)
+            return frozen["transformer"], frozen["text_encoder"], extra
         return (trainable.get("transformer", frozen.get("transformer")),
                 trainable.get("text_encoder", frozen.get("text_encoder")),
                 trainable.get("embeddings"))
@@ -101,6 +117,8 @@ def make_sana_train_step(model, cfg: SDStepConfig, tx,
     def loss_fn(trainable, frozen, batch, rng):
         rng_peft, rng_predict = jax.random.split(rng)
         transformer, te, extra = resolve_params(trainable, frozen, rng_peft)
+        if "output_embeddings" in trainable:
+            batch = dict(batch, output_embeddings=trainable["output_embeddings"])
         data = sana_predict(model, transformer, te, batch, rng_predict, cfg,
                             extra_embeddings=extra)
         losses = flow_matching_losses(batch, data, cfg.loss,
@@ -117,6 +135,15 @@ def make_sana_train_step(model, cfg: SDStepConfig, tx,
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
+        if "output_embeddings" in params and cfg.output_embedding_spans:
+            from onetrainer_tpu.train.sd_train_step import (
+                normalize_output_embeddings,
+            )
+            params = {**params, "output_embeddings":
+                      normalize_output_embeddings(
+                          params["output_embeddings"],
+                          cfg.output_embedding_spans,
+                          cfg.output_embedding_stds)}
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema_to_compute(ema), params, cfg.ema_decay, state.step,
