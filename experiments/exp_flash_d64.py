@@ -16,13 +16,25 @@ import jax
 import jax.numpy as jnp
 
 
+_SUM = None
+
+
+def _materialize(out):
+    # axon's block_until_ready does not actually wait; forcing a scalar
+    # transfer is the only reliable completion barrier over the tunnel
+    global _SUM
+    if _SUM is None:
+        _SUM = jax.jit(lambda t: sum(jnp.sum(x.astype(jnp.float32))
+                                     for x in jax.tree.leaves(t)))
+    return float(_SUM(out))
+
+
 def bench(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _materialize(fn(*args))   # warmup: compiles fn and the sum
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _materialize(out)         # device executes serially: last done => all done
     return (time.perf_counter() - t0) / n * 1000  # ms
 
 

@@ -273,7 +273,10 @@ def load_sdxl_diffusers(base_dir: str, weight_dtype=np.float32,
 
 # -- saving ----------------------------------------------------------------------
 
-def _to_numpy_tree(params, dtype):
+def _to_numpy_tree(params, dtype=None):
+    """Device arrays -> contiguous numpy; float leaves cast to `dtype`
+    (None keeps each leaf's own dtype — the single-file export paths in
+    setup/families.py rely on that default)."""
     import jax
     import ml_dtypes
     np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16,
@@ -282,7 +285,8 @@ def _to_numpy_tree(params, dtype):
     def conv(x):
         arr = np.asarray(jax.device_get(x))
         if np.issubdtype(arr.dtype, np.floating) or arr.dtype == ml_dtypes.bfloat16:
-            return np.ascontiguousarray(arr.astype(np_dtype))
+            return np.ascontiguousarray(
+                arr if np_dtype is None else arr.astype(np_dtype))
         return arr
     return jax.tree.map(conv, params)
 

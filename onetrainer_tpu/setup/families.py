@@ -424,8 +424,25 @@ def _hidream_save_model(setup, out_dir, source_dir):
 
 
 def _hidream_save_single_file(setup, path):
-    raise NotImplementedError(
-        "HiDream single-file export not implemented; use DIFFUSERS format")
+    """Transformer state-dict dump in diffusers key layout — the reference
+    saves exactly model.transformer.state_dict() to safetensors
+    (modules/modelSaver/hidream/HiDreamModelSaver.py:51-63)."""
+    import numpy as _np
+    from onetrainer_tpu.io.hidream_checkpoints import hidream_flax_to_state_dict
+    from onetrainer_tpu.io.sd_checkpoints import _to_numpy_tree
+    from onetrainer_tpu.io.torch_flax import unstack_scanned_blocks
+    from onetrainer_tpu.util.model_spec import make_modelspec_metadata
+    transformer, *_ = setup.merged_inference_params()
+    transformer = dict(transformer)
+    unstack_scanned_blocks(transformer, "double_stream_blocks")
+    unstack_scanned_blocks(transformer, "single_stream_blocks")
+    sd = hidream_flax_to_state_dict(_to_numpy_tree(transformer))
+    meta = make_modelspec_metadata(
+        setup.config.model_type, setup.config.training_method,
+        resolution=setup.config.resolution,
+        train_config=setup.config)
+    save_safetensors(path, {k: _np.asarray(v) for k, v in sd.items()},
+                     metadata=meta)
 
 
 # -- HunyuanVideo ------------------------------------------------------------------------

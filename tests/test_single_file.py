@@ -246,3 +246,73 @@ def test_cascade_ckpt_roundtrip():
     assert any(k.endswith(".attention.attn.out_proj.weight")
                for k in converted)
     assert not any(".attention.to_q." in k for k in converted)
+
+
+def test_hidream_single_file_save_roundtrip(tmp_path):
+    """HiDream single-file export (reference saves the transformer
+    state_dict as-is, HiDreamModelSaver.py:51-63) — VERDICT r2 row 51."""
+    from types import SimpleNamespace
+
+    from onetrainer_tpu.config.train_config import TrainConfig
+    from onetrainer_tpu.io.hidream_checkpoints import hidream_state_dict_to_flax
+    from onetrainer_tpu.io.safetensors_io import load_safetensors
+    from onetrainer_tpu.setup.families import _hidream_save_single_file
+    from onetrainer_tpu.util.enums import ModelType, TrainingMethod
+    from tests.test_trainer_hidream import tiny_hidream_model
+
+    model = tiny_hidream_model()
+    rng = jax.random.PRNGKey(0)
+    c = model.transformer_config
+    params = model.transformer.init(
+        rng, jnp.zeros((1, 16, c.in_channels)), jnp.asarray([500.0]),
+        jnp.zeros((1, 5, c.t5_dim)),
+        jnp.zeros((c.num_layers + c.num_single_layers + 1, 1, 5, c.llama_dim)),
+        jnp.zeros((1, c.pooled_dim)), jnp.zeros((16, 3)))["params"]
+
+    config = TrainConfig.default_values()
+    config.model_type = ModelType.HI_DREAM_FULL
+    config.training_method = TrainingMethod.FINE_TUNE
+    setup = SimpleNamespace(
+        config=config,
+        merged_inference_params=lambda: (params, None, None, None, None, None))
+
+    path = str(tmp_path / "hidream.safetensors")
+    _hidream_save_single_file(setup, path)
+    sd = load_safetensors(path)
+    assert any("double_stream_blocks" in k for k in sd)
+    back = hidream_state_dict_to_flax({k: np.asarray(v) for k, v in sd.items()})
+    a = jax.tree.leaves(jax.device_get(params))
+    b = jax.tree.leaves(back)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_family_single_file_save_glue(tmp_path):
+    """The families.py single-file save wrappers call the io conversions
+    with device trees — regression for the _to_numpy_tree default-dtype
+    contract (all DiT-family exports previously crashed on the missing
+    dtype argument)."""
+    from types import SimpleNamespace
+
+    from onetrainer_tpu.config.train_config import TrainConfig
+    from onetrainer_tpu.io.safetensors_io import load_safetensors
+    from onetrainer_tpu.setup.families import _hunyuan_save_single_file
+    from onetrainer_tpu.util.enums import ModelType, TrainingMethod
+    from tests.test_trainer_hunyuan import tiny_hunyuan_model
+
+    model = tiny_hunyuan_model()
+    params = model.transformer.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 4, 4, 16)),
+        jnp.asarray([500.0]), jnp.zeros((1, 5, 24)),
+        jnp.ones((1, 5), jnp.int32), jnp.zeros((1, 16)))["params"]
+    config = TrainConfig.default_values()
+    config.model_type = ModelType.HUNYUAN_VIDEO
+    config.training_method = TrainingMethod.FINE_TUNE
+    setup = SimpleNamespace(
+        config=config,
+        merged_inference_params=lambda: (params, None, None, None))
+    path = str(tmp_path / "hv.safetensors")
+    _hunyuan_save_single_file(setup, path)
+    sd = load_safetensors(path)
+    assert any(k.startswith("model.model.") for k in sd)
