@@ -119,6 +119,7 @@ class Text2ImageDataLoader:
             fill_mask_channels: bool = False,
             video_mode: bool = False,
             cache_pixels: bool = False,
+            depth_fn=None,
     ):
         self.latent_scale = latent_scale
         # inpainting models: generate a masked conditioning image per sample
@@ -138,6 +139,9 @@ class Text2ImageDataLoader:
         # (reference: StableDiffusionFineTuneVaeSetup.predict uses
         # batch['image'])
         self.cache_pixels = cache_pixels
+        # SD-2.0-depth: cache-time depth maps -> latent_depth channel
+        # (reference: StableDiffusionBaseDataLoader.py:74-106; data/depth.py)
+        self.depth_fn = depth_fn
         self.config = config
         self.encode_images = encode_images
         self.encode_text = encode_text
@@ -363,11 +367,16 @@ class Text2ImageDataLoader:
                 encoded_cond = None
                 if self.conditioning_image:
                     encoded_cond = self.encode_images(np.stack(conds))
+                depth = None
+                if self.depth_fn is not None:
+                    depth = self.depth_fn(np.stack(pixels))
                 for j, s in enumerate(chunk):
                     tensors = {k: np.asarray(v[j]) for k, v in encoded.items()}
                     if self.cache_pixels:
                         tensors["image"] = np.asarray(pixels[j], np.float32)
                     tensors["latent_mask"] = self._latent_mask(masks[j])
+                    if depth is not None:
+                        tensors["latent_depth"] = np.asarray(depth[j])
                     tensors.update(self._crop_metadata(s, infos[j]))
                     if encoded_cond is not None:
                         tensors["latent_conditioning_image"] = \

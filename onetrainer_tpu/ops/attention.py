@@ -6,18 +6,32 @@ Replaces what torch SDP / flash-attn wheels provide in the reference
 Inputs are [batch, seq, heads*dim] packed; head split/merge happens here so
 models stay layout-agnostic.
 
-SD-family head dims (40/80/160) are not lane-aligned; q/k/v are zero-padded
-on the head dim to the next multiple of 128 before the kernel and the output
-sliced back. Zero padding changes nothing mathematically (padded components
-contribute 0 to q·k and the padded output columns are 0), and the MXU pads
-the contraction to 128 lanes anyway — so the flash path's HBM win (never
-materializing the S×S score matrix) comes at no extra compute vs the XLA
-fallback.
+Dispatch history (measured on the v5e, experiments/exp_flash_d64.py):
+- r2 benchmarked the stock kernel with default block sizes and head dims
+  padded to 128; XLA's fused attention won 2-3x and flash was demoted to
+  an opt-in. Both handicaps were artifacts.
+- r3: with block_q=1024 / block_k=512 and padding only to the next
+  multiple of 64, flash beats XLA at every self-attention shape that
+  matters — SDXL 64x64 level (b2 h10 s4096 d64): fwd 2.9 vs 11.3 ms,
+  grad 7.2 vs 19.6 ms (3.9x / 2.7x); SD1.5 (b4 h8 s4096 d40 -> pad 64):
+  fwd 3.7 vs 7.4, grad 10.8 vs 21.1. It also never materializes the
+  S x S score matrix, cutting the dominant slice of the step's HBM
+  traffic (per-HLO attribution: attention was ~300 GB of the SDXL
+  step's ~470 GB).
+Flash is therefore the DEFAULT on TPU for mask-free self-attention with
+seq >= 256 on both sides; OT_NO_FLASH=1 opts out (and OT_FORCE_FLASH=1
+still forces it on, for A/B runs). Cross-attention (kv = 77 tokens) and
+masked paths stay on XLA.
+
+Zero padding on the head dim changes nothing mathematically (padded
+components contribute 0 to q.k and the padded output columns are 0);
+sm_scale uses the REAL head dim.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,28 +48,36 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _can_use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
-    # Measured on v5e (r2, /tmp/attn_bench.py): XLA's fused attention beats
-    # the stock Pallas flash kernel 2-3x at every SD/SDXL shape —
-    #   b4 s4096 d40:  fwd 7.6 vs 15.9 ms, grad 22 vs 52 ms
-    #   b2 s4096 d64:  fwd 5.6 vs  9.8 ms, grad 15 vs 33 ms
-    #   b2 s16384 d64: fwd 47 vs  75 ms, grad 129 vs 248 ms
-    # so the XLA path is the default; OT_FORCE_FLASH=1 opts into the Pallas
-    # kernel (numerics stay covered by tests/test_attention.py).
-    import os
-    if os.environ.get("OT_FORCE_FLASH") != "1":
+    if os.environ.get("OT_NO_FLASH") == "1":
+        return False
+    if os.environ.get("OT_FORCE_FLASH") == "1":
+        pass  # force on (still requires the shape gates below)
+    elif jax.default_backend() != "tpu":
         return False
     return (
-        jax.default_backend() == "tpu"
-        and q_len >= 256 and q_len % 128 == 0
+        q_len >= 256 and q_len % 128 == 0
         and kv_len >= 256 and kv_len % 128 == 0
         and head_dim <= _MAX_FLASH_HEAD_DIM
     )
 
 
-@functools.lru_cache(maxsize=1)
-def _flash_fn():
-    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
-    return flash_attention
+@functools.lru_cache(maxsize=8)
+def _flash_fn(q_len: int, kv_len: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention,
+    )
+    # tuned on v5e (experiments/exp_flash_d64.py): large q blocks, 512-wide
+    # k blocks; the kernel needs block | seq, so take the largest tuned
+    # block that divides (aspect-bucketed seqs like 1920 land on 128/256)
+    bq = next(b for b in (1024, 512, 256, 128) if q_len % b == 0)
+    bk = next(b for b in (512, 256, 128) if kv_len % b == 0)
+    bs = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    return functools.partial(flash_attention, block_sizes=bs)
 
 
 def dot_product_attention(
@@ -69,7 +91,9 @@ def dot_product_attention(
     skv = k.shape[1]
     if mask is None and _can_use_flash(sq, skv, d):
         try:
-            dp = _round_up(d, 128)
+            # pad only to the next multiple of 64 (the kernel handles
+            # d=64 natively; the old pad-to-128 doubled the MXU work)
+            dp = _round_up(d, 64)
             if dp != d:
                 pad = ((0, 0), (0, 0), (0, 0), (0, dp - d))
                 qp = jnp.pad(q, pad)
@@ -77,7 +101,7 @@ def dot_product_attention(
                 vp = jnp.pad(v, pad)
             else:
                 qp, kp, vp = q, k, v
-            out = _flash_fn()(
+            out = _flash_fn(sq, skv)(
                 qp.transpose(0, 2, 1, 3),
                 kp.transpose(0, 2, 1, 3),
                 vp.transpose(0, 2, 1, 3),

@@ -127,7 +127,8 @@ class GenericTrainer(BaseTrainer):
                                 or config.custom_conditioning_image),
             fill_mask_channels=(config.model_type == ModelType.FLUX_FILL_DEV_1),
             video_mode=getattr(self.family, "video", False),
-            cache_pixels=(config.training_method == TrainingMethod.FINE_TUNE_VAE))
+            cache_pixels=(config.training_method == TrainingMethod.FINE_TUNE_VAE),
+            depth_fn=self._make_depth_fn(base_model_name))
 
         # rebuild schedules with the real epoch length
         steps_per_epoch = max(len(self.data_loader), 1)
@@ -157,6 +158,13 @@ class GenericTrainer(BaseTrainer):
 
         if config.continue_last_backup and config.get_last_backup_path():
             self._restore_internal_state(config.get_last_backup_path())
+
+    def _make_depth_fn(self, base_model_name: str):
+        if not self.config.model_type.has_depth_input():
+            return None
+        from onetrainer_tpu.data.depth import make_depth_fn
+        return make_depth_fn(base_model_name,
+                             self.model.vae_config.spatial_scale)
 
     def _setup_mesh(self):
         """Multi-chip sharding: OT_MESH_DP / OT_MESH_FSDP env vars (or all
