@@ -12,6 +12,8 @@ import time
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     policy = sys.argv[2] if len(sys.argv) > 2 else "full"
+    base_quant = next((f for f in sys.argv[3:]
+                       if f in ("fp8", "int8", "nf4")), None)
 
     import os
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -56,6 +58,11 @@ def main():
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
     state = create_train_state({"transformer_lora": adapters}, tx)
     step = make_sd3_train_step(model, cfg, tx, peft_cfg)
+    if base_quant:
+        from onetrainer_tpu.ops.quant import quantize_tree
+        qdtype = {"fp8": jnp.float8_e4m3fn, "int8": jnp.int8,
+                  "nf4": "nf4"}[base_quant]
+        params = quantize_tree(params, qdtype)
     frozen = {"transformer": params}
     batch = {
         "latent_image": jax.random.normal(
@@ -84,7 +91,7 @@ def main():
     float(metrics["loss"])
     elapsed = time.perf_counter() - start
     ips = bs * n / elapsed
-    out = {"workload": f"sd3_medium_lora_{res}px_bs{bs}_{policy}",
+    out = {"workload": f"sd3_medium_lora_{res}px_bs{bs}_{policy}" + ("_" + base_quant if base_quant else ""),
            "imgs_per_sec": round(ips, 3),
            "sec_per_step": round(elapsed / n, 3)}
     if flops:

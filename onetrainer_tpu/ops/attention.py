@@ -54,9 +54,10 @@ def _can_use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
         pass  # force on (still requires the shape gates below)
     elif jax.default_backend() != "tpu":
         return False
+    # ragged lengths (DiT joint sequences: image tokens + text tokens,
+    # e.g. SD3's 4096+333) are padded to 128 with segment-id masking
     return (
-        q_len >= 256 and q_len % 128 == 0
-        and kv_len >= 256 and kv_len % 128 == 0
+        q_len >= 256 and kv_len >= 256
         and head_dim <= _MAX_FLASH_HEAD_DIM
     )
 
@@ -94,23 +95,34 @@ def dot_product_attention(
             # pad only to the next multiple of 64 (the kernel handles
             # d=64 natively; the old pad-to-128 doubled the MXU work)
             dp = _round_up(d, 64)
-            if dp != d:
-                pad = ((0, 0), (0, 0), (0, 0), (0, dp - d))
-                qp = jnp.pad(q, pad)
-                kp = jnp.pad(k, pad)
-                vp = jnp.pad(v, pad)
-            else:
-                qp, kp, vp = q, k, v
-            out = _flash_fn(sq, skv)(
+            sqp = _round_up(sq, 128)
+            skvp = _round_up(skv, 128)
+            qp = jnp.pad(q, ((0, 0), (0, sqp - sq), (0, 0), (0, dp - d)))
+            kp = jnp.pad(k, ((0, 0), (0, skvp - skv), (0, 0), (0, dp - d)))
+            vp = jnp.pad(v, ((0, 0), (0, skvp - skv), (0, 0), (0, dp - d)))
+            segment_ids = None
+            if sqp != sq or skvp != skv:
+                # ragged joint sequences: padded tail goes to segment 1 so
+                # the kernel masks it out of the softmax (padded q rows
+                # attend only to each other and are sliced off below)
+                from jax.experimental.pallas.ops.tpu.flash_attention import (
+                    SegmentIds,
+                )
+                q_seg = (jnp.arange(sqp) >= sq).astype(jnp.int32)[None]
+                kv_seg = (jnp.arange(skvp) >= skv).astype(jnp.int32)[None]
+                segment_ids = SegmentIds(
+                    q=jnp.broadcast_to(q_seg, (b, sqp)),
+                    kv=jnp.broadcast_to(kv_seg, (b, skvp)))
+            out = _flash_fn(sqp, skvp)(
                 qp.transpose(0, 2, 1, 3),
                 kp.transpose(0, 2, 1, 3),
                 vp.transpose(0, 2, 1, 3),
                 causal=False,
+                segment_ids=segment_ids,
                 sm_scale=1.0 / (d ** 0.5),   # scale by the REAL head dim
             )
             out = out.transpose(0, 2, 1, 3)
-            if dp != d:
-                out = out[..., :d]
+            out = out[:, :sq, :, :d]
             STATS["flash"] += 1
             return out
         except Exception:

@@ -150,10 +150,17 @@ class NF4Array:
 
 
 def quantize_nf4(x: jnp.ndarray, block: int = NF4_BLOCK) -> NF4Array:
+    """Half-split packed layout: byte j carries element j (high nibble)
+    and element j + n/2 (low nibble), with n padded so both halves tile
+    the Pallas dequant kernel cleanly (ops/nf4_pallas.py). Scales stay
+    block-`block` absmax over the original element order — bitwise the
+    same quantization as bitsandbytes NF4, only the in-memory code order
+    differs (we never serialize this form)."""
+    from onetrainer_tpu.ops.nf4_pallas import nf4_pad_len
     x32 = jnp.ravel(x.astype(jnp.float32))
     n = x32.size
-    pad = (-n) % block
-    x32 = jnp.pad(x32, (0, pad)).reshape(-1, block)
+    total = nf4_pad_len(n) if block == NF4_BLOCK else n + ((-n) % (2 * block))
+    x32 = jnp.pad(x32, (0, total - n)).reshape(-1, block)
     scales = jnp.maximum(jnp.max(jnp.abs(x32), axis=1), 1e-12)   # [nb]
     normed = x32 / scales[:, None]                               # [-1, 1]
     code = jnp.asarray(NF4_CODE, jnp.float32)
@@ -161,7 +168,8 @@ def quantize_nf4(x: jnp.ndarray, block: int = NF4_BLOCK) -> NF4Array:
     mids = (code[1:] + code[:-1]) / 2.0
     idx = jnp.searchsorted(mids, normed).astype(jnp.uint8)       # [nb, block]
     flat = idx.reshape(-1)
-    packed = (flat[0::2] << 4) | flat[1::2]
+    half = total // 2
+    packed = (flat[:half] << 4) | flat[half:]
     return NF4Array(q=packed, scales=scales.astype(jnp.float32),
                     shape=x.shape, block=block)
 
@@ -173,12 +181,18 @@ def dequantize_nf4(x: NF4Array, dtype=jnp.bfloat16) -> jnp.ndarray:
         return jax.vmap(
             lambda q, s: dequantize_nf4(NF4Array(q, s, x.shape, x.block),
                                         dtype))(x.q, x.scales)
-    code = jnp.asarray(NF4_CODE, jnp.float32)
-    hi = (x.q >> 4).astype(jnp.int32)
-    lo = (x.q & 0xF).astype(jnp.int32)
-    idx = jnp.stack([hi, lo], axis=1).reshape(-1)
-    vals = code[idx].reshape(-1, x.block) * x.scales[:, None]
     n = 1
     for d in x.shape:
         n *= d
+    if x.block == NF4_BLOCK and jax.default_backend() == "tpu":
+        # gather-free Pallas kernel (16 selects instead of per-weight
+        # gathers — the gathers were the >30 min compile at SDXL scale)
+        from onetrainer_tpu.ops.nf4_pallas import nf4_dequant_flat
+        vals = nf4_dequant_flat(x.q, x.scales, out_dtype=dtype)
+        return vals[:n].reshape(x.shape)
+    code = jnp.asarray(NF4_CODE, jnp.float32)
+    hi = (x.q >> 4).astype(jnp.int32)
+    lo = (x.q & 0xF).astype(jnp.int32)
+    idx = jnp.concatenate([hi, lo])            # half-split layout
+    vals = code[idx].reshape(-1, x.block) * x.scales[:, None]
     return vals.reshape(-1)[:n].reshape(x.shape).astype(dtype)

@@ -256,3 +256,20 @@ def test_scan_layers_with_quantized_base():
         # and stays in the neighborhood of the unquantized reference
         err = float(jnp.abs(y - ref).max())
         assert err < 2.5, (qdtype, err)
+
+
+def test_nf4_pallas_kernel_interpret_matches_jnp():
+    """The gather-free Pallas NF4 dequant (ops/nf4_pallas.py) decodes the
+    half-split packed layout exactly like the jnp fallback (interpret
+    mode — the compiled kernel is exercised on the TPU)."""
+    from onetrainer_tpu.ops.nf4_pallas import nf4_dequant_flat
+    from onetrainer_tpu.ops.quant import dequantize_nf4, quantize_nf4
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, 256), jnp.float32)
+    q = quantize_nf4(x)
+    ref = dequantize_nf4(q, jnp.float32)          # jnp fallback on CPU
+    n = x.size
+    vals = nf4_dequant_flat(q.q, q.scales, out_dtype=jnp.float32,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(vals[:n].reshape(x.shape)),
+                               np.asarray(ref), rtol=1e-6, atol=1e-6)

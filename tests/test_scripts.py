@@ -144,3 +144,24 @@ def test_step_profiler_and_memory_stats(tmp_path):
 
     stats = device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_sample_script_end_to_end(tmp_path):
+    """scripts/sample.py: tiny checkpoint -> image file on disk
+    (reference: scripts/sample.py:174-227) — VERDICT r2 weak #6."""
+    from PIL import Image
+
+    base = str(tmp_path / "ckpt")
+    model = tiny_sd_model()
+    write_tiny_checkpoint(base, model)
+    dest = str(tmp_path / "sample.png")
+    r = run_script([
+        "scripts/sample.py", "--model-type", "STABLE_DIFFUSION_15",
+        "--base-model-name", base, "--prompt", "a tiny test cat",
+        "--destination", dest, "--steps", "3", "--width", "32",
+        "--height", "32",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(dest)
+    img = Image.open(dest)
+    assert img.size == (32, 32)
