@@ -22,6 +22,13 @@ import time
 V5E_PEAK_FLOPS = 197e12          # bf16
 A100_PEAK_FLOPS = 312e12         # bf16
 A100_ASSUMED_MFU = 0.40
+# FLOPs/img the A100 torch step executes for this workload: pinned to the
+# XLA-counted cost of OUR step before flash attention (r2, BASELINE.md
+# 20.38 TF incl. remat recompute). XLA cost analysis does not count
+# Pallas custom-call FLOPs, so the live measurement (17.67 with flash)
+# would silently shrink the A100's assumed work as we optimize — keep the
+# comparison anchored to the unoptimized compute instead.
+A100_ANALYTIC_FLOPS_PER_IMG = 20.38e12
 
 
 def _cost_of(step, *args):
@@ -36,7 +43,7 @@ def _cost_of(step, *args):
         return None, None
 
 
-def _bench_sdxl(jax, jnp, optax, base_quant=None):
+def _bench_sdxl(jax, jnp, optax, base_quant=None, bs=2):
     from onetrainer_tpu.math.losses import LossConfig
     from onetrainer_tpu.math.timesteps import TimestepConfig
     from onetrainer_tpu.models.sdxl import create_sdxl_model
@@ -46,7 +53,7 @@ def _bench_sdxl(jax, jnp, optax, base_quant=None):
     from onetrainer_tpu.train.train_state import create_train_state
     from onetrainer_tpu.util.enums import ModelType, TrainingMethod
 
-    bs, res = 2, 1024   # bs4 @1024 OOMs on one v5e (by 481M with full remat)
+    res = 1024   # bs4 fits with fp8 base + tx_only + flash (r3) and wins
     lat = res // 8
     # tx_only: transformer blocks rematted, resnet activations saved —
     # measured 3.45 vs 3.33 imgs/sec for full remat (experiments/sweep_log)
@@ -190,8 +197,8 @@ def main():
     # headline: fp8 frozen base — the fastest supported configuration
     # (and the memory-friendly one); bf16 base reported as an extra
     sdxl_ips, sdxl_flops_per_img, sdxl_sec_per_step, sdxl_hbm_bytes = \
-        _bench_sdxl(jax, jnp, optax, base_quant=jnp.float8_e4m3fn)
-    sdxl_bf16_ips, _, _, _ = _bench_sdxl(jax, jnp, optax)
+        _bench_sdxl(jax, jnp, optax, base_quant=jnp.float8_e4m3fn, bs=4)
+    sdxl_bf16_ips, _, _, _ = _bench_sdxl(jax, jnp, optax, bs=2)
     sd15_ips, sd15_flops_per_img = _bench_sd15(jax, jnp, optax)
     vae_ips = _bench_vae_cache(jax, jnp)
 
@@ -202,7 +209,8 @@ def main():
     }
     if sdxl_flops_per_img:
         mfu = sdxl_ips * sdxl_flops_per_img / V5E_PEAK_FLOPS
-        a100_imgs_per_sec = A100_PEAK_FLOPS * A100_ASSUMED_MFU / sdxl_flops_per_img
+        a100_imgs_per_sec = (A100_PEAK_FLOPS * A100_ASSUMED_MFU
+                             / A100_ANALYTIC_FLOPS_PER_IMG)
         extras["sdxl_hw_flops_per_img_T"] = round(sdxl_flops_per_img / 1e12, 2)
         extras["sdxl_hw_flop_utilization_v5e"] = round(mfu, 3)
         extras["a100_analytic_imgs_per_sec_at_40pct_mfu"] = round(
@@ -214,6 +222,9 @@ def main():
             mfu * 459e12 / sdxl_flops_per_img, 3)
         extras["v5p_projection_vs_a100"] = round(
             mfu * 459e12 / sdxl_flops_per_img / a100_imgs_per_sec, 3)
+        # note: with the flash kernel, XLA's FLOP count excludes the
+        # attention custom calls, so mfu/v5p numbers understate true MXU
+        # work; vs_baseline stays honest via the pinned A100 anchor
         if sdxl_hbm_bytes:
             # the honest single-chip story: the step runs at the HBM
             # bandwidth roofline (v5e ~819 GB/s), not the FLOP roofline
@@ -222,13 +233,14 @@ def main():
         vs_baseline = sdxl_ips / a100_imgs_per_sec
     else:
         # fall back to a fixed analytic point: ~20 TFLOP/img train step
-        vs_baseline = sdxl_ips / (A100_PEAK_FLOPS * A100_ASSUMED_MFU / 20e12)
+        vs_baseline = sdxl_ips / (A100_PEAK_FLOPS * A100_ASSUMED_MFU
+                                  / A100_ANALYTIC_FLOPS_PER_IMG)
     if sd15_flops_per_img:
         extras["sd15_hw_flop_utilization_v5e"] = round(
             sd15_ips * sd15_flops_per_img / V5E_PEAK_FLOPS, 3)
 
     print(json.dumps({
-        "metric": "sdxl_lora_train_imgs_per_sec_per_chip_1024px_bs2",
+        "metric": "sdxl_lora_train_imgs_per_sec_per_chip_1024px",
         "value": round(sdxl_ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3),

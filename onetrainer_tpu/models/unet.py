@@ -70,6 +70,14 @@ def _remat(cls, policy: str = "full"):
     if policy == "tx_only":
         # transformer blocks full-remat, resnets saved (see _resnet_remat)
         return nn.remat(cls)
+    if policy == "tx_attn":
+        # tx_only + saved flash-attention outputs: the backward pass reuses
+        # the (tiny, [B,S,inner]) attention outputs instead of re-running
+        # the kernel — trades ~10 MB/attn of HBM for the recompute slice
+        # of the attention traffic (ops/attention.py checkpoint_name)
+        return nn.remat(
+            cls,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_out"))
     if policy == "dots":
         return nn.remat(
             cls, policy=jax.checkpoint_policies.checkpoint_dots)
@@ -305,7 +313,7 @@ class DownBlock(nn.Module):
         policy = _block_policy(cfg, self.block_index)
 
         resnet_cls = ResnetBlock
-        if cfg.gradient_checkpointing and policy != "tx_only":
+        if cfg.gradient_checkpointing and policy not in ("tx_only", "tx_attn"):
             resnet_cls = _remat(ResnetBlock, policy)
 
         hidden_states = []
@@ -337,7 +345,7 @@ class MidBlock(nn.Module):
         out_ch = cfg.block_out_channels[-1]
         policy = _block_policy(cfg, len(cfg.block_out_channels) - 1)
         resnet_cls = ResnetBlock
-        if cfg.gradient_checkpointing and policy != "tx_only":
+        if cfg.gradient_checkpointing and policy not in ("tx_only", "tx_attn"):
             resnet_cls = _remat(ResnetBlock, policy)
         x = resnet_cls(out_ch, dtype=cfg.dtype, name="resnets_0")(x, temb)
         x = Transformer2D(
@@ -371,7 +379,7 @@ class UpBlock(nn.Module):
         policy = _block_policy(cfg, n - 1 - self.block_index)
 
         resnet_cls = ResnetBlock
-        if cfg.gradient_checkpointing and policy != "tx_only":
+        if cfg.gradient_checkpointing and policy not in ("tx_only", "tx_attn"):
             resnet_cls = _remat(ResnetBlock, policy)
 
         for i in range(cfg.layers_per_block + 1):

@@ -123,6 +123,10 @@ def dot_product_attention(
             )
             out = out.transpose(0, 2, 1, 3)
             out = out[:, :sq, :, :d]
+            # name the (small) attention output so remat policies can save
+            # it and skip re-running the kernel in the backward pass
+            # ("tx_attn" policy, models/unet.py:_remat)
+            out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
             STATS["flash"] += 1
             return out
         except Exception:

@@ -1,0 +1,148 @@
+"""The single-page app served by ui/server.py.
+
+Layout mirrors the reference's TrainUI tabs (modules/ui/TrainUI.py:
+general/model/data/concepts/training/sampling/backup + toolbar), rendered
+as a dynamic form over the TrainConfig dict: scalar fields group into
+tabs by name, nested objects (optimizer, concepts, samples, embeddings)
+edit as JSON. No build step, no dependencies — one <script> tag.
+"""
+
+PAGE_HTML = r"""<!doctype html>
+<html><head><meta charset="utf-8"><title>onetrainer-tpu</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:0;background:#14161a;color:#e6e6e6}
+ header{display:flex;align-items:center;gap:12px;padding:10px 16px;background:#1d2127}
+ header h1{font-size:16px;margin:0}
+ button{background:#2d7ff9;color:#fff;border:0;border-radius:4px;padding:6px 14px;cursor:pointer}
+ button.warn{background:#c0392b} button.sec{background:#3a404a}
+ #status{margin-left:auto;font-size:13px;color:#9ad}
+ nav{display:flex;gap:4px;padding:8px 16px;background:#181b20}
+ nav button{background:#23272e} nav button.active{background:#2d7ff9}
+ main{padding:12px 16px}
+ .grid{display:grid;grid-template-columns:repeat(auto-fill,minmax(330px,1fr));gap:6px 18px}
+ .field{display:flex;align-items:center;gap:8px;font-size:13px}
+ .field label{flex:1;color:#aab;overflow:hidden;text-overflow:ellipsis;white-space:nowrap}
+ .field input[type=text],.field input[type=number]{width:150px;background:#23272e;color:#e6e6e6;border:1px solid #3a404a;border-radius:3px;padding:3px 6px}
+ textarea{width:100%;height:320px;background:#23272e;color:#e6e6e6;border:1px solid #3a404a;font-family:monospace;font-size:12px}
+ #loss{background:#181b20;border:1px solid #3a404a}
+ #samples img{max-width:180px;margin:4px;border:1px solid #3a404a}
+ .bar{height:6px;background:#23272e;border-radius:3px;overflow:hidden;margin:6px 0}
+ .bar div{height:100%;background:#2d7ff9;width:0}
+ select{background:#23272e;color:#e6e6e6;border:1px solid #3a404a;padding:4px}
+</style></head><body>
+<header>
+ <h1>onetrainer-tpu</h1>
+ <button id="start">start training</button>
+ <button id="stop" class="warn">stop</button>
+ <button id="save" class="sec">save</button>
+ <button id="backup" class="sec">backup</button>
+ <button id="sample" class="sec">sample now</button>
+ <select id="presets"><option value="">presets…</option></select>
+ <span id="status">idle</span>
+</header>
+<div class="bar"><div id="prog"></div></div>
+<nav id="tabs"></nav>
+<main>
+ <div id="form" class="grid"></div>
+ <div id="jsonpane" style="display:none"><textarea id="jsontext"></textarea>
+  <button id="jsonapply">apply</button> <span id="jsonerr" style="color:#e66"></span></div>
+ <div id="monitor" style="display:none">
+  <canvas id="loss" width="900" height="220"></canvas>
+  <div id="samples"></div>
+ </div>
+</main>
+<script>
+const TABS = {
+ general: k=>/^(workspace_dir|cache_dir|debug|tensorboard|validat|continue_|secrets|cloud|device|train_dtype|temp_|save_|dataloader)/.test(k),
+ model: k=>/^(model_type|base_model_name|weight_dtype|output_model|unet|prior|text_encoder|vae|effnet|decoder|embedding_weight|quantization|compile|gradient_checkpointing|force_circ|layer_skip|include_train_config)/.test(k),
+ data: k=>/^(aspect|resolution|frames|latent_caching|clear_cache|concept_file|custom_conditioning|circular_mask|random_rotate|image_variations)/.test(k),
+ training: k=>/^(optimizer|learning_rate|epochs|batch_size|gradient_accumulation|ema|clip_grad|train_device|loss|mse_|mae_|log_cosh|vb_loss|masked|unmasked|normalize_masked|prior_loss|min_snr|debiased|p2_|timestep|noising|offset_noise|perturbation|rescale_noise|min_noising|max_noising|noise_|dynamic_|custom_learning|learning|stop_training|attention|align_prop|preserve_embedding)/.test(k),
+ sampling: k=>/^(sample|non_ema_sampling|samples_to_tensor)/.test(k),
+ backup: k=>/^(backup|rolling_backup|save_every|save_skip)/.test(k),
+};
+const JSON_TABS = {concepts:"concepts", samples:"samples",
+ "embedding/additional":"additional_embeddings", optimizer:"optimizer"};
+let config = {}, tab = "general";
+
+function el(t,attrs={},...kids){const e=document.createElement(t);
+ for(const[k,v]of Object.entries(attrs)){if(k=="onclick")e.onclick=v;else e.setAttribute(k,v)}
+ kids.forEach(k=>e.append(k));return e}
+
+async function api(path,body){const r=await fetch(path,body?{method:"POST",
+ body:JSON.stringify(body)}:{});return r.json()}
+
+function renderTabs(){const nav=document.getElementById("tabs");nav.innerHTML="";
+ for(const name of [...Object.keys(TABS),...Object.keys(JSON_TABS),"monitor"]){
+  nav.append(el("button",{class:name==tab?"active":"",onclick:()=>{tab=name;render()}},name))}}
+
+function fieldInput(key,val){
+ if(typeof val=="boolean"){const i=el("input",{type:"checkbox"});i.checked=val;
+  i.onchange=()=>push({[key]:i.checked});return i}
+ const i=el("input",{type:"text",value:val===null?"":String(val)});
+ i.onchange=()=>{let v=i.value;
+  if(typeof val=="number"&&v!=="")v=Number(v);
+  if(val===null&&v==="")v=null;
+  push({[key]:v})};
+ return i}
+
+function render(){renderTabs();
+ const form=document.getElementById("form"),jp=document.getElementById("jsonpane"),
+       mon=document.getElementById("monitor");
+ form.style.display=jp.style.display=mon.style.display="none";
+ if(tab=="monitor"){mon.style.display="block";return}
+ if(tab in JSON_TABS){jp.style.display="block";
+  document.getElementById("jsontext").value=
+   JSON.stringify(config[JSON_TABS[tab]],null,1);return}
+ form.style.display="grid";form.innerHTML="";
+ const match=TABS[tab];
+ const claimed=k=>Object.values(TABS).some(m=>m(k));
+ for(const[k,v]of Object.entries(config)){
+  if(typeof v=="object"&&v!==null)continue;
+  if(tab=="general" ? (match(k)||!claimed(k)) : match(k))
+   form.append(el("div",{class:"field"},el("label",{},k),fieldInput(k,v)))}}
+
+async function push(patch){const r=await api("/api/config",patch);
+ if(!r.ok)alert(JSON.stringify(r));config=await api("/api/config")}
+
+document.getElementById("jsonapply").onclick=async()=>{
+ try{const v=JSON.parse(document.getElementById("jsontext").value);
+  await push({[JSON_TABS[tab]]:v});document.getElementById("jsonerr").textContent=""}
+ catch(e){document.getElementById("jsonerr").textContent=String(e)}};
+
+for(const[id,path]of[["start","/api/train/start"],["stop","/api/train/stop"],
+ ["save","/api/train/save"],["backup","/api/train/backup"],
+ ["sample","/api/train/sample"]])
+ document.getElementById(id).onclick=()=>api(path,{});
+
+async function loadPresets(){const r=await api("/api/presets");
+ const s=document.getElementById("presets");
+ for(const name of r.presets||[])s.append(el("option",{value:name},name));
+ s.onchange=async()=>{if(!s.value)return;
+  await api("/api/preset/load",{name:s.value});config=await api("/api/config");render()}}
+
+function drawLoss(hist){const c=document.getElementById("loss"),x=c.getContext("2d");
+ x.clearRect(0,0,c.width,c.height);if(!hist.length)return;
+ const ys=hist.map(p=>p[1]),mx=Math.max(...ys),mn=Math.min(...ys);
+ x.strokeStyle="#2d7ff9";x.beginPath();
+ hist.forEach((p,i)=>{const px=i/(hist.length-1||1)*(c.width-20)+10,
+  py=c.height-15-((p[1]-mn)/((mx-mn)||1))*(c.height-30);
+  i?x.lineTo(px,py):x.moveTo(px,py)});x.stroke();
+ x.fillStyle="#9ad";x.font="11px monospace";
+ x.fillText("loss "+ys[ys.length-1].toFixed(4)+"  (min "+mn.toFixed(4)+" max "+mx.toFixed(4)+")",10,12)}
+
+async function poll(){try{const s=await api("/api/status");
+ document.getElementById("status").textContent=
+  s.state+(s.status?" — "+s.status:"")+(s.error?" — "+s.error:"");
+ const p=s.progress||{};
+ if(p.max_epoch)document.getElementById("prog").style.width=
+  (100*(p.epoch+(p.max_sample?p.epoch_step/p.max_sample:0))/p.max_epoch)+"%";
+ drawLoss(s.loss||[]);
+ const sd=document.getElementById("samples");
+ const want=(s.samples||[]).filter(n=>/\.(png|jpg|webp)$/.test(n));
+ if(sd.dataset.keys!=want.join()){sd.dataset.keys=want.join();sd.innerHTML="";
+  want.forEach(n=>sd.append(el("img",{src:"/samples/"+n,title:n})))}
+ }catch(e){}setTimeout(poll,1500)}
+
+(async()=>{config=await api("/api/config");render();loadPresets();poll()})();
+</script></body></html>
+"""

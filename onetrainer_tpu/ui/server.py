@@ -1,0 +1,252 @@
+"""Web training UI — the TPU-native re-design of the reference's
+customtkinter desktop app (reference: modules/ui/TrainUI.py:44-666 —
+tabbed config editor, training thread with callbacks re-entering the UI
+:586-628, UIState data binding onto config objects).
+
+Re-design, not a port: TPU training runs on headless cloud VMs where a
+Tk desktop is useless, so the UI is a single-page web app served by a
+stdlib ThreadingHTTPServer — zero extra dependencies, reachable over an
+SSH port-forward, and fully testable without a display (tests/test_ui.py
+drives every endpoint over HTTP). The same TrainCallbacks/TrainCommands
+objects the reference's UI uses wire the training thread to the page:
+status line, progress, smoothed loss, sample previews, and the
+stop/backup/save/sample buttons map 1:1 to the reference's toolbar.
+
+Endpoints (JSON unless noted):
+  GET  /                      single-page app (HTML)
+  GET  /api/config            current TrainConfig as a dict
+  POST /api/config            merge a partial dict into the config
+  GET  /api/presets           preset *.json files in presets_dir
+  POST /api/preset/load       {"name": ...} -> replace config from preset
+  POST /api/train/start       launch the training thread
+  POST /api/train/stop        TrainCommands.stop()
+  POST /api/train/backup      TrainCommands.backup()
+  POST /api/train/save        TrainCommands.save()
+  POST /api/train/sample      TrainCommands.sample_default()
+  GET  /api/status            {state, status, progress, loss, error, samples}
+  GET  /samples/<name>        sample image from <workspace>/samples (binary)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import traceback
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from onetrainer_tpu.config.train_config import TrainConfig
+from onetrainer_tpu.ui.page import PAGE_HTML
+from onetrainer_tpu.util.callbacks import TrainCallbacks
+from onetrainer_tpu.util.commands import TrainCommands
+
+
+class TrainUIState:
+    """Shared state between the HTTP handlers and the training thread
+    (the reference holds the same things on the TrainUI object)."""
+
+    def __init__(self, config: TrainConfig | None = None,
+                 presets_dir: str | None = None):
+        self.lock = threading.Lock()
+        self.config = config or TrainConfig.default_values()
+        self.presets_dir = presets_dir
+        self.state = "idle"          # idle | running | done | error
+        self.status_text = ""
+        self.error = ""
+        self.progress = {"epoch": 0, "epoch_step": 0, "global_step": 0,
+                         "max_sample": 0, "max_epoch": 0}
+        self.loss = deque(maxlen=500)
+        self.thread: threading.Thread | None = None
+        self.trainer = None
+        self.commands = TrainCommands()
+        self.callbacks = TrainCallbacks(
+            on_update_status=self._on_status,
+            on_update_train_progress=self._on_progress,
+        )
+
+    # -- callbacks from the training thread ---------------------------------------
+
+    def _on_status(self, text: str):
+        with self.lock:
+            self.status_text = str(text)
+
+    def _on_progress(self, train_progress, max_sample: int, max_epoch: int):
+        with self.lock:
+            self.progress = {
+                "epoch": train_progress.epoch,
+                "epoch_step": train_progress.epoch_step,
+                "global_step": train_progress.global_step,
+                "max_sample": max_sample,
+                "max_epoch": max_epoch,
+            }
+            trainer = self.trainer
+        if trainer is not None and getattr(trainer, "_loss_ema", None) is not None:
+            with self.lock:
+                self.loss.append(
+                    [train_progress.global_step, float(trainer._loss_ema)])
+
+    # -- training thread (reference: TrainUI.__training_thread_function) ----------
+
+    def start_training(self) -> bool:
+        with self.lock:
+            if self.state == "running":
+                return False
+            self.state = "running"
+            self.error = ""
+            self.loss.clear()
+            self.commands = TrainCommands()
+
+        def run():
+            from onetrainer_tpu.trainer.generic_trainer import GenericTrainer
+            try:
+                trainer = GenericTrainer(self.config, self.callbacks,
+                                         self.commands)
+                with self.lock:
+                    self.trainer = trainer
+                trainer.start()
+                trainer.train()
+                trainer.end()
+                with self.lock:
+                    self.state = "done"
+                    self.status_text = "finished"
+            except Exception as e:
+                traceback.print_exc()
+                with self.lock:
+                    self.state = "error"
+                    self.error = f"{type(e).__name__}: {e}"
+            finally:
+                with self.lock:
+                    self.trainer = None
+
+        self.thread = threading.Thread(target=run, daemon=True)
+        self.thread.start()
+        return True
+
+    def sample_dir(self) -> str:
+        return os.path.join(self.config.workspace_dir or ".", "samples")
+
+    def snapshot(self) -> dict:
+        with self.lock:
+            samples = []
+            sdir = self.sample_dir()
+            if os.path.isdir(sdir):
+                samples = sorted(os.listdir(sdir))[-8:]
+            return {
+                "state": self.state,
+                "status": self.status_text,
+                "progress": dict(self.progress),
+                "loss": list(self.loss)[-200:],
+                "error": self.error,
+                "samples": samples,
+            }
+
+
+def _make_handler(ui: TrainUIState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):   # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, obj, code: int = 200):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length") or 0)
+            if not n:
+                return {}
+            return json.loads(self.rfile.read(n).decode() or "{}")
+
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path in ("/", "/index.html"):
+                self._send(200, PAGE_HTML.encode(), "text/html; charset=utf-8")
+            elif path == "/api/config":
+                self._json(ui.config.to_dict())
+            elif path == "/api/status":
+                self._json(ui.snapshot())
+            elif path == "/api/presets":
+                names = []
+                if ui.presets_dir and os.path.isdir(ui.presets_dir):
+                    names = sorted(f for f in os.listdir(ui.presets_dir)
+                                   if f.endswith(".json"))
+                self._json({"presets": names})
+            elif path.startswith("/samples/"):
+                name = os.path.basename(path[len("/samples/"):])
+                fp = os.path.join(ui.sample_dir(), name)
+                if os.path.isfile(fp):
+                    with open(fp, "rb") as f:
+                        data = f.read()
+                    ext = os.path.splitext(name)[1].lstrip(".") or "png"
+                    self._send(200, data, f"image/{ext}")
+                else:
+                    self._json({"error": "not found"}, 404)
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            path = self.path.split("?")[0]
+            try:
+                if path == "/api/config":
+                    patch = self._body()
+                    merged = ui.config.to_dict()
+                    merged.update(patch)
+                    ui.config = TrainConfig.default_values().from_dict(merged)
+                    self._json({"ok": True})
+                elif path == "/api/preset/load":
+                    name = os.path.basename(self._body().get("name", ""))
+                    fp = os.path.join(ui.presets_dir or "", name)
+                    with open(fp) as f:
+                        ui.config = TrainConfig.default_values().from_dict(
+                            json.load(f))
+                    self._json({"ok": True})
+                elif path == "/api/train/start":
+                    started = ui.start_training()
+                    self._json({"ok": started,
+                                "error": "" if started else "already running"})
+                elif path == "/api/train/stop":
+                    ui.commands.stop()
+                    self._json({"ok": True})
+                elif path == "/api/train/backup":
+                    ui.commands.backup()
+                    self._json({"ok": True})
+                elif path == "/api/train/save":
+                    ui.commands.save()
+                    self._json({"ok": True})
+                elif path == "/api/train/sample":
+                    ui.commands.sample_default()
+                    self._json({"ok": True})
+                else:
+                    self._json({"error": "not found"}, 404)
+            except Exception as e:
+                traceback.print_exc()
+                self._json({"error": f"{type(e).__name__}: {e}"}, 400)
+
+    return Handler
+
+
+class TrainUIServer:
+    def __init__(self, host: str = "127.0.0.1", port: int = 8008,
+                 config: TrainConfig | None = None,
+                 presets_dir: str | None = None):
+        self.ui = TrainUIState(config, presets_dir)
+        self.httpd = ThreadingHTTPServer((host, port), _make_handler(self.ui))
+        self.port = self.httpd.server_address[1]
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def serve_background(self):
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()

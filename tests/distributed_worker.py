@@ -11,13 +11,21 @@ jax.make_array_from_process_local_data assembles the global array
 (mesh.shard_batch's process_count > 1 branch).
 """
 import json
+import os
 import sys
+
+# persistent compile cache: on the 1-core CI box both workers compile the
+# same program; cache hits keep their first-collective times within the
+# gloo context-init deadline
+os.makedirs("/tmp/ot_cpu_cache", exist_ok=True)
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/ot_cpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from onetrainer_tpu.parallel.distributed import maybe_initialize_distributed
 
 initialized = maybe_initialize_distributed()
 
-import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import optax  # noqa: E402
 

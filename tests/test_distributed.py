@@ -40,7 +40,7 @@ def _env(local_devices: int, extra: dict | None = None) -> dict:
     return env
 
 
-def test_two_process_distributed_matches_single_process():
+def _spawn_pair():
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     procs = []
@@ -51,11 +51,26 @@ def test_two_process_distributed_matches_single_process():
                          "OT_NUM_PROCESSES": "2",
                          "OT_PROCESS_ID": str(pid)}),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-    outs = []
+    outs, errs = [], []
+    ok = True
     for p in procs:
         out, err = p.communicate(timeout=900)
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+        ok = ok and p.returncode == 0
+        outs.append(out)
+        errs.append(err)
+    return ok, outs, errs
+
+
+def test_two_process_distributed_matches_single_process():
+    # under 1-core CI contention the gloo context init can miss its 30 s
+    # deadline while one worker is still compiling; retry up to 3 times
+    # (the worker's compile cache makes retries fast)
+    for attempt in range(3):
+        ok, raw, errs = _spawn_pair()
+        if ok:
+            break
+    assert ok, f"workers failed after retries:\n{raw}\n{errs}"
+    outs = [json.loads(r.strip().splitlines()[-1]) for r in raw]
 
     assert all(o["processes"] == 2 and o["initialized"] for o in outs)
     assert {o["process"] for o in outs} == {0, 1}
