@@ -50,6 +50,28 @@ PAGE_HTML = r"""<!doctype html>
   <canvas id="loss" width="900" height="220"></canvas>
   <div id="samples"></div>
  </div>
+ <div id="tools" style="display:none">
+  <div style="display:flex;gap:8px;align-items:center;margin-bottom:8px">
+   <input type="text" id="dsdir" placeholder="dataset folder" style="flex:1;background:#23272e;color:#e6e6e6;border:1px solid #3a404a;padding:4px">
+   <button id="dsload">load</button>
+  </div>
+  <div style="display:flex;gap:20px;margin-bottom:8px;font-size:13px">
+   <form id="capform" onsubmit="return false" style="display:flex;gap:6px;align-items:center">
+    <b>batch caption</b>
+    <select id="capmodel"><option>blip</option><option>blip2</option></select>
+    <select id="capmode"><option>fill</option><option>replace</option><option>add</option></select>
+    <button id="caprun">run</button>
+   </form>
+   <form id="maskform" onsubmit="return false" style="display:flex;gap:6px;align-items:center">
+    <b>batch mask</b>
+    <select id="maskmodel"><option>clipseg</option><option>color</option></select>
+    <input type="text" id="maskprompt" placeholder="prompt(s)" style="background:#23272e;color:#e6e6e6;border:1px solid #3a404a;padding:3px">
+    <button id="maskrun">run</button>
+   </form>
+   <span id="toolstat"></span>
+  </div>
+  <div id="dsgrid" class="grid"></div>
+ </div>
 </main>
 <script>
 const TABS = {
@@ -72,7 +94,7 @@ async function api(path,body){const r=await fetch(path,body?{method:"POST",
  body:JSON.stringify(body)}:{});return r.json()}
 
 function renderTabs(){const nav=document.getElementById("tabs");nav.innerHTML="";
- for(const name of [...Object.keys(TABS),...Object.keys(JSON_TABS),"monitor"]){
+ for(const name of [...Object.keys(TABS),...Object.keys(JSON_TABS),"monitor","tools"]){
   nav.append(el("button",{class:name==tab?"active":"",onclick:()=>{tab=name;render()}},name))}}
 
 function fieldInput(key,val){
@@ -87,9 +109,10 @@ function fieldInput(key,val){
 
 function render(){renderTabs();
  const form=document.getElementById("form"),jp=document.getElementById("jsonpane"),
-       mon=document.getElementById("monitor");
- form.style.display=jp.style.display=mon.style.display="none";
+       mon=document.getElementById("monitor"),tl=document.getElementById("tools");
+ form.style.display=jp.style.display=mon.style.display=tl.style.display="none";
  if(tab=="monitor"){mon.style.display="block";return}
+ if(tab=="tools"){tl.style.display="block";return}
  if(tab in JSON_TABS){jp.style.display="block";
   document.getElementById("jsontext").value=
    JSON.stringify(config[JSON_TABS[tab]],null,1);return}
@@ -143,6 +166,31 @@ async function poll(){try{const s=await api("/api/status");
   want.forEach(n=>sd.append(el("img",{src:"/samples/"+n,title:n})))}
  }catch(e){}setTimeout(poll,1500)}
 
-(async()=>{config=await api("/api/config");render();loadPresets();poll()})();
+async function loadDataset(){const d=document.getElementById("dsdir").value;
+ const r=await api("/api/dataset?dir="+encodeURIComponent(d));
+ const g=document.getElementById("dsgrid");g.innerHTML="";
+ for(const row of r.images||[]){
+  const ta=el("textarea",{style:"height:52px"});ta.value=row.caption;
+  const save=el("button",{class:"sec",onclick:async()=>{
+   await api("/api/dataset/caption",{dir:d,name:row.name,caption:ta.value})}},"save");
+  g.append(el("div",{},
+   el("img",{src:"/dataset/image?dir="+encodeURIComponent(d)+"&name="+encodeURIComponent(row.name),
+             style:"max-width:160px;display:block"}),
+   el("div",{style:"font-size:11px;color:#9ad"},row.name+(row.has_mask?" [mask]":"")),
+   ta,save))}}
+document.getElementById("dsload").onclick=loadDataset;
+document.getElementById("caprun").onclick=()=>api("/api/tools/caption",
+ {dir:document.getElementById("dsdir").value,
+  model:document.getElementById("capmodel").value,
+  mode:document.getElementById("capmode").value});
+document.getElementById("maskrun").onclick=()=>api("/api/tools/mask",
+ {dir:document.getElementById("dsdir").value,
+  model:document.getElementById("maskmodel").value,
+  prompt:document.getElementById("maskprompt").value});
+async function pollTools(){try{const t=await api("/api/tools/status");
+ document.getElementById("toolstat").textContent=t.running?
+  (t.kind+" "+t.done+"/"+t.total):(t.error||"");}catch(e){}
+ setTimeout(pollTools,2000)}
+(async()=>{config=await api("/api/config");render();loadPresets();poll();pollTools()})();
 </script></body></html>
 """

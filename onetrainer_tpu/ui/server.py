@@ -41,6 +41,23 @@ from onetrainer_tpu.ui.page import PAGE_HTML
 from onetrainer_tpu.util.callbacks import TrainCallbacks
 from onetrainer_tpu.util.commands import TrainCommands
 
+_IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+
+
+def _caption_model(name: str):
+    """Batch captioning model factory (reference: GenerateCaptionsWindow
+    model choices). Kept in a function so tests can monkeypatch."""
+    from onetrainer_tpu.tooling.caption_models import Blip2Model, BlipModel
+    return {"blip": BlipModel, "blip2": Blip2Model}[name]()
+
+
+def _mask_model(name: str, body: dict):
+    from onetrainer_tpu.tooling.mask_models import ClipSegModel, MaskByColor
+    if name == "color":
+        return MaskByColor(tuple(body.get("color", (255, 255, 255))),
+                           float(body.get("distance", 30.0)))
+    return ClipSegModel()
+
 
 class TrainUIState:
     """Shared state between the HTTP handlers and the training thread
@@ -60,6 +77,10 @@ class TrainUIState:
         self.thread: threading.Thread | None = None
         self.trainer = None
         self.commands = TrainCommands()
+        # dataset tools (reference: GenerateCaptionsWindow /
+        # GenerateMasksWindow run on a worker thread with a progress bar)
+        self.tools = {"running": False, "kind": "", "done": 0, "total": 0,
+                      "error": ""}
         self.callbacks = TrainCallbacks(
             on_update_status=self._on_status,
             on_update_train_progress=self._on_progress,
@@ -126,6 +147,33 @@ class TrainUIState:
     def sample_dir(self) -> str:
         return os.path.join(self.config.workspace_dir or ".", "samples")
 
+    def run_tool(self, kind: str, fn) -> bool:
+        """Run a captioning/masking job on a worker thread with progress."""
+        with self.lock:
+            if self.tools["running"]:
+                return False
+            self.tools = {"running": True, "kind": kind, "done": 0,
+                          "total": 0, "error": ""}
+
+        def progress(done, total):
+            with self.lock:
+                self.tools["done"] = done
+                self.tools["total"] = total
+
+        def run():
+            try:
+                fn(progress)
+                with self.lock:
+                    self.tools["running"] = False
+            except Exception as e:
+                traceback.print_exc()
+                with self.lock:
+                    self.tools.update(running=False,
+                                      error=f"{type(e).__name__}: {e}")
+
+        threading.Thread(target=run, daemon=True).start()
+        return True
+
     def snapshot(self) -> dict:
         with self.lock:
             samples = []
@@ -187,8 +235,50 @@ def _make_handler(ui: TrainUIState):
                     self._send(200, data, f"image/{ext}")
                 else:
                     self._json({"error": "not found"}, 404)
+            elif path == "/api/dataset":
+                # caption/mask editor backing store (reference: CaptionUI)
+                d = self._query().get("dir", "")
+                if not os.path.isdir(d):
+                    self._json({"error": f"not a directory: {d}"}, 400)
+                    return
+                rows = []
+                for f in sorted(os.listdir(d)):
+                    stem, ext = os.path.splitext(f)
+                    if ext.lower() not in _IMAGE_EXTS or \
+                            stem.endswith(("-masklabel", "-condlabel")):
+                        continue
+                    cap_path = os.path.join(d, stem + ".txt")
+                    caption = ""
+                    if os.path.isfile(cap_path):
+                        with open(cap_path, encoding="utf-8") as fh:
+                            caption = fh.read()
+                    rows.append({
+                        "name": f, "caption": caption,
+                        "has_mask": os.path.isfile(
+                            os.path.join(d, stem + "-masklabel.png")),
+                    })
+                self._json({"images": rows})
+            elif path == "/dataset/image":
+                q = self._query()
+                fp = os.path.join(q.get("dir", ""),
+                                  os.path.basename(q.get("name", "")))
+                if os.path.isfile(fp):
+                    with open(fp, "rb") as f:
+                        data = f.read()
+                    ext = os.path.splitext(fp)[1].lstrip(".") or "png"
+                    self._send(200, data, f"image/{ext}")
+                else:
+                    self._json({"error": "not found"}, 404)
+            elif path == "/api/tools/status":
+                with ui.lock:
+                    self._json(dict(ui.tools))
             else:
                 self._json({"error": "not found"}, 404)
+
+        def _query(self) -> dict:
+            from urllib.parse import parse_qs, urlparse
+            q = parse_qs(urlparse(self.path).query)
+            return {k: v[0] for k, v in q.items()}
 
         def do_POST(self):
             path = self.path.split("?")[0]
@@ -222,6 +312,50 @@ def _make_handler(ui: TrainUIState):
                 elif path == "/api/train/sample":
                     ui.commands.sample_default()
                     self._json({"ok": True})
+                elif path == "/api/dataset/caption":
+                    b = self._body()
+                    d = b["dir"]
+                    stem = os.path.splitext(os.path.basename(b["name"]))[0]
+                    if not os.path.isdir(d):
+                        self._json({"error": "not a directory"}, 400)
+                        return
+                    with open(os.path.join(d, stem + ".txt"), "w",
+                              encoding="utf-8") as f:
+                        f.write(b.get("caption", ""))
+                    self._json({"ok": True})
+                elif path == "/api/tools/caption":
+                    b = self._body()
+                    model = _caption_model(b.get("model", "blip"))
+                    started = ui.run_tool(
+                        "caption",
+                        lambda progress: model.caption_folder(
+                            b["dir"],
+                            initial_caption=b.get("initial_caption", ""),
+                            caption_prefix=b.get("prefix", ""),
+                            caption_postfix=b.get("postfix", ""),
+                            mode=b.get("mode", "fill"),
+                            progress_callback=progress,
+                            include_subdirectories=bool(
+                                b.get("include_subdirectories"))))
+                    self._json({"ok": started})
+                elif path == "/api/tools/mask":
+                    b = self._body()
+                    model = _mask_model(b.get("model", "clipseg"), b)
+                    started = ui.run_tool(
+                        "mask",
+                        lambda progress: model.mask_folder(
+                            b["dir"],
+                            prompts=[p for p in
+                                     str(b.get("prompt", "")).split(",") if p],
+                            mode=b.get("mode", "fill"),
+                            threshold=float(b.get("threshold", 0.3)),
+                            smooth_pixels=int(b.get("smooth_pixels", 5)),
+                            expand_pixels=int(b.get("expand_pixels", 10)),
+                            alpha=float(b.get("alpha", 1.0)),
+                            progress_callback=progress,
+                            include_subdirectories=bool(
+                                b.get("include_subdirectories"))))
+                    self._json({"ok": started})
                 else:
                     self._json({"error": "not found"}, 404)
             except Exception as e:

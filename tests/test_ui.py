@@ -130,3 +130,95 @@ def test_ui_stop_command(tmp_path):
         assert os.path.exists(config.output_model_destination)
     finally:
         s.shutdown()
+
+
+def test_ui_dataset_editor_and_mask_tool(tmp_path, monkeypatch):
+    """Dataset caption editor + batch masking over HTTP (reference:
+    CaptionUI / GenerateMasksWindow). The mask tool uses MaskByColor so
+    the test stays offline; captioning is exercised through a stub model
+    (the real BLIP path needs HF downloads)."""
+    import numpy as np
+    from PIL import Image
+
+    from onetrainer_tpu.ui import server as srv
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    for i in range(3):
+        arr = np.full((16, 16, 3), 255 if i == 0 else 10, np.uint8)
+        Image.fromarray(arr).save(ds / f"img{i}.png")
+    (ds / "img1.txt").write_text("existing caption")
+
+    s = TrainUIServer(port=0)
+    s.serve_background()
+    try:
+        # browse
+        rows = _req(s.port, f"/api/dataset?dir={ds}")["images"]
+        assert [r["name"] for r in rows] == ["img0.png", "img1.png",
+                                             "img2.png"]
+        assert rows[1]["caption"] == "existing caption"
+        assert not rows[0]["has_mask"]
+        img = _req(s.port, f"/dataset/image?dir={ds}&name=img0.png")
+        assert img[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # edit a caption
+        r = _req(s.port, "/api/dataset/caption",
+                 {"dir": str(ds), "name": "img2.png", "caption": "a thing"})
+        assert r["ok"]
+        assert (ds / "img2.txt").read_text() == "a thing"
+
+        # batch mask with the color model (white pixels -> mask)
+        r = _req(s.port, "/api/tools/mask",
+                 {"dir": str(ds), "model": "color", "color": [255, 255, 255],
+                  "distance": 10, "expand_pixels": 0, "smooth_pixels": 0})
+        assert r["ok"]
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            st = _req(s.port, "/api/tools/status")
+            if not st["running"]:
+                break
+            time.sleep(0.2)
+        assert st["error"] == "", st
+        assert st["done"] == 3
+        mask = np.asarray(Image.open(ds / "img0-masklabel.png"))
+        assert mask.max() == 255          # white image fully masked
+        mask1 = np.asarray(Image.open(ds / "img1-masklabel.png"))
+        assert mask1.max() == 0           # dark image unmasked
+
+        # batch caption via a stub model (registry monkeypatched)
+        class StubModel:
+            def caption_folder(self, sample_dir, initial_caption="",
+                               caption_prefix="", caption_postfix="",
+                               mode="fill", progress_callback=None,
+                               error_callback=None,
+                               include_subdirectories=False):
+                import os
+                names = [f for f in sorted(os.listdir(sample_dir))
+                         if f.endswith(".png") and "-masklabel" not in f]
+                for i, f in enumerate(names):
+                    stem = os.path.splitext(f)[0]
+                    p = os.path.join(sample_dir, stem + ".txt")
+                    if mode == "fill" and os.path.exists(p) \
+                            and open(p).read().strip():
+                        continue
+                    with open(p, "w") as fh:
+                        fh.write(f"stub caption {stem}")
+                    if progress_callback:
+                        progress_callback(i + 1, len(names))
+
+        monkeypatch.setattr(srv, "_caption_model", lambda name: StubModel())
+        r = _req(s.port, "/api/tools/caption",
+                 {"dir": str(ds), "model": "blip", "mode": "fill"})
+        assert r["ok"]
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            st = _req(s.port, "/api/tools/status")
+            if not st["running"]:
+                break
+            time.sleep(0.2)
+        assert st["error"] == "", st
+        assert (ds / "img0.txt").read_text().startswith("stub caption")
+        # fill mode preserved the existing caption
+        assert (ds / "img1.txt").read_text() == "existing caption"
+    finally:
+        s.shutdown()
