@@ -76,16 +76,22 @@ def quantize_tree(tree, dtype=jnp.float8_e4m3fn, min_size: int = 4096,
     in keep_dtype — the same layer-selection policy as the reference's
     replace-linears pass (weights only, bitsandbytes semantics).
 
+    Only leaves named `kernel` (flax Dense/Conv weights, all consumed
+    through peft/layers.py's dequant hook) are quantized — exactly the
+    reference's bitsandbytes replace-LINEARS semantics. Embedding/pos
+    tables are ndim>=2 but consumed raw (e.g. SD3's pos_embed reshape),
+    so quantizing them breaks the model (found at SD3 scale, r3).
+
     Scan-stacked subtrees (`{prefix: {"block": ...}}`, see
     _is_scan_stacked_subtree) are quantized per layer along axis 0 via
     vmap so nn.scan can slice the quantized leaves layer by layer."""
-    def visit(leaf, stacked=False):
+    def visit(leaf, stacked=False, key=None):
         leaf = jnp.asarray(leaf)
         if not jnp.issubdtype(leaf.dtype, jnp.floating):
             return leaf
         min_ndim = 3 if stacked else 2
         per_item = leaf.size // leaf.shape[0] if stacked and leaf.ndim else leaf.size
-        if leaf.ndim >= min_ndim and per_item >= min_size:
+        if key == "kernel" and leaf.ndim >= min_ndim and per_item >= min_size:
             if stacked:
                 if dtype == "nf4":
                     return jax.vmap(quantize_nf4)(leaf)
@@ -95,17 +101,19 @@ def quantize_tree(tree, dtype=jnp.float8_e4m3fn, min_size: int = 4096,
             return quantize_array(leaf, dtype)
         return leaf.astype(keep_dtype)
 
-    if isinstance(tree, dict):
+    def visit_tree(tree, stacked=False):
         out = {}
         for k, v in tree.items():
             if _is_scan_stacked_subtree(v):
-                out[k] = {"block": jax.tree.map(
-                    lambda leaf: visit(leaf, stacked=True), v["block"])}
+                out[k] = {"block": visit_tree(v["block"], stacked=True)}
             elif isinstance(v, dict):
-                out[k] = quantize_tree(v, dtype, min_size, keep_dtype)
+                out[k] = visit_tree(v, stacked=stacked)
             else:
-                out[k] = visit(v)
+                out[k] = visit(v, stacked=stacked, key=k)
         return out
+
+    if isinstance(tree, dict):
+        return visit_tree(tree)
     return jax.tree.map(visit, tree)
 
 

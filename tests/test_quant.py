@@ -88,13 +88,17 @@ def test_nf4_roundtrip_and_tree():
     scales = np.abs(np.asarray(x)).reshape(-1, 64).max(axis=1)
     assert (err.reshape(-1, 64) <= scales[:, None] * 0.17 + 1e-6).all()
 
-    tree = {"w": x, "bias": jnp.zeros((8,))}
+    # only `kernel` leaves quantize (bitsandbytes replace-linears
+    # semantics; raw-consumed tables like pos embeddings must stay float)
+    tree = {"lin": {"kernel": x, "bias": jnp.zeros((8,))},
+            "pos_embed": jnp.ones((64, 64))}
     qt = quantize_tree(tree, "nf4", min_size=1024)
-    assert isinstance(qt["w"], NF4Array)
-    assert not isinstance(qt["bias"], NF4Array)
+    assert isinstance(qt["lin"]["kernel"], NF4Array)
+    assert not isinstance(qt["lin"]["bias"], NF4Array)
+    assert not isinstance(qt["pos_embed"], NF4Array)
     dt = dequantize_tree(qt, jnp.float32)
-    np.testing.assert_allclose(np.asarray(dt["w"]), np.asarray(back),
-                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dt["lin"]["kernel"]),
+                               np.asarray(back), atol=1e-6)
 
 
 def test_nf4_in_layer_lora():
