@@ -429,9 +429,14 @@ class GenericTrainer(BaseTrainer):
 
     # -- sampling during training ------------------------------------------------------
 
-    def _sample_during_training(self):
+    def _sample_during_training(self, custom_samples=None):
+        """Scheduled/default sampling, or — with `custom_samples` — the
+        queued TrainCommands.sample_custom configs (reference:
+        GenericTrainer.py:640-648 polls them each step and routes output
+        to samples/custom + on_sample_custom)."""
         config = self.config
-        samples = config.samples or []
+        custom = custom_samples is not None
+        samples = custom_samples if custom else (config.samples or [])
         if not samples:
             return
         state = self.setup.state
@@ -448,25 +453,34 @@ class GenericTrainer(BaseTrainer):
             self.setup.state = state.replace(
                 params=schedule_free_eval_params(state.opt_state, state.params))
         try:
-            self._sample_batch(config, samples)
+            self._sample_batch(config, samples, custom=custom)
         finally:
             self.setup.state = self.setup.state.replace(params=real_params)
-        if use_ema and config.non_ema_sampling:
+        if use_ema and config.non_ema_sampling and not custom:
             self._sample_batch(config, samples, suffix="-non-ema")
         return
 
-    def _sample_batch(self, config, samples, suffix: str = ""):
+    def _sample_batch(self, config, samples, suffix: str = "",
+                      custom: bool = False):
         self.callbacks.on_update_status("sampling")
-        sample_dir = os.path.join(config.workspace_dir, "samples")
+        sample_dir = os.path.join(config.workspace_dir, "samples",
+                                  *(["custom"] if custom else []))
         os.makedirs(sample_dir, exist_ok=True)
         for i, sample_config in enumerate(samples):
             if not sample_config.enabled:
                 continue
             try:
-                out = self.family.sample(
-                    self.setup, sample_config,
-                    lambda s, m, i=i: self.callbacks.on_update_sample_default_progress(
-                        f"sample_{i}", s, m))
+                if custom:
+                    # custom configs carry only what the caller set; fill
+                    # sampler defaults from the train config (reference:
+                    # GenericTrainer.py:245 from_train_config)
+                    sample_config.from_train_config(config)
+                    progress_cb = self.callbacks.on_update_sample_custom_progress
+                else:
+                    progress_cb = lambda s, m, i=i: \
+                        self.callbacks.on_update_sample_default_progress(
+                            f"sample_{i}", s, m)  # noqa: E731
+                out = self.family.sample(self.setup, sample_config, progress_cb)
                 from PIL import Image
                 name = (f"{self.train_progress.filename_string()}-sample-{i}{suffix}"
                         f"{config.sample_image_format.extension()}")
@@ -475,11 +489,15 @@ class GenericTrainer(BaseTrainer):
                 if getattr(out, "video", None) is not None:
                     from onetrainer_tpu.sampling.hunyuan_sampler import write_video
                     write_video(os.path.splitext(path)[0] + ".mp4", out.video)
-                if self.tensorboard and config.samples_to_tensorboard:
+                if self.tensorboard and config.samples_to_tensorboard \
+                        and not custom:
                     self.tensorboard.add_image(
                         f"sample_{i}", out.image.transpose(2, 0, 1),
                         self.train_progress.global_step)
-                self.callbacks.on_sample_default(out)
+                if custom:
+                    self.callbacks.on_sample_custom(out)
+                else:
+                    self.callbacks.on_sample_default(out)
             except Exception:
                 traceback.print_exc()
 
@@ -517,6 +535,11 @@ class GenericTrainer(BaseTrainer):
                         pass
                     else:
                         self._sample_during_training()
+
+                custom_cmds = \
+                    self.commands.get_and_reset_sample_custom_commands()
+                if custom_cmds:
+                    self._sample_during_training(custom_samples=custom_cmds)
 
                 if self._needs("backup", config.backup_after,
                                config.backup_after_unit) \

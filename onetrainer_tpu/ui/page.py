@@ -49,6 +49,17 @@ PAGE_HTML = r"""<!doctype html>
  <div id="monitor" style="display:none">
   <canvas id="loss" width="900" height="220"></canvas>
   <div id="samples"></div>
+  <form id="customform" onsubmit="return false" style="display:flex;gap:6px;align-items:center;margin:10px 0">
+   <b style="font-size:13px">custom sample</b>
+   <input type="text" id="customprompt" placeholder="prompt" style="flex:1;background:#23272e;color:#e6e6e6;border:1px solid #3a404a;padding:4px">
+   <input type="number" id="customseed" value="42" style="width:70px;background:#23272e;color:#e6e6e6;border:1px solid #3a404a;padding:4px">
+   <button id="customrun">sample</button>
+  </form>
+  <div id="customsamples"></div>
+  <div style="margin-top:10px">
+   <button id="tsplot" class="sec">plot timestep distribution</button>
+   <canvas id="tshist" width="900" height="160" style="display:block;background:#181b20;border:1px solid #3a404a;margin-top:4px"></canvas>
+  </div>
  </div>
  <div id="tools" style="display:none">
   <div style="display:flex;gap:8px;align-items:center;margin-bottom:8px">
@@ -164,7 +175,26 @@ async function poll(){try{const s=await api("/api/status");
  const want=(s.samples||[]).filter(n=>/\.(png|jpg|webp)$/.test(n));
  if(sd.dataset.keys!=want.join()){sd.dataset.keys=want.join();sd.innerHTML="";
   want.forEach(n=>sd.append(el("img",{src:"/samples/"+n,title:n})))}
+ const cd=document.getElementById("customsamples");
+ const cwant=(s.custom_samples||[]).filter(n=>/\.(png|jpg|webp)$/.test(n));
+ if(cd.dataset.keys!=cwant.join()){cd.dataset.keys=cwant.join();cd.innerHTML="";
+  cwant.forEach(n=>cd.append(el("img",{src:"/samples/custom/"+n,title:n})))}
  }catch(e){}setTimeout(poll,1500)}
+
+document.getElementById("customrun").onclick=()=>api("/api/train/sample_custom",
+ {prompt:document.getElementById("customprompt").value,
+  seed:Number(document.getElementById("customseed").value)||42});
+
+document.getElementById("tsplot").onclick=async()=>{
+ const r=await api("/api/timesteps");
+ const c=document.getElementById("tshist"),x=c.getContext("2d");
+ x.clearRect(0,0,c.width,c.height);
+ const mx=Math.max(...r.counts,1),w=(c.width-20)/r.counts.length;
+ x.fillStyle="#2d7ff9";
+ r.counts.forEach((n,i)=>{const h=n/mx*(c.height-30);
+  x.fillRect(10+i*w,c.height-15-h,w-1,h)});
+ x.fillStyle="#9ad";x.font="11px monospace";
+ x.fillText(r.distribution+"  (t=0 … 1000)",10,12)};
 
 async function loadDataset(){const d=document.getElementById("dsdir").value;
  const r=await api("/api/dataset?dir="+encodeURIComponent(d));

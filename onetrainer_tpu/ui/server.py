@@ -23,8 +23,15 @@ Endpoints (JSON unless noted):
   POST /api/train/backup      TrainCommands.backup()
   POST /api/train/save        TrainCommands.save()
   POST /api/train/sample      TrainCommands.sample_default()
-  GET  /api/status            {state, status, progress, loss, error, samples}
-  GET  /samples/<name>        sample image from <workspace>/samples (binary)
+  POST /api/train/sample_custom  {prompt, ...SampleConfig fields} ->
+                              TrainCommands.sample_custom (the reference's
+                              SampleWindow: one-off prompt while training)
+  GET  /api/timesteps         histogram of the configured timestep
+                              distribution (TimestepDistributionWindow)
+  GET  /api/status            {state, status, progress, loss, error,
+                              samples, custom_samples}
+  GET  /samples/<name>        sample image from <workspace>/samples (binary;
+                              also /samples/custom/<name>)
 """
 
 from __future__ import annotations
@@ -176,10 +183,14 @@ class TrainUIState:
 
     def snapshot(self) -> dict:
         with self.lock:
-            samples = []
+            samples, custom = [], []
             sdir = self.sample_dir()
             if os.path.isdir(sdir):
-                samples = sorted(os.listdir(sdir))[-8:]
+                samples = sorted(f for f in os.listdir(sdir)
+                                 if f != "custom")[-8:]
+            cdir = os.path.join(sdir, "custom")
+            if os.path.isdir(cdir):
+                custom = sorted(os.listdir(cdir))[-8:]
             return {
                 "state": self.state,
                 "status": self.status_text,
@@ -187,6 +198,7 @@ class TrainUIState:
                 "loss": list(self.loss)[-200:],
                 "error": self.error,
                 "samples": samples,
+                "custom_samples": custom,
             }
 
 
@@ -226,8 +238,10 @@ def _make_handler(ui: TrainUIState):
                                    if f.endswith(".json"))
                 self._json({"presets": names})
             elif path.startswith("/samples/"):
-                name = os.path.basename(path[len("/samples/"):])
-                fp = os.path.join(ui.sample_dir(), name)
+                rel = path[len("/samples/"):]
+                sub = ["custom"] if rel.startswith("custom/") else []
+                name = os.path.basename(rel)
+                fp = os.path.join(ui.sample_dir(), *sub, name)
                 if os.path.isfile(fp):
                     with open(fp, "rb") as f:
                         data = f.read()
@@ -272,6 +286,28 @@ def _make_handler(ui: TrainUIState):
             elif path == "/api/tools/status":
                 with ui.lock:
                     self._json(dict(ui.tools))
+            elif path == "/api/timesteps":
+                # the reference's TimestepDistributionWindow: plot the
+                # sampled-timestep density for the current train config
+                # (modules/ui/TimestepDistributionWindow.py). Rendered
+                # client-side as an SVG bar chart.
+                import jax
+                import numpy as np
+                from onetrainer_tpu.math.timesteps import (
+                    TimestepConfig, sample_timesteps_discrete,
+                )
+                tcfg = TimestepConfig.from_train_config(ui.config)
+                if tcfg.dynamic_timestep_shifting:
+                    tcfg = __import__("dataclasses").replace(
+                        tcfg, dynamic_timestep_shifting=False)
+                ts = np.asarray(sample_timesteps_discrete(
+                    jax.random.PRNGKey(0), 20000, tcfg))
+                counts, edges = np.histogram(ts, bins=50, range=(0, 1000))
+                self._json({
+                    "distribution": str(ui.config.timestep_distribution),
+                    "edges": [float(e) for e in edges],
+                    "counts": [int(c) for c in counts],
+                })
             else:
                 self._json({"error": "not found"}, 404)
 
@@ -311,6 +347,17 @@ def _make_handler(ui: TrainUIState):
                     self._json({"ok": True})
                 elif path == "/api/train/sample":
                     ui.commands.sample_default()
+                    self._json({"ok": True})
+                elif path == "/api/train/sample_custom":
+                    # SampleWindow equivalent: queue a one-off sample with
+                    # a caller-supplied prompt; the training loop polls the
+                    # queue and writes to samples/custom
+                    from onetrainer_tpu.config.sample_config import (
+                        SampleConfig,
+                    )
+                    cfg = SampleConfig.default_values().from_dict(
+                        self._body())
+                    ui.commands.sample_custom(cfg)
                     self._json({"ok": True})
                 elif path == "/api/dataset/caption":
                     b = self._body()

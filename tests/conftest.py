@@ -4,14 +4,19 @@ import os
 # without TPU hardware. The container's sitecustomize force-registers the
 # axon TPU plugin and prepends it to jax_platforms, so setting the env var
 # is not enough — override the config before any backend initializes.
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+"""OT_TEST_TPU=1 escapes the CPU farm so the TPU-only tests (flash
+attention exactness etc., skipif backend != tpu) run on real hardware."""
+if os.environ.get("OT_TEST_TPU") == "1":
+    import jax
+else:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent XLA compilation cache: tiny-model compiles dominate the suite
 # runtime on the single-core CI box; cache them across tests and runs

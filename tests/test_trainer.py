@@ -282,3 +282,41 @@ def test_vae_fine_tune_e2e(tmp_path):
     assert changed
     # diffusers save used the trained VAE
     assert os.path.isdir(config.output_model_destination)
+
+
+def test_e2e_custom_sample_command(tmp_path):
+    """TrainCommands.sample_custom queued mid-run -> the loop polls it,
+    samples with the caller's prompt into samples/custom/, and fires
+    on_sample_custom (reference: GenericTrainer.py:640-648, SampleWindow)."""
+    from onetrainer_tpu.config.sample_config import SampleConfig
+    from onetrainer_tpu.util.callbacks import TrainCallbacks
+    from onetrainer_tpu.util.commands import TrainCommands
+
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    write_tiny_checkpoint(base, tiny_sd_model())
+    config = tiny_train_config(base, ds, str(tmp_path / "ws"),
+                               str(tmp_path / "cache"))
+    config.epochs = 1
+    config.backup_before_save = False
+
+    got = []
+    callbacks = TrainCallbacks(on_sample_custom=got.append)
+    commands = TrainCommands()
+    sc = SampleConfig.default_values()
+    sc.prompt = "custom prompt"
+    sc.width = sc.height = 32
+    sc.diffusion_steps = 2
+    commands.sample_custom(sc)
+
+    trainer = GenericTrainer(config, callbacks, commands)
+    trainer.start()
+    trainer.train()
+    trainer.end()
+
+    custom_dir = os.path.join(config.workspace_dir, "samples", "custom")
+    assert os.path.isdir(custom_dir) and os.listdir(custom_dir)
+    assert len(got) == 1 and got[0].image.shape[-1] == 3
+    # from_train_config filled the train-config-derived fields
+    assert sc.force_last_timestep == \
+        config.rescale_noise_scheduler_to_zero_terminal_snr

@@ -222,3 +222,29 @@ def test_ui_dataset_editor_and_mask_tool(tmp_path, monkeypatch):
         assert (ds / "img1.txt").read_text() == "existing caption"
     finally:
         s.shutdown()
+
+
+def test_ui_timestep_histogram(server):
+    """TimestepDistributionWindow equivalent: histogram endpoint reflects
+    the configured distribution (reference:
+    modules/ui/TimestepDistributionWindow.py)."""
+    r = _req(server.port, "/api/config",
+             {"timestep_distribution": "LOGIT_NORMAL"})
+    assert r["ok"]
+    h = _req(server.port, "/api/timesteps")
+    assert len(h["counts"]) == 50 and sum(h["counts"]) == 20000
+    assert "LOGIT_NORMAL" in h["distribution"]
+    # logit-normal mass concentrates mid-range, not at the edges
+    assert max(h["counts"][20:30]) > max(h["counts"][0], h["counts"][-1])
+
+
+def test_ui_custom_sample_endpoint(server):
+    """SampleWindow equivalent: POST queues a TrainCommands custom sample
+    with the caller's prompt."""
+    r = _req(server.port, "/api/train/sample_custom",
+             {"prompt": "a red cube", "seed": 9, "width": 64})
+    assert r["ok"]
+    queued = server.ui.commands.get_and_reset_sample_custom_commands()
+    assert len(queued) == 1
+    assert queued[0].prompt == "a red cube"
+    assert queued[0].seed == 9 and queued[0].width == 64
