@@ -81,6 +81,22 @@ PAGE_HTML = r"""<!doctype html>
    </form>
    <span id="toolstat"></span>
   </div>
+  <div style="display:flex;gap:20px;margin-bottom:8px;font-size:13px">
+   <form id="vidform" onsubmit="return false" style="display:flex;gap:6px;align-items:center">
+    <b>video tool</b>
+    <select id="vidmode"><option>clips</option><option>frames</option></select>
+    <input type="text" id="vidin" placeholder="video file" style="background:#23272e;color:#e6e6e6;border:1px solid #3a404a;padding:3px">
+    <input type="text" id="vidout" placeholder="output dir" style="background:#23272e;color:#e6e6e6;border:1px solid #3a404a;padding:3px">
+    <button id="vidrun">run</button>
+   </form>
+   <form id="convform" onsubmit="return false" style="display:flex;gap:6px;align-items:center">
+    <b>convert model</b>
+    <input type="text" id="convin" placeholder="input" style="width:120px;background:#23272e;color:#e6e6e6;border:1px solid #3a404a;padding:3px">
+    <input type="text" id="convout" placeholder="output" style="width:120px;background:#23272e;color:#e6e6e6;border:1px solid #3a404a;padding:3px">
+    <select id="convfmt"><option>SAFETENSORS</option><option>DIFFUSERS</option></select>
+    <button id="convrun">run</button>
+   </form>
+  </div>
   <div id="dsgrid" class="grid"></div>
  </div>
 </main>
@@ -213,6 +229,15 @@ document.getElementById("caprun").onclick=()=>api("/api/tools/caption",
  {dir:document.getElementById("dsdir").value,
   model:document.getElementById("capmodel").value,
   mode:document.getElementById("capmode").value});
+document.getElementById("vidrun").onclick=()=>api("/api/tools/video",
+ {mode:document.getElementById("vidmode").value,
+  video:document.getElementById("vidin").value,
+  output_dir:document.getElementById("vidout").value});
+document.getElementById("convrun").onclick=()=>api("/api/tools/convert",
+ {model_type:(config.model_type||"STABLE_DIFFUSION_15"),
+  input:document.getElementById("convin").value,
+  output:document.getElementById("convout").value,
+  output_model_format:document.getElementById("convfmt").value});
 document.getElementById("maskrun").onclick=()=>api("/api/tools/mask",
  {dir:document.getElementById("dsdir").value,
   model:document.getElementById("maskmodel").value,

@@ -385,6 +385,61 @@ def _make_handler(ui: TrainUIState):
                             include_subdirectories=bool(
                                 b.get("include_subdirectories"))))
                     self._json({"ok": started})
+                elif path == "/api/tools/video":
+                    # VideoToolUI equivalent: clip extraction at scene
+                    # cuts / sharp-frame extraction (reference:
+                    # modules/ui/VideoToolUI.py:314-437)
+                    b = self._body()
+                    from onetrainer_tpu.tooling import video_tools as vt
+                    mode = b.get("mode", "clips")
+
+                    def job(progress, b=b, mode=mode):
+                        progress(0, 1)
+                        if mode == "frames":
+                            vt.extract_frames(
+                                b["video"], b["output_dir"],
+                                capture_rate=float(b.get("capture_rate", 0.5)),
+                                blur_threshold=float(
+                                    b.get("blur_threshold", 0.2)))
+                        else:
+                            vt.extract_clips(
+                                b["video"], b["output_dir"],
+                                max_length_sec=float(
+                                    b.get("max_length_sec", 2.0)),
+                                split_at_cuts=bool(
+                                    b.get("split_at_cuts", True)))
+                        progress(1, 1)
+
+                    self._json({"ok": ui.run_tool(f"video/{mode}", job)})
+                elif path == "/api/tools/convert":
+                    # ConvertModelUI equivalent: drives the tested CLI in
+                    # a subprocess so a bad checkpoint can't take down the
+                    # UI (reference: modules/ui/ConvertModelUI.py)
+                    b = self._body()
+
+                    def job(progress, b=b):
+                        import subprocess
+                        import sys
+                        progress(0, 1)
+                        cmd = [sys.executable, os.path.join(
+                            os.path.dirname(__file__), "..", "..",
+                            "scripts", "convert_model.py"),
+                            "--model-type", b.get("model_type",
+                                                  "STABLE_DIFFUSION_15"),
+                            "--input", b["input"],
+                            "--output", b["output"],
+                            "--output-model-format",
+                            b.get("output_model_format", "SAFETENSORS"),
+                            "--output-dtype", b.get("output_dtype",
+                                                    "FLOAT_16")]
+                        r = subprocess.run(cmd, capture_output=True,
+                                           text=True)
+                        if r.returncode != 0:
+                            raise RuntimeError(
+                                (r.stderr or r.stdout).strip()[-400:])
+                        progress(1, 1)
+
+                    self._json({"ok": ui.run_tool("convert", job)})
                 elif path == "/api/tools/mask":
                     b = self._body()
                     model = _mask_model(b.get("model", "clipseg"), b)

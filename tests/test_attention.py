@@ -37,7 +37,8 @@ def test_flash_eligibility_covers_sd_head_dims():
         assert attn_mod._round_up(d, 64) in (64, 128, 192, 256)
     # flash is default-ON on TPU (r3: tuned blocks + minimal padding beat
     # XLA 2-4x); on the CPU test backend it needs OT_FORCE_FLASH
-    assert not attn_mod._can_use_flash(4096, 4096, 64)
+    if jax.default_backend() != "tpu":
+        assert not attn_mod._can_use_flash(4096, 4096, 64)
     os.environ["OT_FORCE_FLASH"] = "1"
     try:
         for d in (40, 64, 80, 128, 160):
@@ -112,3 +113,31 @@ def test_flash_gradients_match_xla():
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="flash kernel needs a TPU")
+def test_flash_kv_mask_matches_reference():
+    """kv-only keep masks ([B,1,1,Skv] — HunyuanVideo/Sana text padding)
+    ride the flash path as segment ids and stay exact."""
+    rng = np.random.default_rng(3)
+    s = 256 + 77
+    q = jnp.asarray(rng.standard_normal((2, s, 2, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((2, s, 2, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((2, s, 2, 64)), jnp.bfloat16)
+    keep = jnp.asarray(rng.random((2, s)) > 0.2)          # drop ~20% of kv
+    keep = keep.at[:, :256].set(True)                     # image prefix kept
+    mask = keep[:, None, None, :]
+
+    before = attn_mod.STATS["flash"]
+    out = attn_mod.dot_product_attention(q, k, v, mask=mask)
+    assert attn_mod.STATS["flash"] == before + 1
+
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) / (d ** 0.5)
+    logits = jnp.where(mask.transpose(0, 1, 2, 3), logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)

@@ -248,3 +248,61 @@ def test_ui_custom_sample_endpoint(server):
     assert len(queued) == 1
     assert queued[0].prompt == "a red cube"
     assert queued[0].seed == 9 and queued[0].width == 64
+
+
+def test_ui_video_tool_endpoint(tmp_path):
+    """VideoToolUI equivalent: clip extraction over HTTP."""
+    from tests.test_tooling import _write_two_scene_video
+
+    vid = str(tmp_path / "v.mp4")
+    _write_two_scene_video(vid)
+    out = str(tmp_path / "clips")
+
+    s = TrainUIServer(port=0)
+    s.serve_background()
+    try:
+        r = _req(s.port, "/api/tools/video",
+                 {"mode": "clips", "video": vid, "output_dir": out})
+        assert r["ok"]
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            st = _req(s.port, "/api/tools/status")
+            if not st["running"]:
+                break
+            time.sleep(0.5)
+        assert st["error"] == "", st
+        import os
+        assert os.path.isdir(out) and len(os.listdir(out)) >= 2
+    finally:
+        s.shutdown()
+
+
+def test_ui_convert_model_endpoint(tmp_path):
+    """ConvertModelUI equivalent: diffusers dir -> single-file LDM
+    safetensors through the subprocess-driven endpoint."""
+    import os
+
+    base = str(tmp_path / "ckpt")
+    write_tiny_checkpoint(base, tiny_sd_model())
+    out = str(tmp_path / "out.safetensors")
+
+    s = TrainUIServer(port=0)
+    s.serve_background()
+    try:
+        r = _req(s.port, "/api/tools/convert",
+                 {"model_type": "STABLE_DIFFUSION_15", "input": base,
+                  "output": out, "output_model_format": "SAFETENSORS"})
+        assert r["ok"]
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            st = _req(s.port, "/api/tools/status")
+            if not st["running"]:
+                break
+            time.sleep(1)
+        assert st["error"] == "", st
+        assert os.path.isfile(out)
+        from onetrainer_tpu.io.safetensors_io import load_safetensors
+        sd = load_safetensors(out)
+        assert any(k.startswith("model.diffusion_model.") for k in sd)
+    finally:
+        s.shutdown()
