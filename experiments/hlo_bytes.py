@@ -111,15 +111,24 @@ def parse_entry_instructions(hlo_text: str):
     return out
 
 
+# NOTE: "attentions_N" is the diffusers *container* name (it holds the
+# FF sublayers too) — the attention bucket must match only real attention
+# ops (attn1/, attn2/, the flash kernels, softmax), or FF bytes get
+# mis-attributed (r3 first cut had this bug: ff/matmul read 0.06 GB while
+# ff fusions sat inside "attention"/"other").
 _BUCKETS = [
-    ("attention", re.compile(r"attn|attention|_qkv|/(q|k|v|o)_proj|softmax",
-                             re.I)),
+    ("attention", re.compile(
+        r"attn\d?/|flash_(mha|attention)|softmax|_qkv", re.I)),
+    ("lora", re.compile(r"lora", re.I)),
+    ("ff/matmul", re.compile(
+        r"/ff/|ffn|mlp|dense|linear_\d|proj_in|proj_out|time_emb|"
+        r"dot_general|geglu|gelu", re.I)),
     ("conv", re.compile(r"conv", re.I)),
-    ("ff/matmul", re.compile(r"ff_|ffn|mlp|dense|linear|proj|dot_general|"
-                             r"geglu|gelu", re.I)),
-    ("norm", re.compile(r"norm|group_norm|layer_norm|rms", re.I)),
-    ("optimizer", re.compile(r"adam|opt_state|update|scale_by|clip|lora_step",
-                             re.I)),
+    ("norm", re.compile(r"norm|rms", re.I)),
+    ("optimizer", re.compile(
+        r"adam|opt_state|scale_by|clip_by|/update|ema|global_norm", re.I)),
+    ("skip/concat", re.compile(r"concatenate", re.I)),
+    ("pad/slice", re.compile(r"/pad|dynamic.slice|dynamic.update", re.I)),
     ("transpose/copy", re.compile(r"transpose|copy|reshape", re.I)),
 ]
 

@@ -49,6 +49,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _seq_pad(s: int) -> int:
+    """Padded sequence length for the flash kernel.
+
+    Blocks must divide the padded length, so the pad granularity sets the
+    available block sizes. Padding long sequences only to 128 can strand
+    them on 128-wide blocks (HunyuanVideo's 9293 -> 9344 divides by
+    nothing larger), which measured ~2x slower than the tuned 512/1024
+    blocks — so for long sequences pad to a 512 multiple and eat the <10%
+    extra masked rows."""
+    p = _round_up(s, 128)
+    if p >= 2048 and p % 512:
+        p = _round_up(s, 512)
+    return p
+
+
 def _can_use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
     if os.environ.get("OT_NO_FLASH") == "1":
         return False
@@ -89,32 +104,47 @@ def dot_product_attention(
         v: jnp.ndarray,  # [B, Skv, H, D]
         mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Multi-head attention over [B, S, H, D] tensors."""
+    """Multi-head attention over [B, S, H, D] tensors.
+
+    mask: optional boolean mask. A kv-only keep mask (shape [B,1,1,Skv],
+    the text-padding form HunyuanVideo/Sana pass) rides the flash path
+    as segment ids; arbitrary [B,H,Sq,Skv] masks fall back to XLA."""
     b, sq, h, d = q.shape
     skv = k.shape[1]
-    if mask is None and _can_use_flash(sq, skv, d):
+    kv_keep = None
+    if mask is not None and mask.ndim == 4 and mask.shape[1] == 1 \
+            and mask.shape[2] == 1:
+        kv_keep = mask[:, 0, 0, :].astype(bool)        # [B, Skv]
+    if (mask is None or kv_keep is not None) and _can_use_flash(sq, skv, d):
         try:
             # pad only to the next multiple of 64 (the kernel handles
             # d=64 natively; the old pad-to-128 doubled the MXU work)
             dp = _round_up(d, 64)
-            sqp = _round_up(sq, 128)
-            skvp = _round_up(skv, 128)
+            sqp = _seq_pad(sq)
+            skvp = _seq_pad(skv)
             qp = jnp.pad(q, ((0, 0), (0, sqp - sq), (0, 0), (0, dp - d)))
             kp = jnp.pad(k, ((0, 0), (0, skvp - skv), (0, 0), (0, dp - d)))
             vp = jnp.pad(v, ((0, 0), (0, skvp - skv), (0, 0), (0, dp - d)))
             segment_ids = None
-            if sqp != sq or skvp != skv:
-                # ragged joint sequences: padded tail goes to segment 1 so
-                # the kernel masks it out of the softmax (padded q rows
-                # attend only to each other and are sliced off below)
+            if sqp != sq or skvp != skv or kv_keep is not None:
+                # segment 1 = excluded: the ragged-pad tail, plus any kv
+                # the caller's keep mask drops (text padding). Real q rows
+                # are segment 0 and only attend segment-0 kv; padded q
+                # rows attend the pad segment and are sliced off below
                 from jax.experimental.pallas.ops.tpu.flash_attention import (
                     SegmentIds,
                 )
-                q_seg = (jnp.arange(sqp) >= sq).astype(jnp.int32)[None]
-                kv_seg = (jnp.arange(skvp) >= skv).astype(jnp.int32)[None]
-                segment_ids = SegmentIds(
-                    q=jnp.broadcast_to(q_seg, (b, sqp)),
-                    kv=jnp.broadcast_to(kv_seg, (b, skvp)))
+                q_seg = jnp.broadcast_to(
+                    (jnp.arange(sqp) >= sq).astype(jnp.int32)[None], (b, sqp))
+                kv_pad = jnp.broadcast_to(
+                    (jnp.arange(skvp) >= skv)[None], (b, skvp))
+                if kv_keep is not None:
+                    kv_drop = jnp.pad(~kv_keep, ((0, 0), (0, skvp - skv)),
+                                      constant_values=True) | kv_pad
+                else:
+                    kv_drop = kv_pad
+                segment_ids = SegmentIds(q=q_seg,
+                                         kv=kv_drop.astype(jnp.int32))
             out = _flash_fn(sqp, skvp)(
                 qp.transpose(0, 2, 1, 3),
                 kp.transpose(0, 2, 1, 3),
