@@ -157,6 +157,125 @@ def _bench_sd15(jax, jnp, optax):
     return bs * n / elapsed, (flops / bs if flops else None)
 
 
+def _bench_sd3(jax, jnp, optax, bs=2):
+    """SD3-medium LoRA @1024 (BASELINE.json config 4), fp8 frozen base,
+    production remat default (models/remat.py), flash w/ pad-512 blocks."""
+    from onetrainer_tpu.math.losses import LossConfig
+    from onetrainer_tpu.math.timesteps import TimestepConfig
+    from onetrainer_tpu.models.remat import default_policy
+    from onetrainer_tpu.models.sd3 import SD3Transformer2D, sd3_medium_config
+    from onetrainer_tpu.ops.quant import quantize_tree
+    from onetrainer_tpu.peft.lora import PeftConfig, init_peft_params
+    from onetrainer_tpu.train.sd3_train_step import make_sd3_train_step
+    from onetrainer_tpu.train.sd_train_step import SDStepConfig
+    from onetrainer_tpu.train.train_state import create_train_state
+    from onetrainer_tpu.util.enums import ModelType, TrainingMethod
+
+    lat = 128
+
+    class _Model:
+        pass
+
+    model = _Model()
+    model.transformer = SD3Transformer2D(sd3_medium_config(
+        dtype=jnp.bfloat16, gradient_checkpointing=True,
+        remat_policy=default_policy("sd3")))
+    model.model_type = ModelType.STABLE_DIFFUSION_3
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(lambda r: model.transformer.init(
+        r, jnp.zeros((1, lat, lat, 16), jnp.bfloat16),
+        jnp.asarray([500.0]), jnp.zeros((1, 2048), jnp.bfloat16),
+        jnp.zeros((1, 154, 4096), jnp.bfloat16)))(rng)["params"]
+    peft_cfg = PeftConfig(rank=16, alpha=16.0)
+    adapters = init_peft_params(jax.random.PRNGKey(1), params, peft_cfg)
+    cfg = SDStepConfig(
+        training_method=TrainingMethod.LORA, timestep=TimestepConfig(),
+        loss=LossConfig(vb_loss_strength=0.0, batch_size=bs),
+        stochastic_rounding=False)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
+    state = create_train_state({"transformer_lora": adapters}, tx)
+    step = make_sd3_train_step(model, cfg, tx, peft_cfg)
+    frozen = {"transformer": quantize_tree(params, jnp.float8_e4m3fn)}
+    batch = {
+        "latent_image": jax.random.normal(
+            jax.random.PRNGKey(2), (bs, lat, lat, 16), jnp.bfloat16),
+        "loss_weight": jnp.ones((bs,)),
+        "sd3_context": jax.random.normal(
+            jax.random.PRNGKey(3), (bs, 154, 4096), jnp.bfloat16),
+        "sd3_pooled": jax.random.normal(
+            jax.random.PRNGKey(4), (bs, 2048), jnp.bfloat16),
+    }
+    state, metrics = step(state, frozen, batch, jax.random.PRNGKey(6))
+    float(metrics["loss"])
+    n = 10
+    start = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, frozen, batch, jax.random.PRNGKey(6))
+    float(metrics["loss"])
+    return bs * n / (time.perf_counter() - start)
+
+
+def _bench_hunyuan(jax, jnp, optax):
+    """HunyuanVideo half-size LoRA @512, 9 latent frames (BASELINE.json
+    config 5 single-chip evidence), production remat default."""
+    from onetrainer_tpu.math.losses import LossConfig
+    from onetrainer_tpu.math.timesteps import TimestepConfig
+    from onetrainer_tpu.models.hunyuan_video import (
+        HunyuanVideoConfig, HunyuanVideoTransformer3D,
+    )
+    from onetrainer_tpu.models.remat import default_policy
+    from onetrainer_tpu.peft.lora import PeftConfig, init_peft_params
+    from onetrainer_tpu.train.hunyuan_train_step import make_hunyuan_train_step
+    from onetrainer_tpu.train.sd_train_step import SDStepConfig
+    from onetrainer_tpu.train.train_state import create_train_state
+    from onetrainer_tpu.util.enums import TrainingMethod
+
+    bs, frames, lat = 1, 9, 64
+
+    class _Model:
+        pass
+
+    model = _Model()
+    model.transformer = HunyuanVideoTransformer3D(HunyuanVideoConfig(
+        num_layers=10, num_single_layers=20, num_refiner_layers=2,
+        hidden_size=1536, num_heads=12, head_dim=128,
+        gradient_checkpointing=True,
+        remat_policy=default_policy("hunyuan_video"), dtype=jnp.bfloat16))
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(lambda r: model.transformer.init(
+        r, jnp.zeros((1, 1, 8, 8, 16), jnp.bfloat16), jnp.asarray([500.0]),
+        jnp.zeros((1, 8, 4096), jnp.bfloat16), jnp.ones((1, 8), jnp.int32),
+        jnp.zeros((1, 768), jnp.bfloat16)))(rng)["params"]
+    peft_cfg = PeftConfig(rank=16, alpha=16.0)
+    adapters = init_peft_params(jax.random.PRNGKey(1), params, peft_cfg)
+    cfg = SDStepConfig(
+        training_method=TrainingMethod.LORA, timestep=TimestepConfig(),
+        loss=LossConfig(vb_loss_strength=0.0, batch_size=bs),
+        stochastic_rounding=False)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
+    state = create_train_state({"transformer_lora": adapters}, tx)
+    step = make_hunyuan_train_step(model, cfg, tx, peft_cfg)
+    frozen = {"transformer": params}
+    batch = {
+        "latent_image": jax.random.normal(
+            jax.random.PRNGKey(2), (bs, frames, lat, lat, 16), jnp.bfloat16),
+        "loss_weight": jnp.ones((bs,)),
+        "text_encoder_1_hidden_state": jax.random.normal(
+            jax.random.PRNGKey(3), (bs, 77, 4096), jnp.bfloat16),
+        "tokens_mask_1": jnp.ones((bs, 77), jnp.int32),
+        "text_encoder_2_pooled_state": jax.random.normal(
+            jax.random.PRNGKey(4), (bs, 768), jnp.bfloat16),
+    }
+    state, metrics = step(state, frozen, batch, jax.random.PRNGKey(6))
+    float(metrics["loss"])
+    n = 10
+    start = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, frozen, batch, jax.random.PRNGKey(6))
+    float(metrics["loss"])
+    return bs * n / (time.perf_counter() - start)
+
+
 def _bench_vae_cache(jax, jnp):
     """VAE latent-cache fill throughput (BASELINE.json metric 2): jitted
     SD-VAE encode of 512px pixel batches, the data loader's cache-fill
@@ -207,6 +326,19 @@ def main():
         "sd15_lora_512_bs4_imgs_per_sec": round(sd15_ips, 3),
         "vae_latent_cache_512_bs8_imgs_per_sec": round(vae_ips, 3),
     }
+    # per-family DiT datapoints (BASELINE configs 4/5); guarded so a
+    # compile/memory failure can't take down the headline metric
+    try:
+        extras["sd3_lora_1024_bs2_imgs_per_sec"] = round(
+            _bench_sd3(jax, jnp, optax), 3)
+    except Exception as e:
+        extras["sd3_lora_1024_bs2_imgs_per_sec"] = f"error: {type(e).__name__}"
+    try:
+        extras["hunyuan_half_512_f9_samples_per_sec"] = round(
+            _bench_hunyuan(jax, jnp, optax), 3)
+    except Exception as e:
+        extras["hunyuan_half_512_f9_samples_per_sec"] = \
+            f"error: {type(e).__name__}"
     if sdxl_flops_per_img:
         mfu = sdxl_ips * sdxl_flops_per_img / V5E_PEAK_FLOPS
         a100_imgs_per_sec = (A100_PEAK_FLOPS * A100_ASSUMED_MFU

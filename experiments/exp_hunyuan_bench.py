@@ -13,6 +13,7 @@ import time
 def main():
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 9   # latent frames
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    policy = sys.argv[3] if len(sys.argv) > 3 else "full"
 
     import os
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -44,7 +45,7 @@ def main():
         num_layers=10, num_single_layers=20, num_refiner_layers=2,
         hidden_size=1536, num_heads=12, head_dim=128,
         text_embed_dim=4096, pooled_projection_dim=768,
-        gradient_checkpointing=True, dtype=jnp.bfloat16)
+        gradient_checkpointing=True, remat_policy=policy, dtype=jnp.bfloat16)
     model.transformer = HunyuanVideoTransformer3D(cfgm)
 
     rng = jax.random.PRNGKey(0)
@@ -90,7 +91,7 @@ def main():
     float(metrics["loss"])
     elapsed = time.perf_counter() - start
     tokens = frames * (lat // 2) * (lat // 2)
-    out = {"workload": f"hunyuan_half_lora_{res}px_f{frames}_bs{bs}",
+    out = {"workload": f"hunyuan_half_lora_{res}px_f{frames}_bs{bs}_{policy}",
            "video_tokens": tokens,
            "samples_per_sec": round(bs * n / elapsed, 3),
            "sec_per_step": round(elapsed / n, 3)}

@@ -153,7 +153,22 @@ def summarize(instrs, top_n: int = 40):
     for i in instrs:
         buckets[bucket_of(i)] += i["total_bytes"]
     top = sorted(instrs, key=lambda i: -i["total_bytes"])[:top_n]
+    # itemize the catch-all so a dominant "other" is diagnosable: top
+    # unmatched instructions + their opcode histogram
+    others = [i for i in instrs if bucket_of(i) == "other"]
+    other_by_opcode = defaultdict(int)
+    for i in others:
+        other_by_opcode[i["opcode"]] += i["total_bytes"]
+    other_top = sorted(others, key=lambda i: -i["total_bytes"])[:25]
     return {
+        "other_by_opcode_gb": {k: round(v / 1e9, 2)
+                               for k, v in sorted(other_by_opcode.items(),
+                                                  key=lambda kv: -kv[1])},
+        "other_top": [
+            {"gb": round(i["total_bytes"] / 1e9, 3),
+             "opcode": i["opcode"], "op_name": i["op_name"][-160:]}
+            for i in other_top
+        ],
         "total_gb": total / 1e9,
         "buckets_gb": {k: round(v / 1e9, 2)
                        for k, v in sorted(buckets.items(),

@@ -26,6 +26,7 @@ from onetrainer_tpu.io.torch_flax import (
     unet_flax_to_state_dict, unet_state_dict_to_flax, vae_state_dict_to_flax,
 )
 from onetrainer_tpu.models.flux import FluxConfig
+from onetrainer_tpu.models.remat import default_policy as _remat_default
 from onetrainer_tpu.models.t5 import T5Config
 
 
@@ -45,6 +46,7 @@ def flux_config_from_diffusers(config: dict, dtype=jnp.bfloat16,
         guidance_embeds=config.get("guidance_embeds", True),
         axes_dims_rope=tuple(config.get("axes_dims_rope", (16, 56, 56))),
         gradient_checkpointing=gradient_checkpointing,
+        remat_policy=_remat_default("flux"),
         dtype=dtype,
     )
 

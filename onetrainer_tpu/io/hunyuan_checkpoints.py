@@ -27,6 +27,7 @@ from onetrainer_tpu.io.torch_flax import (
 )
 from onetrainer_tpu.models.hunyuan_video import HunyuanVideoConfig
 from onetrainer_tpu.models.llama import LlamaConfig
+from onetrainer_tpu.models.remat import default_policy as _remat_default
 from onetrainer_tpu.models.video_vae import VideoVAEConfig
 
 _LLAMA_EMBEDDING_PATHS = frozenset({("embed_tokens",)})
@@ -87,6 +88,7 @@ def hunyuan_config_from_diffusers(config: dict, dtype=jnp.bfloat16,
         guidance_embeds=config.get("guidance_embeds", True),
         axes_dims_rope=tuple(config.get("rope_axes_dim", (16, 56, 56))),
         gradient_checkpointing=gradient_checkpointing,
+        remat_policy=_remat_default("hunyuan_video"),
         dtype=dtype,
     )
 

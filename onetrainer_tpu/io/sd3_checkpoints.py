@@ -22,6 +22,7 @@ from onetrainer_tpu.io.torch_flax import (
     t5_state_dict_to_flax, unet_flax_to_state_dict, unet_state_dict_to_flax,
     vae_state_dict_to_flax,
 )
+from onetrainer_tpu.models.remat import default_policy as _remat_default
 from onetrainer_tpu.models.sd3 import SD3Config
 
 
@@ -41,6 +42,7 @@ def sd3_config_from_diffusers(config: dict, dtype=jnp.bfloat16,
         pos_embed_max_size=config.get("pos_embed_max_size", 192),
         qk_norm=config.get("qk_norm") == "rms_norm",
         gradient_checkpointing=gradient_checkpointing,
+        remat_policy=_remat_default("sd3"),
         dtype=dtype,
     )
 

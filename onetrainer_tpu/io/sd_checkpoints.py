@@ -29,6 +29,7 @@ from onetrainer_tpu.io.torch_flax import (
     unet_state_dict_to_flax, vae_flax_to_state_dict, vae_state_dict_to_flax,
 )
 from onetrainer_tpu.models.clip import CLIPTextConfig
+from onetrainer_tpu.models.remat import default_policy as _remat_default
 from onetrainer_tpu.models.unet import UNetConfig
 from onetrainer_tpu.models.vae import VAEConfig
 
@@ -87,6 +88,7 @@ def unet_config_from_diffusers(config: dict, dtype=jnp.bfloat16,
         addition_embed_dim=addition_embed,
         addition_pooled_dim=1280 if addition_embed else None,
         gradient_checkpointing=gradient_checkpointing,
+        remat_policy=_remat_default("unet"),
         dtype=dtype,
     )
 

@@ -20,6 +20,7 @@ from dataclasses import dataclass
 import flax.linen as nn
 import jax.numpy as jnp
 
+from onetrainer_tpu.models.remat import remat
 from onetrainer_tpu.models.unet import timestep_embedding
 from onetrainer_tpu.ops.attention import dot_product_attention
 from onetrainer_tpu.peft.layers import LoraConv, LoraDense
@@ -40,6 +41,7 @@ class FluxConfig:
     axes_dims_rope: tuple[int, ...] = (16, 56, 56)
     rope_theta: float = 10000.0
     gradient_checkpointing: bool = False
+    remat_policy: str = "full"       # see models/remat.py
     # scan-over-layers: the 19+38 homogeneous blocks run under lax.scan
     # with stacked [L, ...] params — the block body is traced/compiled
     # once instead of L times (the canonical TPU DiT layout; throughput
@@ -335,7 +337,7 @@ class _ScanDoubleBody(nn.Module):
     @nn.compact
     def __call__(self, carry, temb, rope):
         img, txt = carry
-        blk = nn.remat(FluxDoubleBlock) \
+        blk = remat(FluxDoubleBlock, self.cfg.remat_policy) \
             if self.cfg.gradient_checkpointing else FluxDoubleBlock
         img, txt = blk(self.cfg, name="block")(img, txt, temb, rope)
         return (img, txt), None
@@ -346,7 +348,7 @@ class _ScanSingleBody(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb, rope):
-        blk = nn.remat(FluxSingleBlock) \
+        blk = remat(FluxSingleBlock, self.cfg.remat_policy) \
             if self.cfg.gradient_checkpointing else FluxSingleBlock
         return blk(self.cfg, name="block")(x, temb, rope), None
 
@@ -401,8 +403,8 @@ class FluxTransformer2D(nn.Module):
             double_cls = FluxDoubleBlock
             single_cls = FluxSingleBlock
             if c.gradient_checkpointing:
-                double_cls = nn.remat(FluxDoubleBlock, static_argnums=())
-                single_cls = nn.remat(FluxSingleBlock, static_argnums=())
+                double_cls = remat(FluxDoubleBlock, c.remat_policy)
+                single_cls = remat(FluxSingleBlock, c.remat_policy)
 
             for i in range(c.num_layers):
                 img, txt = double_cls(c, name=f"transformer_blocks_{i}")(

@@ -26,6 +26,7 @@ from onetrainer_tpu.models.flux import (
     AdaLayerNormZero, AdaLayerNormZeroSingle, AdaNormContinuous, MLPEmbedder,
     RMSNorm, TimeTextEmbed, apply_rope, rope_tables,
 )
+from onetrainer_tpu.models.remat import remat
 from onetrainer_tpu.models.unet import timestep_embedding
 from onetrainer_tpu.parallel.sp import (
     maybe_ring_attention, shard_heads, shard_seq,
@@ -65,6 +66,7 @@ class HunyuanVideoConfig:
     patch_size: int = 2
     patch_size_t: int = 1
     gradient_checkpointing: bool = False
+    remat_policy: str = "full"        # see models/remat.py
     # scan-over-layers (same pattern as models/flux.py scan_layers):
     # 20 double + 40 single blocks under lax.scan with stacked params
     scan_layers: bool = False
@@ -367,7 +369,7 @@ class _HunyuanDoubleScanBody(nn.Module):
     @nn.compact
     def __call__(self, carry, temb, rope, txt_mask):
         img, txt = carry
-        blk = nn.remat(HunyuanDoubleBlock) \
+        blk = remat(HunyuanDoubleBlock, self.cfg.remat_policy) \
             if self.cfg.gradient_checkpointing else HunyuanDoubleBlock
         img, txt = blk(self.cfg, name="block")(img, txt, temb, rope, txt_mask)
         img = shard_seq(img)
@@ -380,7 +382,8 @@ class _HunyuanSingleScanBody(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb, rope, keep_mask):
-        blk = nn.remat(HunyuanSingleBlock, static_argnums=(5,)) \
+        blk = remat(HunyuanSingleBlock, self.cfg.remat_policy,
+                    static_argnums=(5,)) \
             if self.cfg.gradient_checkpointing else HunyuanSingleBlock
         x = blk(self.cfg, name="block")(x, temb, rope, keep_mask, self.s_img)
         return shard_seq(x), None
@@ -445,8 +448,9 @@ class HunyuanVideoTransformer3D(nn.Module):
         else:
             double_cls, single_cls = HunyuanDoubleBlock, HunyuanSingleBlock
             if c.gradient_checkpointing:
-                double_cls = nn.remat(HunyuanDoubleBlock)
-                single_cls = nn.remat(HunyuanSingleBlock, static_argnums=(5,))
+                double_cls = remat(HunyuanDoubleBlock, c.remat_policy)
+                single_cls = remat(HunyuanSingleBlock, c.remat_policy,
+                                   static_argnums=(5,))
 
             for i in range(c.num_layers):
                 img, txt = double_cls(c, name=f"transformer_blocks_{i}")(

@@ -74,8 +74,11 @@ class StableDiffusionModel:
 
 
 def create_sd_model(model_type: ModelType, dtype=jnp.bfloat16,
-                    gradient_checkpointing: bool = False) -> StableDiffusionModel:
-    common = dict(dtype=dtype, gradient_checkpointing=gradient_checkpointing)
+                    gradient_checkpointing: bool = False,
+                    remat_policy: str | None = None) -> StableDiffusionModel:
+    from onetrainer_tpu.models.remat import default_policy
+    common = dict(dtype=dtype, gradient_checkpointing=gradient_checkpointing,
+                  remat_policy=remat_policy or default_policy("unet"))
     if model_type in (ModelType.STABLE_DIFFUSION_15,):
         unet_cfg = sd15_unet_config(**common)
         te_cfg = clip_vit_l_config(dtype=dtype)

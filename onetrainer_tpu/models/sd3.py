@@ -199,15 +199,8 @@ class TimeTextEmbedSD3(nn.Module):
 
 
 def _sd3_remat(cfg):
-    import jax
-    if cfg.remat_policy == "dots_nb":
-        return nn.remat(
-            JointTransformerBlock,
-            policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
-    if cfg.remat_policy == "dots":
-        return nn.remat(JointTransformerBlock,
-                        policy=jax.checkpoint_policies.checkpoint_dots)
-    return nn.remat(JointTransformerBlock)
+    from onetrainer_tpu.models.remat import remat
+    return remat(JointTransformerBlock, cfg.remat_policy)
 
 
 class _SD3ScanBody(nn.Module):

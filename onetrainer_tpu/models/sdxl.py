@@ -76,9 +76,10 @@ class StableDiffusionXLModel:
 
 def create_sdxl_model(model_type: ModelType, dtype=jnp.bfloat16,
                       gradient_checkpointing: bool = False,
-                      remat_policy: str = "full") -> StableDiffusionXLModel:
+                      remat_policy: str | None = None) -> StableDiffusionXLModel:
+    from onetrainer_tpu.models.remat import default_policy
     common = dict(dtype=dtype, gradient_checkpointing=gradient_checkpointing,
-                  remat_policy=remat_policy)
+                  remat_policy=remat_policy or default_policy("unet"))
     if model_type == ModelType.STABLE_DIFFUSION_XL_10_BASE_INPAINTING:
         unet_cfg = sdxl_inpaint_unet_config(**common)
     else:

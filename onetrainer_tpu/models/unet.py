@@ -78,19 +78,12 @@ def _remat(cls, policy: str = "full"):
         return nn.remat(
             cls,
             policy=jax.checkpoint_policies.save_only_these_names("attn_out"))
-    if policy == "dots":
-        return nn.remat(
-            cls, policy=jax.checkpoint_policies.checkpoint_dots)
-    if policy == "dots_nb":
-        # save only weight-matmul outputs (no batch dims): the attention
-        # score/context matmuls — the big @1024 buffers — still recompute,
-        # but every Dense/conv contraction is kept. Middle ground between
-        # "full" (recompute everything) and "dots" (OOM at SDXL@1024)
-        return nn.remat(
-            cls,
-            policy=jax.checkpoint_policies
-            .checkpoint_dots_with_no_batch_dims)
-    return nn.remat(cls)
+    # "dots" / "dots_nb" / "dots_nb_attn" / "attn" / "full": shared map
+    # (models/remat.py). "dots_nb" is the middle ground between "full"
+    # (recompute everything) and "dots" (OOM at SDXL@1024): weight-matmul
+    # outputs saved, the big seq x seq attention buffers still recompute.
+    from onetrainer_tpu.models.remat import remat as _shared_remat
+    return _shared_remat(cls, policy)
 
 
 def sd15_unet_config(**overrides) -> UNetConfig:

@@ -78,6 +78,7 @@ class GenericTrainer(BaseTrainer):
         self.data_loader: Text2ImageDataLoader | None = None
         self.train_progress = TrainProgress()
         self._loss_ema = None
+        self._pending_metrics = None   # (metrics, global_step), read 1 step late
 
     # -- lifecycle ----------------------------------------------------------------
 
@@ -523,6 +524,7 @@ class GenericTrainer(BaseTrainer):
             self.callbacks.on_update_status(f"training epoch {epoch}")
             for batch_np in self.data_loader.iter_epoch(epoch, start_batch):
                 if self.commands.get_stop_command():
+                    self._flush_pending_metrics()
                     return
 
                 if self._needs("sample", config.sample_after,
@@ -544,11 +546,13 @@ class GenericTrainer(BaseTrainer):
                 if self._needs("backup", config.backup_after,
                                config.backup_after_unit) \
                         or self.commands.get_and_reset_backup_command():
+                    self._flush_pending_metrics()
                     self.backup()
 
                 if config.validation and self._needs(
                         "validate", config.validate_after,
                         config.validate_after_unit, start_at_zero=False):
+                    self._flush_pending_metrics()
                     self._validate()
 
                 if config.save_every_unit != TimeUnit.NEVER and \
@@ -580,13 +584,17 @@ class GenericTrainer(BaseTrainer):
                     self._debug_dump(batch)
 
                 profiler.maybe_start(progress.global_step)
-                loss = float(metrics["loss"])
+                # pipelined metrics: step N's loss is read here on the
+                # N+1 iteration, after step N+1 is already dispatched —
+                # the host never blocks between fetch and dispatch
+                self._flush_pending_metrics()
                 profiler.maybe_stop(progress.global_step)
-                self._log_metrics(loss, metrics)
+                self._pending_metrics = (metrics, progress.global_step)
                 progress.next_step(config.batch_size)
                 self.callbacks.on_update_train_progress(
                     progress, len(self.data_loader), config.epochs)
 
+            self._flush_pending_metrics()
             progress.next_epoch()
         profiler.close()
 
@@ -610,15 +618,27 @@ class GenericTrainer(BaseTrainer):
         except Exception:
             traceback.print_exc()
 
-    def _log_metrics(self, loss: float, metrics: dict):
+    def _flush_pending_metrics(self):
+        """Materialize + log the previous step's metrics (pipelined loop:
+        the host reads step N's loss only after dispatching step N+1, so
+        H2D transfer and dispatch overlap device compute instead of
+        serializing behind a per-step float() sync)."""
+        if self._pending_metrics is None:
+            return
+        metrics, step = self._pending_metrics
+        self._pending_metrics = None
+        self._log_metrics(float(metrics["loss"]), metrics, step=step)
+
+    def _log_metrics(self, loss: float, metrics: dict, step: int | None = None):
         progress = self.train_progress
+        if step is None:
+            step = progress.global_step
         if self._loss_ema is None:
             self._loss_ema = loss
-        decay = min(0.99, 1 - 1 / (progress.global_step + 1))
+        decay = min(0.99, 1 - 1 / (step + 1))
         self._loss_ema = self._loss_ema * decay + loss * (1 - decay)
         if not self.tensorboard:
             return
-        step = progress.global_step
         self.tensorboard.add_scalar("loss/train_step", loss, step)
         self.tensorboard.add_scalar("smooth_loss/train_step", self._loss_ema, step)
         # per-group lr/* with adaptive-d adjustment, plus ema_decay
