@@ -82,15 +82,32 @@ def _delta_2d(entry: dict) -> jnp.ndarray:
     return entry["lora_up"].astype(jnp.float32) @ down
 
 
-def _dora_weight(kernel_2d: jnp.ndarray, entry: dict) -> jnp.ndarray:
+def _dora_weight(kernel_2d: jnp.ndarray, entry: dict,
+                 conv_geom: tuple[int, int, int] | None = None) -> jnp.ndarray:
     """DoRA: m · (W + ΔW)/‖W + ΔW‖ in torch layout [out, fan_in]
-    (reference: LoRAModule.py:334-419, norm detached from the graph)."""
+    (reference: LoRAModule.py:334-419, norm detached from the graph).
+
+    For conv layers (conv_geom = (cin, kh, kw)) the reference norms per
+    out channel over (in,kh,kw) or per in channel over (out,kh,kw)
+    (LoRAModule.py:399-411), so the 2-D column norm is wrong there; the
+    dora_scale tensor keeps the reference's own shape ([out,1,1,1] /
+    [1,in,1,1] for conv, [out,1] / [1,in] for linear)."""
     wp = kernel_2d + _delta_2d(entry)
-    axis = 1 if entry["dora_scale"].shape[-1] == 1 else 0
+    scale = entry["dora_scale"].astype(jnp.float32)
+    output_axis = scale.shape[0] != 1
+    eps = entry.get("dora_eps", jnp.float32(0.0))
+    if conv_geom is not None:
+        cin, kh, kw = conv_geom
+        wp4 = wp.reshape(wp.shape[0], cin, kh, kw)              # OIHW
+        axes = (1, 2, 3) if output_axis else (0, 2, 3)
+        norm = jax.lax.stop_gradient(jnp.sqrt(
+            (wp4 * wp4).sum(axis=axes, keepdims=True))) + eps
+        wp4 = scale.reshape(norm.shape) * wp4 / norm
+        return wp4.reshape(wp.shape[0], -1)
+    axis = 1 if output_axis else 0
     norm = jax.lax.stop_gradient(
-        jnp.linalg.norm(wp, axis=axis, keepdims=True))
-    norm = norm + entry.get("dora_eps", jnp.float32(0.0))
-    return entry["dora_scale"].astype(jnp.float32) * wp / norm
+        jnp.linalg.norm(wp, axis=axis, keepdims=True)) + eps
+    return scale.reshape(norm.shape) * wp / norm
 
 
 class LoraDense(nn.Module):
@@ -192,7 +209,7 @@ class LoraConv(nn.Module):
         if entry is not None and "dora_scale" in entry:
             k2d = kernel.astype(jnp.float32).transpose(3, 2, 0, 1)
             k2d = k2d.reshape(k2d.shape[0], -1)                 # [out, in*kh*kw]
-            w2d = _dora_weight(k2d, entry)
+            w2d = _dora_weight(k2d, entry, conv_geom=(x.shape[-1], kh, kw))
             w = w2d.reshape(self.features, x.shape[-1], kh, kw)
             w = w.transpose(2, 3, 1, 0)                         # HWIO
             xp, w, bias = promote_dtype(x, w, bias, dtype=self.dtype)

@@ -148,13 +148,23 @@ def init_peft_params(
                     entry["dora_scale"] = jnp.linalg.norm(
                         w2d, axis=axis, keepdims=True).astype(dt)
                 else:
+                    # stored in the reference's exact tensor shape
+                    # (LoRAModule.py:352-377): linear [out,1] / [1,in],
+                    # conv [out,1,1,1] / [1,in,1,1] — for conv the
+                    # per-channel norm runs over the OTHER channel axis
+                    # AND the kh×kw spatial taps
                     w2d = _kernel_to_2d(kernel)  # [out, fan_in] torch-style
                     if cfg.decompose_output_axis:
-                        entry["dora_scale"] = jnp.linalg.norm(
-                            w2d, axis=1, keepdims=True).astype(dt)   # [out, 1]
+                        scale = jnp.linalg.norm(w2d, axis=1, keepdims=True)
+                        if spatial:
+                            scale = scale.reshape(-1, 1, 1, 1)
+                    elif spatial:
+                        oihw = kernel.astype(jnp.float32).transpose(3, 2, 0, 1)
+                        scale = jnp.sqrt((oihw * oihw).sum(
+                            axis=(0, 2, 3), keepdims=True))   # [1, in, 1, 1]
                     else:
-                        entry["dora_scale"] = jnp.linalg.norm(
-                            w2d, axis=0, keepdims=True).astype(dt)   # [1, fan_in]
+                        scale = jnp.linalg.norm(w2d, axis=0, keepdims=True)
+                    entry["dora_scale"] = scale.astype(dt)
         elif cfg.peft_type == PeftType.LOHA:
             k1, k2, k3 = jax.random.split(krng, 3)
             entry["hada_w1_a"] = 0.1 * jax.random.normal(
@@ -240,10 +250,23 @@ def _merged_kernel(kernel, entry: dict, cfg: PeftConfig,
     wp = w2d + _delta_2d(entry, cfg, rng)
     if cfg.decompose and "dora_scale" in entry:
         eps = jnp.finfo(jnp.float32).eps if cfg.decompose_norm_epsilon else 0.0
-        axis = 1 if cfg.decompose_output_axis else 0
-        norm = jax.lax.stop_gradient(
-            jnp.linalg.norm(wp, axis=axis, keepdims=True)) + eps
-        wp = entry["dora_scale"].astype(jnp.float32) * wp / norm
+        scale = entry["dora_scale"].astype(jnp.float32)
+        if kernel.ndim == 4:
+            # conv: the reference norms per out channel over (in,kh,kw) or
+            # per in channel over (out,kh,kw) (LoRAModule.py:399-411) —
+            # NOT per [out, in*kh*kw] column
+            kh, kw, cin = kernel.shape[0], kernel.shape[1], kernel.shape[2]
+            wp4 = wp.reshape(wp.shape[0], cin, kh, kw)          # OIHW
+            axes = (1, 2, 3) if cfg.decompose_output_axis else (0, 2, 3)
+            norm = jax.lax.stop_gradient(jnp.sqrt(
+                (wp4 * wp4).sum(axis=axes, keepdims=True))) + eps
+            wp4 = scale.reshape(norm.shape) * wp4 / norm
+            wp = wp4.reshape(wp.shape[0], -1)
+        else:
+            axis = 1 if cfg.decompose_output_axis else 0
+            norm = jax.lax.stop_gradient(
+                jnp.linalg.norm(wp, axis=axis, keepdims=True)) + eps
+            wp = scale * wp / norm
     # back to flax layout
     if kernel.ndim == 2:
         return wp.T.astype(kernel.dtype)

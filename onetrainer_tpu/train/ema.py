@@ -33,8 +33,15 @@ def ema_decay(state_step: jnp.ndarray, max_decay: float) -> jnp.ndarray:
     return jnp.minimum((1.0 + step) / (10.0 + step), max_decay)
 
 
-def update_ema(state: EMAState, params: dict, max_decay: float) -> EMAState:
-    decay = ema_decay(state.step, max_decay)
+def update_ema(state: EMAState, params: dict, max_decay: float,
+               decay_step: jnp.ndarray | None = None) -> EMAState:
+    """One EMA update. `decay_step` overrides the warmup step used for the
+    decay; the reference warms up on the *optimizer-update index*
+    (GenericTrainer.py:737 `update_step = global_step // accum` →
+    `get_current_decay(update_step)`), which only equals the EMA-update
+    count when update_step_interval == 1."""
+    decay = ema_decay(state.step if decay_step is None else decay_step,
+                      max_decay)
     new_params = jax.tree.map(
         lambda e, p: e * decay + p.astype(jnp.float32) * (1.0 - decay),
         state.params, params)
@@ -58,9 +65,12 @@ def maybe_update_ema(
     period = max(update_interval, 1) * max(accum, 1)
     if period <= 1:
         return update_ema(state, params, max_decay)
+    # reference decay warmup runs on the optimizer-update index, not the
+    # EMA-update count (GenericTrainer.py:737-746)
+    decay_step = global_step // max(accum, 1)
     return jax.lax.cond(
         ((global_step + 1) % period) == 0,
-        lambda s: update_ema(s, params, max_decay),
+        lambda s: update_ema(s, params, max_decay, decay_step=decay_step),
         lambda s: s,
         state,
     )
