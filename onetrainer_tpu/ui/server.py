@@ -286,6 +286,20 @@ def _make_handler(ui: TrainUIState):
             elif path == "/api/tools/status":
                 with ui.lock:
                     self._json(dict(ui.tools))
+            elif path == "/api/debug/stack":
+                # the reference ProfilingWindow's faulthandler stack dump
+                # (modules/ui/ProfilingWindow.py:40-43) — all live thread
+                # stacks, for diagnosing a stuck training loop remotely
+                import sys
+                import threading
+                import traceback
+                names = {t.ident: t.name for t in threading.enumerate()}
+                lines = []
+                for ident, frame in sys._current_frames().items():
+                    lines.append(f"Thread {names.get(ident, ident)}:")
+                    lines.extend(traceback.format_stack(frame))
+                self._json({"stacks": "".join(
+                    ln if ln.endswith("\n") else ln + "\n" for ln in lines)})
             elif path == "/api/timesteps":
                 # the reference's TimestepDistributionWindow: plot the
                 # sampled-timestep density for the current train config

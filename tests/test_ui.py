@@ -238,6 +238,14 @@ def test_ui_timestep_histogram(server):
     assert max(h["counts"][20:30]) > max(h["counts"][0], h["counts"][-1])
 
 
+def test_ui_debug_stack_dump(server):
+    """ProfilingWindow's faulthandler stack dump equivalent (reference:
+    modules/ui/ProfilingWindow.py:40-43): returns live thread stacks."""
+    r = _req(server.port, "/api/debug/stack")
+    assert "Thread" in r["stacks"] or "File" in r["stacks"]
+    assert "dump_traceback" in r["stacks"] or ".py" in r["stacks"]
+
+
 def test_ui_custom_sample_endpoint(server):
     """SampleWindow equivalent: POST queues a TrainCommands custom sample
     with the caller's prompt."""
