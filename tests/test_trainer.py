@@ -125,6 +125,34 @@ def test_e2e_lora_training_produces_output(trained_workspace):
     assert max(float(np.abs(u).max()) for u in ups) > 0
 
 
+def test_e2e_dora_training_with_ema_interval(tmp_path):
+    """Trainer-level DoRA e2e (reference: DoRAModule + EMAModuleWrapper
+    through GenericTrainer) — the weight-decomposed path plus an EMA
+    update interval > 1; saved kohya file carries dora_scale tensors in
+    the reference's own shapes ([1,in,1,1]/[out,1,1,1] conv, 2-D linear)."""
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    write_tiny_checkpoint(base, tiny_sd_model())
+    config = tiny_train_config(base, ds, str(tmp_path / "ws"),
+                               str(tmp_path / "cache"))
+    config.lora_decompose = True
+    config.ema = EMAMode.GPU
+    config.ema_update_step_interval = 2
+    trainer = GenericTrainer(config)
+    trainer.start()
+    trainer.train()
+    trainer.end()
+    sd = load_safetensors(config.output_model_destination)
+    scales = {k: v for k, v in sd.items() if k.endswith("dora_scale")}
+    assert scales
+    conv = [v for v in scales.values() if v.ndim == 4]
+    lin = [v for v in scales.values() if v.ndim == 2]
+    assert conv and lin
+    # conv scales decompose the input axis by default: [1, in, 1, 1]
+    assert all(v.shape[0] == 1 and v.shape[2] == v.shape[3] == 1
+               for v in conv)
+
+
 def test_e2e_backup_and_resume(trained_workspace):
     tmp, config, trainer = trained_workspace
     backup_dir = config.get_last_backup_path()
