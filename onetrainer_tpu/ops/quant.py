@@ -114,7 +114,11 @@ def quantize_tree(tree, dtype=jnp.float8_e4m3fn, min_size: int = 4096,
 
     if isinstance(tree, dict):
         return visit_tree(tree)
-    return jax.tree.map(visit, tree)
+    # the kernel-name gate needs dict keys; a keyless jax.tree.map would
+    # silently quantize NOTHING (every leaf just cast to keep_dtype)
+    raise TypeError(
+        f"quantize_tree expects a plain-dict param tree, got {type(tree)}; "
+        "convert FrozenDict/other containers with dict(...) first")
 
 
 def dequantize_tree(tree, dtype=jnp.bfloat16):

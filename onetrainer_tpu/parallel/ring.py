@@ -79,12 +79,16 @@ def _fwd_scan(qf, k, v, bias, axis_name: str, axis_size: int):
     init = (num, den, mx, k, v) if bias is None else (num, den, mx, k, v, bias)
     out_carry, _ = jax.lax.scan(step, init, None, length=axis_size)
     num, den, mx = out_carry[0], out_carry[1], out_carry[2]
-    out = num / jnp.maximum(den, 1e-30)[..., None]
-    # fully-masked rows: den == 0 -> lse = +inf so the backward's
-    # exp(s - lse) is exactly 0 (out is already 0)
-    lse = jnp.where(den > 0.0,
-                    mx + jnp.log(jnp.maximum(den, 1e-30)),
-                    jnp.inf)
+    # fully-masked rows: every key carries the additive -1e30 bias, so
+    # s rounds to NEG_INF exactly, p = exp(0) = 1 per entry and den
+    # accumulates Skv (NOT 0) — detect them by the row max never rising
+    # above the mask floor, and force out = 0 / lse = +inf so the
+    # backward's exp(s - lse) is exactly 0
+    masked_row = mx <= NEG_INF * 0.5
+    out = jnp.where(masked_row[..., None], 0.0,
+                    num / jnp.maximum(den, 1e-30)[..., None])
+    lse = jnp.where(masked_row, jnp.inf,
+                    mx + jnp.log(jnp.maximum(den, 1e-30)))
     return out, lse
 
 

@@ -162,9 +162,12 @@ def create_flux_setup(model: FluxModel, config: TrainConfig,
                 labels[name] = name
         n_input = int(vectors.shape[0]) if vectors is not None else 0
         # keep tokenizer placeholder registries aligned across TEs
+        # only TE2's (T5) output is patched; TE1 just registers
+        # placeholders + frozen input rows
         out_in1, out_vec1, out_ids, out_spans, out_stds = \
             _init_output_embeddings(model.text_encoder, model.te_params,
-                                    tokenizer, config, n_input)
+                                    tokenizer, config, n_input,
+                                    compute_output=False)
         out_in2, out_vec2, _, _, out_stds_2 = \
             _init_output_embeddings(model.text_encoder_2, model.te2_params,
                                     tokenizer_2, config, n_input)

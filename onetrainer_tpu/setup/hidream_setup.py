@@ -145,8 +145,13 @@ def create_hidream_setup(
         for (te_p, tok, suffix), te_mod in zip(
                 tes, (model.text_encoder, model.text_encoder_2,
                       model.text_encoder_3, model.text_encoder_4)):
+            # only TE3's (T5) output is patched — the other TEs just need
+            # frozen input rows + placeholder registration, so skip their
+            # TE forwards (TE4 is an 8B Llama; compiling it here would be
+            # minutes of wasted work)
             out_in, vec, out_ids, spans, stds = _init_output_embeddings(
-                te_mod, te_p, tok, config, n_input)
+                te_mod, te_p, tok, config, n_input,
+                compute_output=suffix == "_3")
             if out_in is not None:
                 frozen[f"embedding_inputs{suffix}"] = out_in
             if suffix == "_3" and vec is not None:

@@ -147,10 +147,11 @@ def create_hunyuan_setup(
             _init_output_embeddings(model.text_encoder, model.te_params,
                                     tokenizer, config, n_input,
                                     encode_fn=_llama_context, start=0)
-        # keep the clip tokenizer's placeholder registry aligned
+        # keep the clip tokenizer's placeholder registry aligned (no
+        # output patch on TE2 -> skip its forward)
         out_in2, _, _, _, _ = _init_output_embeddings(
             model.text_encoder_2, model.te2_params, tokenizer_2, config,
-            n_input)
+            n_input, compute_output=False)
         if out_vec is not None:
             trainable["output_embeddings"] = out_vec
             frozen["embedding_inputs"] = out_in

@@ -164,7 +164,8 @@ def _init_embedding_vectors(model, te_params, tokenizer: SDTokenizer,
 
 def _init_output_embeddings(te_module, te_params, tokenizer: SDTokenizer,
                             config: TrainConfig, input_count: int,
-                            encode_fn=None, start: int | None = None):
+                            encode_fn=None, start: int | None = None,
+                            compute_output: bool = True):
     """Output embeddings: trained vectors patched into the TE *output* at
     the placeholder positions; the input-level rows stay frozen at their
     initial-text values (reference: BaseModel._apply_output_embeddings
@@ -188,30 +189,37 @@ def _init_output_embeddings(te_module, te_params, tokenizer: SDTokenizer,
         init_ids = tokenizer._encode_words(e.initial_embedding_text) or [0]
         input_rows.append(np.stack(
             [table[init_ids[i % len(init_ids)]] for i in range(count)]))
-        # output init: the TE's own output for the initial text
-        tokens = tokenizer(e.initial_embedding_text)
-        if encode_fn is not None:
-            out = encode_fn(jnp.asarray(tokens)[None])
-        else:
-            out = te_module.apply(
-                {"params": te_params}, jnp.asarray(tokens)[None])
-        hidden = np.asarray(
-            out["last_hidden_state"][0] if isinstance(out, dict) else out[0],
-            np.float32)
-        # CLIP/Gemma prompts start with BOS; T5 has none; template-prefixed
-        # TEs (HunyuanVideo llama) pass their crop offset via `start`
-        s0 = start if start is not None \
-            else (0 if not hasattr(tokenizer, "bos") else 1)
-        vec = hidden[s0:s0 + count]
-        out_vectors.append(vec)
+        if compute_output:
+            # output init: the TE's own output for the initial text.
+            # Callers that only patch ONE TE's output (e.g. HiDream's
+            # t5_out) pass compute_output=False for the others so the
+            # frozen input rows + placeholder registration happen without
+            # running (and compiling) a possibly-8B TE forward
+            tokens = tokenizer(e.initial_embedding_text)
+            if encode_fn is not None:
+                out = encode_fn(jnp.asarray(tokens)[None])
+            else:
+                out = te_module.apply(
+                    {"params": te_params}, jnp.asarray(tokens)[None])
+            hidden = np.asarray(
+                out["last_hidden_state"][0]
+                if isinstance(out, dict) else out[0], np.float32)
+            # CLIP/Gemma prompts start with BOS; T5 has none; template-
+            # prefixed TEs (HunyuanVideo llama) pass their crop offset
+            # via `start`
+            s0 = start if start is not None \
+                else (0 if not hasattr(tokenizer, "bos") else 1)
+            vec = hidden[s0:s0 + count]
+            out_vectors.append(vec)
+            stds.append(float(vec.std(axis=1).mean()))
         tokenizer.register_placeholder(e.placeholder, count)
         ids_map[e.uuid] = (input_count + offset, count)
         spans.append((offset, count))
-        stds.append(float(vec.std(axis=1).mean()))
         offset += count
+    out_vec = jnp.asarray(np.concatenate(out_vectors, 0), jnp.float32) \
+        if out_vectors else None
     return (jnp.asarray(np.concatenate(input_rows, 0), jnp.float32),
-            jnp.asarray(np.concatenate(out_vectors, 0), jnp.float32),
-            ids_map, tuple(spans), tuple(stds))
+            out_vec, ids_map, tuple(spans), tuple(stds))
 
 
 def _load_embedding_file(path: str, hidden: int) -> np.ndarray | None:

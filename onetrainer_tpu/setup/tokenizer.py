@@ -13,6 +13,34 @@ import zlib
 import numpy as np
 
 
+def _splice_pieces(text: str, placeholders: dict, encode_words) -> list[int]:
+    """Splice placeholder ids into `text` in TEXT order, covering every
+    occurrence of every placeholder (the reference replaces placeholders
+    with added tokenizer tokens, so ordering/repeats come for free there;
+    here we splice spans explicitly). Overlapping matches keep the
+    earliest span."""
+    spans = []
+    for ph, ids in placeholders.items():
+        start = 0
+        while True:
+            i = text.find(ph, start)
+            if i < 0:
+                break
+            spans.append((i, i + len(ph), ids))
+            start = i + len(ph)
+    spans.sort()
+    pieces: list[int] = []
+    cursor = 0
+    for start, end, ids in spans:
+        if start < cursor:
+            continue  # overlaps an already-spliced span
+        pieces.extend(encode_words(text[cursor:start]))
+        pieces.extend(ids)
+        cursor = end
+    pieces.extend(encode_words(text[cursor:]))
+    return pieces
+
+
 class SDTokenizer:
     """CLIP tokenizer + placeholder splicing. Wraps a transformers
     tokenizer when available; otherwise a deterministic hash fallback so
@@ -22,6 +50,12 @@ class SDTokenizer:
                  vocab_size: int = 49408, bos: int = 49406, eos: int = 49407):
         self.max_length = max_length
         self.vocab_size = vocab_size
+        # placeholder ids index extra_embeddings appended at the MODEL's
+        # table size (te_config.vocab_size, passed by the setups) — NOT
+        # the HF tokenizer's vocab_size, which can be smaller (T5
+        # tokenizer 32100 vs table 32128, Llama-3 128000 vs 128320); the
+        # scatter base in the TE models uses the table size
+        self.embedding_base = vocab_size
         self.bos = bos
         self.eos = eos
         self._tokenizer = None
@@ -34,13 +68,13 @@ class SDTokenizer:
                 self.eos = self._tokenizer.eos_token_id
             except Exception as e:
                 print(f"tokenizer load failed ({e}); using hash fallback")
-        # placeholder -> list of extra ids (>= vocab_size)
+        # placeholder -> list of extra ids (>= embedding_base)
         self.placeholders: dict[str, list[int]] = {}
         self._next_extra = 0
 
     def register_placeholder(self, placeholder: str, token_count: int) -> list[int]:
-        ids = list(range(self.vocab_size + self._next_extra,
-                         self.vocab_size + self._next_extra + token_count))
+        ids = list(range(self.embedding_base + self._next_extra,
+                         self.embedding_base + self._next_extra + token_count))
         self._next_extra += token_count
         self.placeholders[placeholder] = ids
         return ids
@@ -53,49 +87,13 @@ class SDTokenizer:
                 for w in text.lower().split()]
 
     def encode_pieces(self, text: str) -> list[int]:
-        """Token ids with placeholders spliced, no special tokens."""
-        pieces: list[int] = []
-        rest = text
-        spans = []
-        for ph, ids in self.placeholders.items():
-            start = 0
-            while True:
-                i = rest.find(ph, start)
-                if i < 0:
-                    break
-                spans.append((i, i + len(ph), ids))
-                start = i + len(ph)
-        spans.sort()
-        cursor = 0
-        for start, end, ids in spans:
-            pieces.extend(self._encode_words(rest[cursor:start]))
-            pieces.extend(ids)
-            cursor = end
-        pieces.extend(self._encode_words(rest[cursor:]))
-        return pieces
+        """Token ids with placeholders spliced in TEXT order (every
+        occurrence), no special tokens."""
+        return _splice_pieces(text, self.placeholders, self._encode_words)
 
     def __call__(self, text: str) -> np.ndarray:
         """-> int32 [max_length] with BOS/EOS + eos-padding (CLIP style)."""
-        pieces: list[int] = []
-        rest = text
-        # splice placeholders
-        spans = []
-        for ph, ids in self.placeholders.items():
-            start = 0
-            while True:
-                i = rest.find(ph, start)
-                if i < 0:
-                    break
-                spans.append((i, i + len(ph), ids))
-                start = i + len(ph)
-        spans.sort()
-        cursor = 0
-        for start, end, ids in spans:
-            pieces.extend(self._encode_words(rest[cursor:start]))
-            pieces.extend(ids)
-            cursor = end
-        pieces.extend(self._encode_words(rest[cursor:]))
-
+        pieces = self.encode_pieces(text)
         ids = [self.bos] + pieces[: self.max_length - 2] + [self.eos]
         ids = ids + [self.eos] * (self.max_length - len(ids))
         return np.asarray(ids, np.int32)
@@ -109,6 +107,9 @@ class T5TokenizerWrapper:
                  vocab_size: int = 32128):
         self.max_length = max_length
         self.vocab_size = vocab_size
+        # model-table size for placeholder/extra-embedding ids; the HF
+        # T5 tokenizer reports 32100 but the model table is 32128
+        self.embedding_base = vocab_size
         self.eos = 1
         self.pad = 0
         self._tokenizer = None
@@ -125,8 +126,8 @@ class T5TokenizerWrapper:
         self._next_extra = 0
 
     def register_placeholder(self, placeholder: str, token_count: int) -> list[int]:
-        ids = list(range(self.vocab_size + self._next_extra,
-                         self.vocab_size + self._next_extra + token_count))
+        ids = list(range(self.embedding_base + self._next_extra,
+                         self.embedding_base + self._next_extra + token_count))
         self._next_extra += token_count
         self.placeholders[placeholder] = ids
         return ids
@@ -138,15 +139,7 @@ class T5TokenizerWrapper:
                 for w in text.lower().split()]
 
     def __call__(self, text: str) -> np.ndarray:
-        pieces: list[int] = []
-        rest = text
-        for ph, ids in self.placeholders.items():
-            if ph in rest:
-                before, _, rest2 = rest.partition(ph)
-                pieces.extend(self._encode_words(before))
-                pieces.extend(ids)
-                rest = rest2
-        pieces.extend(self._encode_words(rest))
+        pieces = _splice_pieces(text, self.placeholders, self._encode_words)
         ids = pieces[: self.max_length - 1] + [self.eos]
         ids = ids + [self.pad] * (self.max_length - len(ids))
         return np.asarray(ids, np.int32)
@@ -162,6 +155,7 @@ class GemmaTokenizerWrapper(T5TokenizerWrapper):
                  vocab_size: int = 256000):
         self.max_length = max_length
         self.vocab_size = vocab_size
+        self.embedding_base = vocab_size
         self.bos = 2
         self.eos = 1
         self.pad = 0
@@ -179,15 +173,7 @@ class GemmaTokenizerWrapper(T5TokenizerWrapper):
         self._next_extra = 0
 
     def __call__(self, text: str) -> "np.ndarray":
-        pieces: list[int] = []
-        rest = text
-        for ph, ids in self.placeholders.items():
-            if ph in rest:
-                before, _, rest2 = rest.partition(ph)
-                pieces.extend(self._encode_words(before))
-                pieces.extend(ids)
-                rest = rest2
-        pieces.extend(self._encode_words(rest))
+        pieces = _splice_pieces(text, self.placeholders, self._encode_words)
         ids = [self.bos] + pieces[: self.max_length - 1]
         ids = ids + [self.pad] * (self.max_length - len(ids))
         return np.asarray(ids, np.int32)
@@ -209,6 +195,7 @@ class LlamaTokenizerWrapper(T5TokenizerWrapper):
                  max_length: int = 77 + 95, vocab_size: int = 128320):
         self.max_length = max_length
         self.vocab_size = vocab_size
+        self.embedding_base = vocab_size
         self.bos = 128000
         self.eos = 128001
         self.pad = 128001
@@ -222,8 +209,10 @@ class LlamaTokenizerWrapper(T5TokenizerWrapper):
                 self.pad = self._tokenizer.pad_token_id or self.eos
             except Exception as e:
                 print(f"llama tokenizer load failed ({e}); using hash fallback")
-        if self.vocab_size <= self.bos:
-            # tiny test vocabularies: fall back to low special ids
+        if self._tokenizer is None and self.vocab_size <= self.bos:
+            # tiny test vocabularies (hash fallback only): low special ids.
+            # A REAL Llama-3 tokenizer reports vocab_size 128000 == bos —
+            # its specials are valid, so this must not trip for it.
             self.bos, self.eos, self.pad = 2, 1, 0
         self.placeholders: dict[str, list[int]] = {}
         self._next_extra = 0
@@ -232,18 +221,13 @@ class LlamaTokenizerWrapper(T5TokenizerWrapper):
         from onetrainer_tpu.models.hunyuan_video import DEFAULT_PROMPT_TEMPLATE
         if self._tokenizer is not None:
             if any(ph in text for ph in self.placeholders):
-                # splice placeholder ids (>= vocab_size) into the templated
-                # prompt: template prefix/suffix around {} tokenize with the
-                # real tokenizer, user pieces in between
+                # splice placeholder ids (>= embedding_base) into the
+                # templated prompt: template prefix/suffix around {}
+                # tokenize with the real tokenizer, user pieces in between
                 pre, post = DEFAULT_PROMPT_TEMPLATE.split("{}")
                 ids = list(self._tokenizer(pre)["input_ids"])
-                rest = text
-                for ph, ph_ids in self.placeholders.items():
-                    if ph in rest:
-                        before, _, rest = rest.partition(ph)
-                        ids.extend(self._encode_words(before))
-                        ids.extend(ph_ids)
-                ids.extend(self._encode_words(rest))
+                ids.extend(_splice_pieces(text, self.placeholders,
+                                          self._encode_words))
                 ids.extend(self._tokenizer(post,
                                            add_special_tokens=False)["input_ids"])
                 ids = ids[: self.max_length]
@@ -253,15 +237,7 @@ class LlamaTokenizerWrapper(T5TokenizerWrapper):
                 DEFAULT_PROMPT_TEMPLATE.format(text), padding="max_length",
                 truncation=True, max_length=self.max_length)
             return np.asarray(out["input_ids"], np.int32)
-        pieces: list[int] = []
-        rest = text
-        for ph, ids in self.placeholders.items():
-            if ph in rest:
-                before, _, rest2 = rest.partition(ph)
-                pieces.extend(self._encode_words(before))
-                pieces.extend(ids)
-                rest = rest2
-        pieces.extend(self._encode_words(rest))
+        pieces = _splice_pieces(text, self.placeholders, self._encode_words)
         filler = [(zlib.crc32(f"tmpl{i}".encode()) % (self.vocab_size - 4)) + 2
                   for i in range(self.CROP_START - 1)]
         ids = [self.bos] + filler + pieces[: self.max_length - self.CROP_START]

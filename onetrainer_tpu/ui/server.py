@@ -223,7 +223,36 @@ def _make_handler(ui: TrainUIState):
                 return {}
             return json.loads(self.rfile.read(n).decode() or "{}")
 
+        def _origin_ok(self) -> bool:
+            """Cross-origin / DNS-rebinding guard: the API can read and
+            write files and launch tool subprocesses, so a foreign web
+            page must not be able to drive it. Browser requests carry an
+            Origin (POST/fetch) and always a Host; both must point back
+            at this server (local names, or the explicitly configured
+            bind host). Non-browser clients (curl, the tests) send no
+            Origin and pass. Binding to 0.0.0.0/:: skips the Host check
+            — the operator exposed the server on purpose — but the
+            Origin check still blocks foreign pages."""
+            from urllib.parse import urlparse
+            allowed = {"localhost", "127.0.0.1", "::1", "[::1]"}
+            bind = getattr(ui, "bind_host", "127.0.0.1")
+            wildcard = bind in ("0.0.0.0", "::", "")
+            if not wildcard:
+                allowed.add(bind)
+            host = (self.headers.get("Host") or "").split(":")[0]
+            if host and not wildcard and host not in allowed:
+                return False
+            origin = self.headers.get("Origin")
+            if origin and origin != "null":
+                ohost = urlparse(origin).hostname or ""
+                if ohost not in allowed and not (wildcard and ohost == host):
+                    return False
+            return True
+
         def do_GET(self):
+            if not self._origin_ok():
+                self._json({"error": "forbidden origin"}, 403)
+                return
             path = self.path.split("?")[0]
             if path in ("/", "/index.html"):
                 self._send(200, PAGE_HTML.encode(), "text/html; charset=utf-8")
@@ -331,6 +360,9 @@ def _make_handler(ui: TrainUIState):
             return {k: v[0] for k, v in q.items()}
 
         def do_POST(self):
+            if not self._origin_ok():
+                self._json({"error": "forbidden origin"}, 403)
+                return
             path = self.path.split("?")[0]
             try:
                 if path == "/api/config":
@@ -486,6 +518,7 @@ class TrainUIServer:
                  config: TrainConfig | None = None,
                  presets_dir: str | None = None):
         self.ui = TrainUIState(config, presets_dir)
+        self.ui.bind_host = host   # consumed by the handler's origin guard
         self.httpd = ThreadingHTTPServer((host, port), _make_handler(self.ui))
         self.port = self.httpd.server_address[1]
 

@@ -50,6 +50,30 @@ def test_ring_attention_with_mask():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_ring_attention_fully_masked_row_is_zero():
+    """A batch element whose kv are ALL masked must return exactly 0
+    (and a +inf lse internally so the backward contributes nothing) —
+    the additive -1e30 bias makes every p = exp(0) = 1, so den > 0 and a
+    naive den>0 guard silently returns mean(v) instead."""
+    mesh = create_mesh(dp=1, fsdp=1, sp=8)
+    q, k, v = _inputs()
+    mask = jnp.arange(16)[None, :] < jnp.asarray([[0], [16]])  # row 0: none
+    out = jax.jit(
+        lambda q, k, v, m: ring_attention(q, k, v, mesh, kv_mask=m))(
+        q, k, v, mask)
+    np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
+    # unmasked batch element still matches full attention
+    ref = _full_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
+                               rtol=1e-5, atol=1e-5)
+    # gradients through the masked row are finite (no NaN from 0/0)
+    def loss(q):
+        o = ring_attention(q, k, v, mesh, kv_mask=mask)
+        return (o.astype(jnp.float32) ** 2).sum()
+    g = jax.jit(jax.grad(loss))(q)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_ring_attention_gradients():
     """Reverse-mode through the scan+ppermute ring equals full-attention
     gradients (training usability, not just inference)."""

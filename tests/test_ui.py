@@ -238,6 +238,29 @@ def test_ui_timestep_histogram(server):
     assert max(h["counts"][20:30]) > max(h["counts"][0], h["counts"][-1])
 
 
+def test_ui_rejects_foreign_origin(server):
+    """CSRF / DNS-rebinding guard: browser requests from a foreign page
+    (Origin header not pointing at this server) are refused for both GET
+    and POST; same-origin and non-browser (no Origin) requests pass."""
+    import urllib.error
+
+    for method, body in (("GET", None), ("POST", b"{}")):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/api/config", data=body,
+            headers={"Origin": "https://evil.example",
+                     "Content-Type": "application/json"}, method=method)
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("foreign origin was accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+    ok = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/api/config",
+        headers={"Origin": f"http://127.0.0.1:{server.port}"})
+    with urllib.request.urlopen(ok, timeout=30) as r:
+        assert r.status == 200
+
+
 def test_ui_debug_stack_dump(server):
     """ProfilingWindow's faulthandler stack dump equivalent (reference:
     modules/ui/ProfilingWindow.py:40-43): returns live thread stacks."""
