@@ -15,8 +15,9 @@ backward pass's recompute traffic competes with HBM bandwidth:
 - "dots_nb_attn": union of "dots_nb" and "attn"
 
 Measured on the v5e (experiments/sweep_log.txt): SDXL's winner is
-tx_only+attn-saving ("tx_attn", models/unet.py), SD3's is dots_nb
-(2.395 vs full's 2.263 imgs/sec @1024 bs2).
+tx_only ("tx_attn" ties within noise, models/unet.py), SD3's is
+dots_nb_attn (2.358 vs full's 2.263 imgs/sec @1024 bs2; plain dots_nb
+was never successfully measured at this shape and OOMs — r3 correction).
 """
 
 from __future__ import annotations
@@ -33,7 +34,10 @@ import jax
 # pattern as OT_SCAN_LAYERS — set before the model loads).
 _DEFAULTS = {
     "unet": "tx_only",     # SD1.5/2.x/SDXL: 3.33->3.45 imgs/sec over full
-    "sd3": "dots_nb",      # 2.395 vs full's 2.263 @1024 bs2
+    "sd3": "dots_nb_attn",  # 2.358 vs full's 2.263 @1024 bs2 fp8
+    # (r3 correction: "dots_nb" was recorded as 2.395 but that point
+    # never actually ran — it OOMs at @1024 bs2 fp8; dots_nb_attn is
+    # the measured winner, see sweep_log.txt)
 }
 
 
