@@ -318,12 +318,27 @@ def _jax_modules():
     return jax, jnp, optax
 
 
+_STAGES = {
+    # headline: fp8 frozen base — the fastest supported configuration
+    # (and the memory-friendly one); bf16 base reported as an extra
+    "sdxl_fp8": lambda j, n, o: list(
+        _bench_sdxl(j, n, o, base_quant=n.float8_e4m3fn, bs=4)),
+    "sdxl_bf16": lambda j, n, o: _bench_sdxl(j, n, o, bs=2)[0],
+    "sd15": lambda j, n, o: list(_bench_sd15(j, n, o)),
+    "vae": lambda j, n, o: _bench_vae_cache(j, n),
+    "sd3": lambda j, n, o: _bench_sd3(j, n, o),
+    "hunyuan": lambda j, n, o: _bench_hunyuan(j, n, o),
+}
+
+
 def _run_isolated(name, timeout=3600):
-    """Run one risky extra in a fresh process. An in-process
-    RESOURCE_EXHAUSTED leaves the failed step's buffers referenced by the
-    live traceback, which then cascades the OOM into every later extra
-    (observed r3: the SD3 OOM took down the otherwise-healthy Hunyuan
-    datapoint). Subprocess isolation makes each extra independent."""
+    """Run one bench stage in a fresh process. The single TPU chip's HBM
+    is shared: an in-process RESOURCE_EXHAUSTED keeps the failed step's
+    buffers referenced by the live traceback and cascades the OOM into
+    every later stage (observed r3: the SD3 OOM took down the
+    otherwise-healthy Hunyuan datapoint), and even successful stages
+    leave multi-GB trees alive. Sequential subprocess isolation gives
+    each stage the whole chip; the parent never touches jax."""
     import subprocess
     import sys
     try:
@@ -333,33 +348,34 @@ def _run_isolated(name, timeout=3600):
         return "error: timeout"
     for line in reversed(r.stdout.strip().splitlines()):
         try:
-            return round(float(line), 3)
+            return json.loads(line)
         except ValueError:
             continue
     return f"error: rc={r.returncode}"
 
 
 def main():
-    jax, jnp, optax = _jax_modules()
+    sdxl = _run_isolated("sdxl_fp8")
+    if not isinstance(sdxl, list):
+        raise RuntimeError(f"headline SDXL bench failed: {sdxl}")
+    sdxl_ips, sdxl_flops_per_img, sdxl_sec_per_step, sdxl_hbm_bytes = sdxl
+    sdxl_bf16_ips = _run_isolated("sdxl_bf16")
+    sd15 = _run_isolated("sd15")
+    sd15_ips, sd15_flops_per_img = \
+        sd15 if isinstance(sd15, list) else (sd15, None)
+    vae_ips = _run_isolated("vae")
 
-    # headline: fp8 frozen base — the fastest supported configuration
-    # (and the memory-friendly one); bf16 base reported as an extra
-    sdxl_ips, sdxl_flops_per_img, sdxl_sec_per_step, sdxl_hbm_bytes = \
-        _bench_sdxl(jax, jnp, optax, base_quant=jnp.float8_e4m3fn, bs=4)
-    sdxl_bf16_ips, _, _, _ = _bench_sdxl(jax, jnp, optax, bs=2)
-    sd15_ips, sd15_flops_per_img = _bench_sd15(jax, jnp, optax)
-    vae_ips = _bench_vae_cache(jax, jnp)
+    def _r(v):
+        return round(v, 3) if isinstance(v, (int, float)) else v
 
     extras = {
-        "sdxl_bf16_base_imgs_per_sec": round(sdxl_bf16_ips, 3),
-        "sd15_lora_512_bs4_imgs_per_sec": round(sd15_ips, 3),
-        "vae_latent_cache_512_bs8_imgs_per_sec": round(vae_ips, 3),
+        "sdxl_bf16_base_imgs_per_sec": _r(sdxl_bf16_ips),
+        "sd15_lora_512_bs4_imgs_per_sec": _r(sd15_ips),
+        "vae_latent_cache_512_bs8_imgs_per_sec": _r(vae_ips),
+        # per-family DiT datapoints (BASELINE configs 4/5)
+        "sd3_lora_1024_bs2_imgs_per_sec": _r(_run_isolated("sd3")),
+        "hunyuan_half_512_f9_samples_per_sec": _r(_run_isolated("hunyuan")),
     }
-    # per-family DiT datapoints (BASELINE configs 4/5); isolated in
-    # subprocesses so a compile/memory failure can't take down the
-    # headline metric or each other
-    extras["sd3_lora_1024_bs2_imgs_per_sec"] = _run_isolated("sd3")
-    extras["hunyuan_half_512_f9_samples_per_sec"] = _run_isolated("hunyuan")
     if sdxl_flops_per_img:
         mfu = sdxl_ips * sdxl_flops_per_img / V5E_PEAK_FLOPS
         a100_imgs_per_sec = (A100_PEAK_FLOPS * A100_ASSUMED_MFU
@@ -415,10 +431,18 @@ def main():
 
 
 if __name__ == "__main__":
+    import os
     import sys
     if len(sys.argv) == 3 and sys.argv[1] == "--extra":
+        # OT_BENCH_FAKE='{"sdxl_fp8": [...], ...}' short-circuits the
+        # stage with canned values so the subprocess plumbing + metric
+        # assembly can be smoke-tested on CPU (tests only; the driver
+        # never sets it)
+        fake = os.environ.get("OT_BENCH_FAKE")
+        if fake:
+            print(json.dumps(json.loads(fake)[sys.argv[2]]))
+            sys.exit(0)
         _jx, _jnp, _opx = _jax_modules()
-        _fn = {"sd3": _bench_sd3, "hunyuan": _bench_hunyuan}[sys.argv[2]]
-        print(_fn(_jx, _jnp, _opx))
+        print(json.dumps(_STAGES[sys.argv[2]](_jx, _jnp, _opx)))
     else:
         main()
