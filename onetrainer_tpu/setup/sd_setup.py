@@ -23,11 +23,20 @@ from onetrainer_tpu.models.clip import encode_clip_text
 from onetrainer_tpu.models.sd import StableDiffusionModel
 from onetrainer_tpu.peft.lora import PeftConfig, apply_peft, init_peft_params
 from onetrainer_tpu.setup.tokenizer import SDTokenizer
-from onetrainer_tpu.train.lr_schedules import make_schedule
+from onetrainer_tpu.train.lr_schedules import (
+    make_schedule,
+    resolve_warmup_steps,
+    tabulate_custom_schedule,
+)
 from onetrainer_tpu.train.optimizers import create_group_optimizer
 from onetrainer_tpu.train.sd_train_step import SDStepConfig, make_sd_train_step
 from onetrainer_tpu.train.train_state import create_train_state
-from onetrainer_tpu.util.enums import EMAMode, LearningRateScaler, TrainingMethod
+from onetrainer_tpu.util.enums import (
+    EMAMode,
+    LearningRateScaler,
+    LearningRateScheduler,
+    TrainingMethod,
+)
 
 
 @dataclass
@@ -107,14 +116,37 @@ def _group_schedule(config: TrainConfig, group_lr: float | None, total_steps: in
                     steps_per_epoch: int = 1):
     base_lr = (group_lr if group_lr is not None else config.learning_rate)
     base_lr *= _lr_scale(config)
-    schedule = make_schedule(
-        config.learning_rate_scheduler,
-        total_steps,
-        config.learning_rate_warmup_steps,
-        config.learning_rate_cycles,
-        config.learning_rate_min_factor,
-        base_lr,
-    )
+    scheduler = config.learning_rate_scheduler
+    # Schedule-free optimizers carry their own internal schedule; the
+    # reference forces CONSTANT and skips warmup for them
+    # (modules/util/create.py:1139-1141,1227-1228).
+    if config.optimizer.optimizer.is_schedule_free():
+        scheduler = LearningRateScheduler.CONSTANT
+        warmup = 0
+    else:
+        warmup = resolve_warmup_steps(
+            config.learning_rate_warmup_steps, total_steps,
+            config.gradient_accumulation_steps)
+    if scheduler == LearningRateScheduler.CUSTOM:
+        schedule = tabulate_custom_schedule(
+            config.custom_learning_rate_scheduler,
+            config.scheduler_params,
+            base_lr,
+            config.learning_rate,
+            total_steps,
+            warmup,
+            config.epochs,
+            steps_per_epoch,
+        )
+    else:
+        schedule = make_schedule(
+            scheduler,
+            total_steps,
+            warmup,
+            config.learning_rate_cycles,
+            config.learning_rate_min_factor,
+            base_lr,
+        )
     stop = _stop_step(part, steps_per_epoch) if part is not None else None
     if stop is None:
         return schedule

@@ -115,10 +115,30 @@ def make_schedule(
     return lambda step: base_lr * fn(jnp.asarray(step, jnp.float32))
 
 
+def resolve_warmup_steps(warmup_steps: float, total_steps: int,
+                         gradient_accumulation_steps: int = 1) -> int:
+    """The reference's warmup interpretation (modules/util/create.py:1130-1136):
+    values > 1 are a literal step count (divided by gradient accumulation,
+    because the schedule is indexed by optimizer steps); values in (0, 1]
+    are a fraction of total optimizer steps; anything else is 0."""
+    if warmup_steps > 1:
+        return int(warmup_steps / max(gradient_accumulation_steps, 1))
+    if 0 < warmup_steps <= 1:
+        return int(warmup_steps * total_steps)
+    return 0
+
+
 def load_custom_scheduler(class_name: str, scheduler_params: list[dict],
                           placeholders: dict[str, float]):
     """Import a user scheduler class and resolve %PLACEHOLDER% args
     (reference: modules/util/create.py:1181-1222). Returns (cls, kwargs)."""
+    import ast
+    if not class_name:
+        raise AssertionError(
+            "Must specify a class when using a custom LR scheduler.")
+    if "." not in class_name:
+        raise AssertionError(
+            "Custom class name must be in the format <module>.<class>")
     module_name, _, cls_name = class_name.rpartition(".")
     module = importlib.import_module(module_name)
     cls = getattr(module, cls_name)
@@ -129,8 +149,82 @@ def load_custom_scheduler(class_name: str, scheduler_params: list[dict],
             value = placeholders[value.strip("%")]
         else:
             try:
-                value = float(value) if "." in str(value) else int(value)
-            except (TypeError, ValueError):
+                value = ast.literal_eval(value)
+            except (TypeError, ValueError, SyntaxError):
                 pass
         kwargs[key] = value
     return cls, kwargs
+
+
+def tabulate_custom_schedule(
+        class_name: str,
+        scheduler_params: list[dict],
+        base_lr: float,
+        config_lr: float,
+        total_steps: int,
+        warmup_steps: int,
+        num_epochs: int,
+        steps_per_epoch: int,
+):
+    """CUSTOM scheduler → precomputed LR lookup table, the TPU-native analog
+    of the reference's importlib class loading (modules/util/create.py:
+    1179-1222). The user's torch ``LRScheduler`` subclass is driven on the
+    host against a 1-parameter CPU optimizer for every optimizer step up
+    front; the resulting float32 table (4 bytes/step) is embedded in the
+    jitted update and indexed by the step counter — exact torch semantics
+    (including ``SequentialLR`` warmup composition, matching the reference)
+    with zero per-step host sync. Resume needs no ``last_epoch`` replay:
+    the table is indexed by the absolute optimizer step.
+
+    Placeholders mirror the reference: %LR% (config learning rate),
+    %EPOCHS%, %STEPS_PER_EPOCH%, %TOTAL_STEPS%, %SCHEDULER_STEPS%; other
+    values go through ``ast.literal_eval``. Non-torch callables keep the
+    previous contract: a traceable ``fn(step) -> lr-factor`` (class
+    instantiated with the resolved kwargs first, if it is a class).
+    """
+    cls, kwargs = load_custom_scheduler(class_name, scheduler_params, {
+        "LR": config_lr,
+        "EPOCHS": num_epochs,
+        "STEPS_PER_EPOCH": steps_per_epoch,
+        "TOTAL_STEPS": total_steps,
+        "SCHEDULER_STEPS": max(total_steps - warmup_steps, 0),
+    })
+
+    try:
+        import torch
+        is_torch_sched = isinstance(cls, type) and issubclass(
+            cls, torch.optim.lr_scheduler.LRScheduler)
+    except ImportError:  # pragma: no cover - torch is in the image
+        torch, is_torch_sched = None, False
+
+    if not is_torch_sched:
+        # Traceable-callable contract: factor(step), scaled by base_lr.
+        fn = cls(**kwargs) if isinstance(cls, type) else cls
+        if not callable(fn):
+            raise TypeError(
+                f"custom scheduler {class_name} is neither a torch "
+                "LRScheduler nor a callable step->factor")
+        return lambda step: base_lr * fn(jnp.asarray(step, jnp.float32))
+
+    # Host-side replay of the real torch scheduler.
+    param = torch.zeros(1, requires_grad=True)
+    opt = torch.optim.SGD([param], lr=base_lr)
+    sched = cls(optimizer=opt, **kwargs)
+    if warmup_steps > 0:
+        # Reference composition: constant-factor LambdaLR warmup, then the
+        # custom scheduler, glued by SequentialLR (create.py:1213-1221).
+        warmup = torch.optim.lr_scheduler.LambdaLR(
+            opt, lr_lambda=lambda s: min(s / warmup_steps, 1.0))
+        sched = torch.optim.lr_scheduler.SequentialLR(
+            opt, schedulers=[warmup, sched], milestones=[warmup_steps])
+    lrs = []
+    for _ in range(max(total_steps, 1) + 1):
+        lrs.append(float(opt.param_groups[0]["lr"]))
+        opt.step()
+        sched.step()
+    table = jnp.asarray(lrs, jnp.float32)
+
+    def fn(step):
+        idx = jnp.clip(jnp.asarray(step, jnp.int32), 0, table.shape[0] - 1)
+        return table[idx]
+    return fn
