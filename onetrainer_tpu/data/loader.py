@@ -93,6 +93,7 @@ class PreparedSample:
     bucket: tuple[int, int]
     frames: int = 1
     cache_key: str | None = None
+    epoch: int = 0
 
 
 class Text2ImageDataLoader:
@@ -204,6 +205,17 @@ class Text2ImageDataLoader:
 
         self._threads = max(int(config.dataloader_threads or 1), 1)
 
+        # RandomLatentMaskRemove: for mask-input model types, each sample
+        # trains fully unmasked with probability config.unmasked_probability
+        # — latent_mask becomes all-ones and the inpainting conditioning
+        # latent becomes the encode of a fully-blanked image (reference:
+        # DataLoaderText2ImageMixin.py:270-289 gates the mgds
+        # RandomLatentMaskRemove module on model_type.has_mask_input()).
+        self.mask_remove_probability = (
+            float(config.unmasked_probability or 0.0)
+            if config.model_type.has_mask_input() else 0.0)
+        self._blank_cond_latents: dict[tuple, np.ndarray] = {}
+
     # -- epoch plan -------------------------------------------------------------
 
     def _epoch_rng(self, epoch: int) -> np.random.Generator:
@@ -237,7 +249,7 @@ class Text2ImageDataLoader:
             samples.append(PreparedSample(
                 entry_index=idx, image_variation=image_variation,
                 text_variation=text_variation, bucket=bucket,
-                frames=n_frames))
+                frames=n_frames, epoch=epoch))
         return samples
 
     @staticmethod
@@ -325,6 +337,14 @@ class Text2ImageDataLoader:
             "text_variation": sample.text_variation,
             "aug": e.concept.image.to_dict(),
             "text": e.concept.text.to_dict(),
+            # cached TE states bake in the hidden-state layer skips —
+            # changing a skip must invalidate the text cache
+            "te_skips": [
+                int(getattr(self.config, k, 0) or 0)
+                for k in ("text_encoder_layer_skip",
+                          "text_encoder_2_layer_skip",
+                          "text_encoder_3_layer_skip",
+                          "text_encoder_4_layer_skip")],
         }
 
     def ensure_cached(self, batches: list[list[PreparedSample]],
@@ -412,6 +432,38 @@ class Text2ImageDataLoader:
 
     # -- batch materialization ------------------------------------------------------
 
+    def _maybe_remove_mask(self, sample: PreparedSample, row: dict) -> dict:
+        """RandomLatentMaskRemove: with mask_remove_probability the sample
+        trains fully unmasked — all-ones latent mask, blank conditioning
+        latent (encode of image*(1-mask) with mask=1 → zeros image). Drawn
+        deterministically per (epoch, image, variation) AFTER the disk
+        cache, so the cached latents stay shared across the decision, like
+        the reference's post-DiskCache pipeline placement
+        (DataLoaderText2ImageMixin.py:270-289)."""
+        p = self.mask_remove_probability
+        if p <= 0 or "latent_mask" not in row:
+            return row
+        e = self.entries[sample.entry_index]
+        rng = np.random.default_rng([
+            zlib.crc32(b"mask_remove"),
+            zlib.crc32(e.image_path.encode("utf-8")),
+            int(sample.epoch), int(sample.image_variation)])
+        if rng.random() >= p:
+            return row
+        h, w = sample.bucket
+        row = dict(row)
+        row["latent_mask"] = self._latent_mask(
+            np.ones((h, w, 1), np.float32)).astype(row["latent_mask"].dtype)
+        if "latent_conditioning_image" in row:
+            blank = self._blank_cond_latents.get((h, w))
+            if blank is None:
+                blank = np.asarray(self.encode_images(
+                    np.zeros((1, h, w, 3), np.float32))["latent_image"][0])
+                self._blank_cond_latents[(h, w)] = blank
+            row["latent_conditioning_image"] = blank.astype(
+                row["latent_conditioning_image"].dtype)
+        return row
+
     def materialize_batch(self, batch: list[PreparedSample]) -> dict:
         if self.cache is not None and self._threads > 1 and len(batch) > 1:
             # parallel cache reads (file IO releases the GIL)
@@ -423,6 +475,8 @@ class Text2ImageDataLoader:
                 return self.cache.load(s.cache_key)
             with ThreadPoolExecutor(self._threads) as pool:
                 rows = list(pool.map(load_row, batch))
+            rows = [self._maybe_remove_mask(s, r)
+                    for s, r in zip(batch, rows)]
             for s, row in zip(batch, rows):
                 e = self.entries[s.entry_index]
                 row["loss_weight"] = np.asarray(e.concept.loss_weight, np.float32)
@@ -452,6 +506,7 @@ class Text2ImageDataLoader:
                         self.encode_images(cond[None])["latent_image"][0])
                 row.update({k: np.asarray(v)
                             for k, v in self.encode_text(self._prompt(s)).items()})
+            row = self._maybe_remove_mask(s, row)
             row["loss_weight"] = np.asarray(e.concept.loss_weight, np.float32)
             row["prior_flag"] = np.asarray(
                 1.0 if e.concept.type == ConceptType.PRIOR_PREDICTION else 0.0,

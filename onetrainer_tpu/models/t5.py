@@ -129,7 +129,14 @@ class T5Encoder(nn.Module):
     cfg: T5Config
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray, extra_embeddings=None):
+    def __call__(self, input_ids: jnp.ndarray, extra_embeddings=None,
+                 layer_skip: int = 0):
+        """layer_skip > 0 returns the output of block (num_layers-1-skip)
+        with the final layer norm re-applied — the reference's encode_t5
+        semantics (modules/model/util/t5_util.py:6-29: hidden_states
+        [-1-skip] + add_layer_norm). The skipped blocks are simply not
+        run, which XLA turns into a smaller program (the torch reference
+        must run them all and discard)."""
         c = self.cfg
         table = self.param("shared", nn.initializers.normal(1.0),
                            (c.vocab_size, c.d_model))
@@ -139,7 +146,8 @@ class T5Encoder(nn.Module):
                 [table, extra_embeddings.astype(table.dtype)], axis=0)
         x = table[input_ids].astype(c.dtype)
         position_bias = None
-        for i in range(c.num_layers):
+        run_blocks = max(c.num_layers - max(int(layer_skip), 0), 1)
+        for i in range(run_blocks):
             x, position_bias = T5Block(
                 c, has_relative_bias=(i == 0), name=f"block_{i}")(x, position_bias)
         x = T5LayerNorm(c.layer_norm_epsilon, c.dtype, name="final_layer_norm")(x)

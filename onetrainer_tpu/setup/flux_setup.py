@@ -258,7 +258,9 @@ def make_flux_encode_fns(setup: FluxSetup):
         @jax.jit
         def _te_encode(tokens, tokens_2):
             out_clip = model.text_encoder.apply({"params": te_params}, tokens[None])
-            t5 = model.text_encoder_2.apply({"params": te2_params}, tokens_2[None])
+            t5 = model.text_encoder_2.apply(
+                {"params": te2_params}, tokens_2[None],
+                layer_skip=setup.step_cfg.te2_layer_skip)
             return out_clip["pooled_output"][0], t5[0]
 
         def encode_text(prompt: str) -> dict:

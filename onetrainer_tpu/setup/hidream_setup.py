@@ -248,7 +248,9 @@ def make_hidream_encode_fns(setup: HiDreamSetup):
     def _te_encode(t1, t2, t3, t4, m4):
         out1 = model.text_encoder.apply({"params": te}, t1[None])
         out2 = model.text_encoder_2.apply({"params": te2}, t2[None])
-        t5 = model.text_encoder_3.apply({"params": te3}, t3[None])
+        t5 = model.text_encoder_3.apply(
+            {"params": te3}, t3[None],
+            layer_skip=setup.step_cfg.te3_layer_skip)
         out4 = model.text_encoder_4.apply({"params": te4}, t4[None], m4[None])
         states = out4["hidden_states"]
         layers = list(states[1:])

@@ -187,7 +187,9 @@ def make_pixart_encode_fns(setup: PixArtSetup):
 
     @jax.jit
     def _te_encode(tokens):
-        return model.text_encoder.apply({"params": te_params}, tokens[None])[0]
+        return model.text_encoder.apply(
+            {"params": te_params}, tokens[None],
+            layer_skip=setup.step_cfg.text_encoder_layer_skip)[0]
 
     def encode_text(prompt: str) -> dict:
         tokens = setup.tokenizer(prompt)

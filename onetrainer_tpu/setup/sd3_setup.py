@@ -266,9 +266,12 @@ def make_sd3_encode_fns(setup: SD3Setup):
         def _encode(t1, t2, t3):
             out_l = model.text_encoder.apply({"params": te}, t1[None])
             out_g = model.text_encoder_2.apply({"params": te2}, t2[None])
-            t5 = model.text_encoder_3.apply({"params": te3}, t3[None])
+            t5 = model.text_encoder_3.apply(
+                {"params": te3}, t3[None],
+                layer_skip=setup.step_cfg.te3_layer_skip)
             context, pooled = sd3_text_context(
-                encode_clip_text(out_l, 0), encode_clip_text(out_g, 0),
+                encode_clip_text(out_l, setup.step_cfg.text_encoder_layer_skip),
+                encode_clip_text(out_g, setup.step_cfg.te2_layer_skip),
                 t5, out_l["pooled_output"], out_g["pooled_output"])
             return context[0], pooled[0]
 

@@ -247,7 +247,7 @@ def make_sdxl_encode_fns(setup: SDXLSetup):
             out1 = model.text_encoder.apply({"params": te_params}, tokens[None])
             out2 = model.text_encoder_2.apply({"params": te2_params}, tokens_2[None])
             h1 = encode_clip_text(out1, setup.step_cfg.text_encoder_layer_skip)[0]
-            h2 = encode_clip_text(out2, setup.step_cfg.text_encoder_layer_skip)[0]
+            h2 = encode_clip_text(out2, setup.step_cfg.te2_layer_skip)[0]
             return h1, h2, out2["pooled_output"][0]
 
         def encode_text(prompt: str) -> dict:

@@ -19,7 +19,10 @@ from onetrainer_tpu.models.flux import (
 from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
 from onetrainer_tpu.peft.lora import PeftConfig, as_variables, lora_variables
 from onetrainer_tpu.train.ema import maybe_update_ema
-from onetrainer_tpu.train.sd_train_step import SDStepConfig
+from onetrainer_tpu.train.sd_train_step import (
+    SDStepConfig,
+    preserve_input_embedding_norms,
+)
 from onetrainer_tpu.train.train_state import (
     TrainState, ema_to_compute, ema_to_storage, opt_to_compute, opt_to_storage,
 )
@@ -38,8 +41,10 @@ def flux_text_conditioning(model, te_params, te2_params, batch,
     out_clip = model.text_encoder.apply(
         as_variables(te_params), batch["tokens"], None, extra_1)
     pooled = out_clip["pooled_output"]
+    # T5 layer skip (reference: FluxModel.py:206,258 text_encoder_2_layer_skip)
     t5_states = model.text_encoder_2.apply(
-        as_variables(te2_params), batch["tokens_2"], extra_2)
+        as_variables(te2_params), batch["tokens_2"], extra_2,
+        layer_skip=cfg.te2_layer_skip if cfg is not None else 0)
     if cfg is not None and batch.get("output_embeddings_2") is not None:
         # output embeddings apply to the T5 sequence states (reference:
         # FluxModel.encode_text:278 — only text_encoder_2 output)
@@ -83,6 +88,23 @@ def flux_predict(model, transformer_params, te_params, te2_params, batch, rng,
 
     t5_states, pooled = flux_text_conditioning(
         model, te_params, te2_params, batch, extra_embeddings, cfg)
+
+    # per-TE conditioning dropout: TE1 = CLIP pooled, TE2 = T5 sequence
+    # (reference: FluxModel.py:286-296)
+    if cfg.te_dropout > 0 or cfg.te2_dropout > 0:
+        from onetrainer_tpu.train.sd_train_step import (
+            conditioning_dropout_mask,
+        )
+        rng_drop = jax.random.fold_in(rng, 0xd0)
+        b = pooled.shape[0]
+        if cfg.te_dropout > 0:
+            m1 = conditioning_dropout_mask(
+                jax.random.fold_in(rng_drop, 1), b, cfg.te_dropout)
+            pooled = pooled * m1[:, None].astype(pooled.dtype)
+        if cfg.te2_dropout > 0:
+            m2 = conditioning_dropout_mask(
+                jax.random.fold_in(rng_drop, 2), b, cfg.te2_dropout)
+            t5_states = t5_states * m2[:, None, None].astype(t5_states.dtype)
 
     packed = pack_latents(noisy)
     if "latent_conditioning_image" in batch:
@@ -172,7 +194,8 @@ def make_flux_train_step(model, cfg: SDStepConfig, tx,
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
-        if "output_embeddings_2" in params and cfg.output_embedding_spans:
+        if "output_embeddings_2" in params and cfg.output_embedding_spans \
+                and cfg.preserve_embedding_norm:
             from onetrainer_tpu.train.sd_train_step import (
                 normalize_output_embeddings,
             )
@@ -181,6 +204,7 @@ def make_flux_train_step(model, cfg: SDStepConfig, tx,
                           params["output_embeddings_2"],
                           cfg.output_embedding_spans,
                           cfg.output_embedding_stds_2)}
+        params = preserve_input_embedding_norms(params, frozen, cfg)
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema_to_compute(ema), params, cfg.ema_decay, state.step,

@@ -18,7 +18,10 @@ from onetrainer_tpu.models.flux import (
 from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
 from onetrainer_tpu.peft.lora import PeftConfig, as_variables, lora_variables
 from onetrainer_tpu.train.ema import maybe_update_ema
-from onetrainer_tpu.train.sd_train_step import SDStepConfig
+from onetrainer_tpu.train.sd_train_step import (
+    SDStepConfig,
+    preserve_input_embedding_norms,
+)
 from onetrainer_tpu.train.train_state import (
     TrainState, ema_to_compute, ema_to_storage, opt_to_compute, opt_to_storage,
 )
@@ -27,20 +30,47 @@ from onetrainer_tpu.util.enums import TrainingMethod
 
 def hidream_text_conditioning(model, te, te2, te3, te4, batch,
                               extra_embeddings=None,
-                              output_embedding_base_id_3: int = 0):
+                              output_embedding_base_id_3: int = 0,
+                              dropout_rng=None,
+                              te_dropouts=(0.0, 0.0, 0.0, 0.0),
+                              te3_layer_skip: int = 0):
     """-> (t5 states, llama all-layer states [L,B,S,D], pooled concat)
     (reference: HiDreamModel.encode_text:300-480,
     combine_text_encoder_output:472-480).
 
     extra_embeddings: per-TE 4-tuple (clip_l, clip_g, t5, llama) — the
     reference's HiDreamModelEmbedding carries one vector per TE."""
+    def _te_dropout(p1, p2, t5, llama):
+        # per-TE conditioning dropout: TE1/TE2 pooled, TE3 sequence,
+        # TE4 stacked layers (reference: HiDreamModel.py:445-470)
+        if dropout_rng is None or not any(p > 0 for p in te_dropouts):
+            return p1, p2, t5, llama
+        from onetrainer_tpu.train.sd_train_step import (
+            conditioning_dropout_mask,
+        )
+        b = p1.shape[0]
+        masks = [conditioning_dropout_mask(
+            jax.random.fold_in(dropout_rng, i), b, p) if p > 0 else None
+            for i, p in enumerate(te_dropouts)]
+        if masks[0] is not None:
+            p1 = p1 * masks[0][:, None].astype(p1.dtype)
+        if masks[1] is not None:
+            p2 = p2 * masks[1][:, None].astype(p2.dtype)
+        if masks[2] is not None:
+            t5 = t5 * masks[2][:, None, None].astype(t5.dtype)
+        if masks[3] is not None:
+            llama = llama * masks[3][None, :, None, None].astype(llama.dtype)
+        return p1, p2, t5, llama
+
     if "text_encoder_3_hidden_state" in batch:
         llama = batch["text_encoder_4_hidden_state"]
         if llama.ndim == 4:          # cached rows stack to [B, L, S, D]
             llama = jnp.transpose(llama, (1, 0, 2, 3))
-        return (batch["text_encoder_3_hidden_state"], llama,
-                jnp.concatenate([batch["text_encoder_1_pooled_state"],
-                                 batch["text_encoder_2_pooled_state"]], -1))
+        p1, p2, t5, llama = _te_dropout(
+            batch["text_encoder_1_pooled_state"],
+            batch["text_encoder_2_pooled_state"],
+            batch["text_encoder_3_hidden_state"], llama)
+        return t5, llama, jnp.concatenate([p1, p2], -1)
     extras = extra_embeddings if isinstance(extra_embeddings, tuple) \
         else (extra_embeddings, None, None, None)
     e1, e2, e3, e4 = extras
@@ -48,7 +78,11 @@ def hidream_text_conditioning(model, te, te2, te3, te4, batch,
                                     None, e1)
     out2 = model.text_encoder_2.apply(as_variables(te2), batch["tokens_2"],
                                       None, e2)
-    t5 = model.text_encoder_3.apply(as_variables(te3), batch["tokens_3"], e3)
+    # T5 layer skip (reference: HiDreamModel.py:309,398
+    # text_encoder_3_layer_skip)
+    t5 = model.text_encoder_3.apply(
+        as_variables(te3), batch["tokens_3"], e3,
+        layer_skip=te3_layer_skip)
     if batch.get("output_embeddings_3") is not None:
         # output embeddings patch the T5 context (reference:
         # HiDreamModelEmbedding text_encoder_3 is_output_embedding,
@@ -70,8 +104,9 @@ def hidream_text_conditioning(model, te, te2, te3, te4, batch,
         layers = [layer * mask4[:, :, None].astype(layer.dtype)
                   for layer in layers]
     llama = jnp.stack(layers, axis=0)
-    pooled = jnp.concatenate([out1["pooled_output"], out2["pooled_output"]],
-                             axis=-1)
+    p1, p2, t5, llama = _te_dropout(
+        out1["pooled_output"], out2["pooled_output"], t5, llama)
+    pooled = jnp.concatenate([p1, p2], axis=-1)
     return t5, llama, pooled
 
 
@@ -100,7 +135,11 @@ def hidream_predict(model, transformer_params, te, te2, te3, te4, batch, rng,
 
     t5, llama, pooled = hidream_text_conditioning(
         model, te, te2, te3, te4, batch, extra_embeddings,
-        cfg.output_embedding_base_id_3)
+        cfg.output_embedding_base_id_3,
+        dropout_rng=jax.random.fold_in(rng, 0xd0),
+        te_dropouts=(cfg.te_dropout, cfg.te2_dropout,
+                     cfg.te3_dropout, cfg.te4_dropout),
+        te3_layer_skip=cfg.te3_layer_skip)
 
     packed = pack_latents(noisy)
     img_ids = prepare_latent_image_ids(h, w)
@@ -173,7 +212,8 @@ def make_hidream_train_step(model, cfg: SDStepConfig, tx,
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
-        if "output_embeddings_3" in params and cfg.output_embedding_spans:
+        if "output_embeddings_3" in params and cfg.output_embedding_spans \
+                and cfg.preserve_embedding_norm:
             from onetrainer_tpu.train.sd_train_step import (
                 normalize_output_embeddings,
             )
@@ -182,6 +222,7 @@ def make_hidream_train_step(model, cfg: SDStepConfig, tx,
                           params["output_embeddings_3"],
                           cfg.output_embedding_spans,
                           cfg.output_embedding_stds_3)}
+        params = preserve_input_embedding_norms(params, frozen, cfg)
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema_to_compute(ema), params, cfg.ema_decay, state.step,

@@ -16,7 +16,10 @@ from onetrainer_tpu.models.llama import encode_llama_text
 from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
 from onetrainer_tpu.peft.lora import PeftConfig, as_variables, lora_variables
 from onetrainer_tpu.train.ema import maybe_update_ema
-from onetrainer_tpu.train.sd_train_step import SDStepConfig
+from onetrainer_tpu.train.sd_train_step import (
+    SDStepConfig,
+    preserve_input_embedding_norms,
+)
 from onetrainer_tpu.train.train_state import (
     TrainState, ema_to_compute, ema_to_storage, opt_to_compute, opt_to_storage,
 )
@@ -96,6 +99,23 @@ def hunyuan_predict(model, transformer_params, te_params, te2_params, batch,
         PROMPT_TEMPLATE_CROP_START, extra_embeddings,
         cfg.output_embedding_base_id)
 
+    if cfg.te_dropout > 0 or cfg.te2_dropout > 0:
+        # per-TE conditioning dropout: TE1 = Llama sequence, TE2 = CLIP
+        # pooled; the attention mask is NOT zeroed (reference:
+        # HunyuanVideoModel.py:301-311)
+        from onetrainer_tpu.train.sd_train_step import (
+            conditioning_dropout_mask,
+        )
+        rng_drop = jax.random.fold_in(rng, 0xd0)
+        if cfg.te_dropout > 0:
+            m1 = conditioning_dropout_mask(
+                jax.random.fold_in(rng_drop, 1), b, cfg.te_dropout)
+            states = states * m1[:, None, None].astype(states.dtype)
+        if cfg.te2_dropout > 0:
+            m2 = conditioning_dropout_mask(
+                jax.random.fold_in(rng_drop, 2), b, cfg.te2_dropout)
+            pooled = pooled * m2[:, None].astype(pooled.dtype)
+
     guidance = jnp.full((b,), guidance_scale * 1000.0, jnp.float32)
     predicted = model.transformer.apply(
         as_variables(transformer_params), noisy, timestep, states, mask,
@@ -164,7 +184,8 @@ def make_hunyuan_train_step(model, cfg: SDStepConfig, tx,
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
-        if "output_embeddings" in params and cfg.output_embedding_spans:
+        if "output_embeddings" in params and cfg.output_embedding_spans \
+                and cfg.preserve_embedding_norm:
             from onetrainer_tpu.train.sd_train_step import (
                 normalize_output_embeddings,
             )
@@ -173,6 +194,7 @@ def make_hunyuan_train_step(model, cfg: SDStepConfig, tx,
                           params["output_embeddings"],
                           cfg.output_embedding_spans,
                           cfg.output_embedding_stds)}
+        params = preserve_input_embedding_norms(params, frozen, cfg)
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema_to_compute(ema), params, cfg.ema_decay, state.step,

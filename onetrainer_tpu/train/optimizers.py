@@ -202,15 +202,31 @@ def _create_base_optimizer(
 
     match optimizer:
         case Optimizer.ADAMW | Optimizer.ADAMW_8BIT:
+            if cfg.amsgrad:
+                # torch AdamW(amsgrad=True) = amsgrad + decoupled decay
+                # (reference: create.py:497,525 passes config.amsgrad)
+                return optax.chain(
+                    optax.scale_by_amsgrad(
+                        b1=_d(cfg.beta1, 0.9), b2=_d(cfg.beta2, 0.999),
+                        eps=_d(cfg.eps, 1e-8)),
+                    optax.add_decayed_weights(_d(cfg.weight_decay, 1e-2)),
+                    optax.scale_by_learning_rate(lr))
             return optax.adamw(
                 lr, b1=_d(cfg.beta1, 0.9), b2=_d(cfg.beta2, 0.999),
                 eps=_d(cfg.eps, 1e-8),
                 weight_decay=_d(cfg.weight_decay, 1e-2),
                 nesterov=False)
         case Optimizer.ADAM | Optimizer.ADAM_8BIT:
-            base = optax.adam(
-                lr, b1=_d(cfg.beta1, 0.9), b2=_d(cfg.beta2, 0.999),
-                eps=_d(cfg.eps, 1e-8))
+            if cfg.amsgrad:
+                base = optax.chain(
+                    optax.scale_by_amsgrad(
+                        b1=_d(cfg.beta1, 0.9), b2=_d(cfg.beta2, 0.999),
+                        eps=_d(cfg.eps, 1e-8)),
+                    optax.scale_by_learning_rate(lr))
+            else:
+                base = optax.adam(
+                    lr, b1=_d(cfg.beta1, 0.9), b2=_d(cfg.beta2, 0.999),
+                    eps=_d(cfg.eps, 1e-8))
             if wd:
                 # torch Adam couples L2 into the gradient
                 return optax.chain(optax.add_decayed_weights(wd), base)

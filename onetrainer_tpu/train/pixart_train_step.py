@@ -14,7 +14,10 @@ from onetrainer_tpu.math.timesteps import sample_timesteps_discrete
 from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
 from onetrainer_tpu.peft.lora import PeftConfig, as_variables, lora_variables
 from onetrainer_tpu.train.ema import maybe_update_ema
-from onetrainer_tpu.train.sd_train_step import SDStepConfig
+from onetrainer_tpu.train.sd_train_step import (
+    SDStepConfig,
+    preserve_input_embedding_norms,
+)
 from onetrainer_tpu.train.train_state import (
     TrainState, ema_to_compute, ema_to_storage, opt_to_compute, opt_to_storage,
 )
@@ -45,8 +48,10 @@ def pixart_predict(model, transformer_params, te_params, batch, rng,
     if "t5_hidden_state" in batch and not cfg.train_text_encoder:
         context = batch["t5_hidden_state"]
     else:
-        context = model.text_encoder.apply(as_variables(te_params),
-                                           batch["tokens_2"], extra_embeddings)
+        # T5 layer skip (reference: PixArtAlphaModel.py:173,201)
+        context = model.text_encoder.apply(
+            as_variables(te_params), batch["tokens_2"], extra_embeddings,
+            layer_skip=cfg.text_encoder_layer_skip)
         if batch.get("output_embeddings") is not None:
             # output embeddings scatter into the T5 output
             # (reference: PixArtAlphaModel.encode_text:206)
@@ -56,6 +61,18 @@ def pixart_predict(model, transformer_params, te_params, batch, rng,
             context = scatter_output_embeddings(
                 context, batch["tokens_2"], batch["output_embeddings"],
                 cfg.output_embedding_base_id)
+
+    if cfg.te_dropout > 0:
+        # conditioning dropout on the T5 sequence (reference:
+        # PixArtAlphaModel.py:214-219; the reference also zeroes the
+        # attention mask — our transformer takes no text mask, so zeroed
+        # states are the whole effect)
+        from onetrainer_tpu.train.sd_train_step import (
+            conditioning_dropout_mask,
+        )
+        keep = conditioning_dropout_mask(
+            jax.random.fold_in(rng, 0xd0), context.shape[0], cfg.te_dropout)
+        context = context * keep[:, None, None].astype(context.dtype)
 
     out = model.transformer.apply(
         as_variables(transformer_params), noisy, timestep, context)
@@ -116,7 +133,8 @@ def make_pixart_train_step(model, cfg: SDStepConfig, tx,
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
-        if "output_embeddings" in params and cfg.output_embedding_spans:
+        if "output_embeddings" in params and cfg.output_embedding_spans \
+                and cfg.preserve_embedding_norm:
             from onetrainer_tpu.train.sd_train_step import (
                 normalize_output_embeddings,
             )
@@ -125,6 +143,7 @@ def make_pixart_train_step(model, cfg: SDStepConfig, tx,
                           params["output_embeddings"],
                           cfg.output_embedding_spans,
                           cfg.output_embedding_stds)}
+        params = preserve_input_embedding_norms(params, frozen, cfg)
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema_to_compute(ema), params, cfg.ema_decay, state.step,

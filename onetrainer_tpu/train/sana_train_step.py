@@ -16,7 +16,10 @@ from onetrainer_tpu.models.gemma import apply_gemma_final_norm, encode_gemma_tex
 from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
 from onetrainer_tpu.peft.lora import PeftConfig, as_variables, lora_variables
 from onetrainer_tpu.train.ema import maybe_update_ema
-from onetrainer_tpu.train.sd_train_step import SDStepConfig
+from onetrainer_tpu.train.sd_train_step import (
+    SDStepConfig,
+    preserve_input_embedding_norms,
+)
 from onetrainer_tpu.train.train_state import (
     TrainState, ema_to_compute, ema_to_storage, opt_to_compute, opt_to_storage,
 )
@@ -69,6 +72,18 @@ def sana_predict(model, transformer_params, te_params, batch, rng,
     context, mask = sana_text_conditioning(
         model, te_params, batch, cfg.text_encoder_layer_skip, extra_embeddings,
         cfg.output_embedding_base_id)
+
+    if cfg.te_dropout > 0:
+        # conditioning dropout on the Gemma2 sequence AND its attention
+        # mask (reference: SanaModel.py:203-208)
+        from onetrainer_tpu.train.sd_train_step import (
+            conditioning_dropout_mask,
+        )
+        keep = conditioning_dropout_mask(
+            jax.random.fold_in(rng, 0xd0), context.shape[0], cfg.te_dropout)
+        context = context * keep[:, None, None].astype(context.dtype)
+        if mask is not None:
+            mask = mask * keep[:, None].astype(mask.dtype)
 
     dit_in = noisy
     if "latent_conditioning_image" in batch:
@@ -135,7 +150,8 @@ def make_sana_train_step(model, cfg: SDStepConfig, tx,
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
-        if "output_embeddings" in params and cfg.output_embedding_spans:
+        if "output_embeddings" in params and cfg.output_embedding_spans \
+                and cfg.preserve_embedding_norm:
             from onetrainer_tpu.train.sd_train_step import (
                 normalize_output_embeddings,
             )
@@ -144,6 +160,7 @@ def make_sana_train_step(model, cfg: SDStepConfig, tx,
                           params["output_embeddings"],
                           cfg.output_embedding_spans,
                           cfg.output_embedding_stds)}
+        params = preserve_input_embedding_norms(params, frozen, cfg)
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema_to_compute(ema), params, cfg.ema_decay, state.step,

@@ -15,7 +15,10 @@ from onetrainer_tpu.models.sd3 import sd3_text_context
 from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
 from onetrainer_tpu.peft.lora import PeftConfig, as_variables, lora_variables
 from onetrainer_tpu.train.ema import maybe_update_ema
-from onetrainer_tpu.train.sd_train_step import SDStepConfig
+from onetrainer_tpu.train.sd_train_step import (
+    SDStepConfig,
+    preserve_input_embedding_norms,
+)
 from onetrainer_tpu.train.train_state import (
     TrainState, ema_to_compute, ema_to_storage, opt_to_compute, opt_to_storage,
 )
@@ -23,12 +26,50 @@ from onetrainer_tpu.util.enums import TrainingMethod
 
 
 def sd3_conditioning(model, te, te2, te3, batch, layer_skip: int,
-                     extra_embeddings=None, cfg=None):
+                     extra_embeddings=None, cfg=None, dropout_rng=None):
     """extra_embeddings: per-TE (clip_l, clip_g, t5) tuple — each TE keeps
     its own trained vector table (reference:
     StableDiffusion3ModelEmbedding holds three vectors)."""
+    def _masks(b):
+        # per-TE conditioning dropout masks: TE1/TE2 sequence+pooled,
+        # TE3 sequence (reference: StableDiffusion3Model.py:397-415)
+        if cfg is None or dropout_rng is None:
+            return None, None, None
+        from onetrainer_tpu.train.sd_train_step import (
+            conditioning_dropout_mask,
+        )
+        return tuple(
+            conditioning_dropout_mask(
+                jax.random.fold_in(dropout_rng, i), b, p) if p > 0 else None
+            for i, p in enumerate(
+                (cfg.te_dropout, cfg.te2_dropout, cfg.te3_dropout)))
+
     if "sd3_context" in batch and "sd3_pooled" in batch:
-        return batch["sd3_context"], batch["sd3_pooled"]
+        context, pooled = batch["sd3_context"], batch["sd3_pooled"]
+        m1, m2, m3 = _masks(context.shape[0])
+        if m1 is not None or m2 is not None or m3 is not None:
+            # cached layout (models/sd3.py sd3_text_context): rows
+            # [:clip_len] = channel-concat [clip_l | clip_g | 0-pad],
+            # rows [clip_len:] = T5; pooled = [clip_l | clip_g]
+            clip_len = batch["tokens"].shape[1]
+            l_dim = model.te_config.hidden_size
+            g_dim = model.te2_config.hidden_size
+            clip, t5 = context[:, :clip_len], context[:, clip_len:]
+            h_l, h_g = clip[..., :l_dim], clip[..., l_dim:l_dim + g_dim]
+            pad = clip[..., l_dim + g_dim:]
+            p_l, p_g = pooled[:, :l_dim], pooled[:, l_dim:]
+            if m1 is not None:
+                h_l = h_l * m1[:, None, None].astype(h_l.dtype)
+                p_l = p_l * m1[:, None].astype(p_l.dtype)
+            if m2 is not None:
+                h_g = h_g * m2[:, None, None].astype(h_g.dtype)
+                p_g = p_g * m2[:, None].astype(p_g.dtype)
+            if m3 is not None:
+                t5 = t5 * m3[:, None, None].astype(t5.dtype)
+            context = jnp.concatenate(
+                [jnp.concatenate([h_l, h_g, pad], axis=-1), t5], axis=1)
+            pooled = jnp.concatenate([p_l, p_g], axis=-1)
+        return context, pooled
     extra_1, extra_2, extra_3 = extra_embeddings \
         if isinstance(extra_embeddings, tuple) \
         else (extra_embeddings, extra_embeddings, None)
@@ -36,10 +77,13 @@ def sd3_conditioning(model, te, te2, te3, batch, layer_skip: int,
                                      None, extra_1)
     out_g = model.text_encoder_2.apply(as_variables(te2), batch["tokens_2"],
                                        None, extra_2)
-    t5 = model.text_encoder_3.apply(as_variables(te3), batch["tokens_3"],
-                                    extra_3)
+    # per-TE layer skips (reference: StableDiffusion3Model.py:245-247)
+    t5 = model.text_encoder_3.apply(
+        as_variables(te3), batch["tokens_3"], extra_3,
+        layer_skip=cfg.te3_layer_skip if cfg is not None else 0)
     h_l = encode_clip_text(out_l, layer_skip)
-    h_g = encode_clip_text(out_g, layer_skip)
+    h_g = encode_clip_text(
+        out_g, cfg.te2_layer_skip if cfg is not None else layer_skip)
     if cfg is not None and batch.get("output_embeddings") is not None:
         # per-TE output-embedding scatter
         # (reference: StableDiffusion3Model.encode_text:375-395)
@@ -53,12 +97,22 @@ def sd3_conditioning(model, te, te2, te3, batch, layer_skip: int,
         t5 = scatter_output_embeddings(
             t5, batch["tokens_3"], batch["output_embeddings_3"],
             cfg.output_embedding_base_id_3)
+    p_l, p_g = out_l["pooled_output"], out_g["pooled_output"]
+    m1, m2, m3 = _masks(h_l.shape[0])
+    if m1 is not None:
+        h_l = h_l * m1[:, None, None].astype(h_l.dtype)
+        p_l = p_l * m1[:, None].astype(p_l.dtype)
+    if m2 is not None:
+        h_g = h_g * m2[:, None, None].astype(h_g.dtype)
+        p_g = p_g * m2[:, None].astype(p_g.dtype)
+    if m3 is not None:
+        t5 = t5 * m3[:, None, None].astype(t5.dtype)
     return sd3_text_context(
         h_l,
         h_g,
         t5,
-        out_l["pooled_output"],
-        out_g["pooled_output"],
+        p_l,
+        p_g,
     )
 
 
@@ -86,7 +140,7 @@ def sd3_predict(model, transformer_params, te, te2, te3, batch, rng,
 
     context, pooled = sd3_conditioning(
         model, te, te2, te3, batch, cfg.text_encoder_layer_skip,
-        extra_embeddings, cfg)
+        extra_embeddings, cfg, dropout_rng=jax.random.fold_in(rng, 0xd0))
 
     predicted = model.transformer.apply(
         as_variables(transformer_params), noisy,
@@ -162,7 +216,8 @@ def make_sd3_train_step(model, cfg: SDStepConfig, tx,
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
-        if "output_embeddings" in params and cfg.output_embedding_spans:
+        if "output_embeddings" in params and cfg.output_embedding_spans \
+                and cfg.preserve_embedding_norm:
             from onetrainer_tpu.train.sd_train_step import (
                 normalize_output_embeddings,
             )
@@ -173,6 +228,7 @@ def make_sd3_train_step(model, cfg: SDStepConfig, tx,
                 key = f"output_embeddings{suffix}"
                 params[key] = normalize_output_embeddings(
                     params[key], cfg.output_embedding_spans, stds)
+        params = preserve_input_embedding_norms(params, frozen, cfg)
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema_to_compute(ema), params, cfg.ema_decay, state.step,

@@ -67,10 +67,39 @@ class SDStepConfig:
     output_embedding_stds_2: tuple = ()
     output_embedding_base_id_3: int = 0
     output_embedding_stds_3: tuple = ()
+    # per-TE conditioning dropout: each sample's text-encoder output is
+    # zeroed with probability p during the step, cached or live
+    # (reference: the "apply dropout" blocks in every family's
+    # encode_text, e.g. StableDiffusionModel.py:226-231,
+    # StableDiffusionXLModel.py:273-284; fed from
+    # config.text_encoder*.dropout_probability in each Base setup's
+    # predict, e.g. BaseStableDiffusionSetup.py:160)
+    te_dropout: float = 0.0
+    te2_dropout: float = 0.0
+    te3_dropout: float = 0.0
+    te4_dropout: float = 0.0
+    # preserve_embedding_norm: after each optimizer step, renormalize
+    # trained embedding rows — input embeddings to the base table's median
+    # row norm, output embeddings to their original std (reference:
+    # after_optimizer_step gated on config.preserve_embedding_norm, e.g.
+    # StableDiffusionEmbeddingSetup.py:90-92,
+    # StableDiffusion3EmbeddingSetup.py:117-120)
+    preserve_embedding_norm: bool = False
+    # per-TE hidden-state layer skips (reference: per-TE
+    # text_encoder_*_layer_skip threaded into encode_text, e.g.
+    # StableDiffusion3Model.py:245-247, FluxModel.py:206,
+    # t5_util.encode_t5:6-29); text_encoder_layer_skip covers TE1
+    te2_layer_skip: int = 0
+    te3_layer_skip: int = 0
+    te4_layer_skip: int = 0
 
     @staticmethod
     def from_train_config(config, prediction_type: str = "epsilon",
                           layer_skip: int = 0) -> "SDStepConfig":
+        def _part_dropout(name: str) -> float:
+            part = getattr(config, name, None)
+            return float(getattr(part, "dropout_probability", 0.0) or 0.0)
+
         return SDStepConfig(
             training_method=config.training_method,
             timestep=TimestepConfig.from_train_config(config),
@@ -85,7 +114,26 @@ class SDStepConfig:
             ema_decay=config.ema_decay if config.ema.value != "OFF" else 0.0,
             ema_update_interval=config.ema_update_step_interval,
             accum=max(config.gradient_accumulation_steps, 1),
+            te_dropout=_part_dropout("text_encoder"),
+            te2_dropout=_part_dropout("text_encoder_2"),
+            te3_dropout=_part_dropout("text_encoder_3"),
+            te4_dropout=_part_dropout("text_encoder_4"),
+            preserve_embedding_norm=bool(
+                getattr(config, "preserve_embedding_norm", False)),
+            te2_layer_skip=int(getattr(config, "text_encoder_2_layer_skip", 0) or 0),
+            te3_layer_skip=int(getattr(config, "text_encoder_3_layer_skip", 0) or 0),
+            te4_layer_skip=int(getattr(config, "text_encoder_4_layer_skip", 0) or 0),
         )
+
+
+def conditioning_dropout_mask(rng, batch_size: int, p: float):
+    """Per-sample keep mask for text-conditioning dropout: 0 with
+    probability p, else 1 (reference: the "apply dropout" blocks in every
+    family's encode_text, e.g. StableDiffusionModel.py:226-231 — a
+    host-RNG Bernoulli per batch element, applied to cached and live
+    states alike; validation draws from a fixed seed, matching our fixed
+    validation rng)."""
+    return (jax.random.uniform(rng, (batch_size,)) >= p).astype(jnp.float32)
 
 
 def scatter_output_embeddings(hidden, tokens, vectors, base_id: int):
@@ -97,6 +145,47 @@ def scatter_output_embeddings(hidden, tokens, vectors, base_id: int):
     gathered = vectors[jnp.clip(ids, 0, vectors.shape[0] - 1)]
     return jnp.where(is_placeholder[..., None],
                      gathered.astype(hidden.dtype), hidden)
+
+
+def _base_embedding_table(te_params):
+    """Locate the frozen input-embedding table in a TE param tree (CLIP
+    'token_embedding', T5 'shared', Gemma2/Llama 'embed_tokens' — the same
+    keys as setup/sd_setup._embedding_table)."""
+    if te_params is None:
+        return None
+    for key in ("token_embedding", "shared", "embed_tokens"):
+        if key in te_params:
+            t = te_params[key]
+            if isinstance(t, dict) and "embedding" in t:
+                return t["embedding"]
+            return t
+    return None
+
+
+def preserve_input_embedding_norms(params, frozen, cfg):
+    """preserve_embedding_norm for input embeddings: after the optimizer
+    step, L2-renormalize each trained embedding row to the base table's
+    median row norm (reference:
+    AdditionalEmbeddingWrapper.normalize_embeddings:69-75, called from
+    after_optimizer_step when config.preserve_embedding_norm). The median
+    is recomputed from the frozen table inside the jitted step — a
+    vocab-sized norm reduction, negligible next to the model forward."""
+    if not cfg.preserve_embedding_norm:
+        return params
+    out = dict(params)
+    for key, vec in params.items():
+        if not key.startswith("embeddings"):
+            continue
+        table = _base_embedding_table(
+            frozen.get("text_encoder" + key[len("embeddings"):]))
+        if table is None:
+            continue
+        median = jnp.median(
+            jnp.linalg.norm(table.astype(jnp.float32), axis=-1))
+        v = vec.astype(jnp.float32)
+        norms = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        out[key] = (v / jnp.maximum(norms, 1e-12) * median).astype(vec.dtype)
+    return out
 
 
 def normalize_output_embeddings(vectors, spans, stds):
@@ -164,6 +253,11 @@ def sd_predict(
         context = scatter_output_embeddings(
             context, batch["tokens"], output_embeddings,
             cfg.output_embedding_base_id)
+
+    if cfg.te_dropout > 0:
+        keep = conditioning_dropout_mask(
+            jax.random.fold_in(rng, 0xd0), batch_size, cfg.te_dropout)
+        context = context * keep[:, None, None].astype(context.dtype)
 
     unet_in = noisy
     if "latent_conditioning_image" in batch:
@@ -285,10 +379,12 @@ def make_sd_train_step(
         else:
             params = optax.apply_updates(state.params, updates)
 
-        if cfg.output_embedding_stds and "output_embeddings" in params:
+        if cfg.preserve_embedding_norm and cfg.output_embedding_stds \
+                and "output_embeddings" in params:
             params = {**params, "output_embeddings": normalize_output_embeddings(
                 params["output_embeddings"], cfg.output_embedding_spans,
                 cfg.output_embedding_stds)}
+        params = preserve_input_embedding_norms(params, frozen, cfg)
 
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:

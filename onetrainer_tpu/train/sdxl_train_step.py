@@ -19,7 +19,11 @@ from onetrainer_tpu.models.clip import encode_clip_text
 from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
 from onetrainer_tpu.peft.lora import PeftConfig, as_variables, lora_variables
 from onetrainer_tpu.train.ema import maybe_update_ema
-from onetrainer_tpu.train.sd_train_step import SDStepConfig
+from onetrainer_tpu.train.sd_train_step import (
+    preserve_input_embedding_norms,
+    SDStepConfig,
+    conditioning_dropout_mask,
+)
 from onetrainer_tpu.train.train_state import (
     TrainState, ema_to_compute, ema_to_storage, opt_to_compute, opt_to_storage,
 )
@@ -27,17 +31,33 @@ from onetrainer_tpu.util.enums import TrainingMethod
 
 
 def sdxl_text_conditioning(model, te_params, te2_params, batch, layer_skip: int,
-                           extra_embeddings=None, cfg=None):
+                           extra_embeddings=None, cfg=None, dropout_rng=None):
     """-> (context [B,S,2048], pooled [B,1280]). extra_embeddings is a
     per-TE tuple (hidden sizes differ: 768 vs 1280 — reference:
     StableDiffusionXLModelEmbedding keeps a vector per text encoder)."""
+    def _te_dropout(h1, h2, pooled):
+        # per-TE conditioning dropout: TE1 sequence, TE2 sequence+pooled
+        # share one mask (reference: StableDiffusionXLModel.py:273-284)
+        if cfg is None or dropout_rng is None:
+            return h1, h2, pooled
+        b = h1.shape[0]
+        if cfg.te_dropout > 0:
+            m1 = conditioning_dropout_mask(
+                jax.random.fold_in(dropout_rng, 1), b, cfg.te_dropout)
+            h1 = h1 * m1[:, None, None].astype(h1.dtype)
+        if cfg.te2_dropout > 0:
+            m2 = conditioning_dropout_mask(
+                jax.random.fold_in(dropout_rng, 2), b, cfg.te2_dropout)
+            h2 = h2 * m2[:, None, None].astype(h2.dtype)
+            pooled = pooled * m2[:, None].astype(pooled.dtype)
+        return h1, h2, pooled
+
     if "text_encoder_hidden_state" in batch and "text_encoder_2_hidden_state" in batch:
-        context = jnp.concatenate([
+        h1, h2, pooled = _te_dropout(
             batch["text_encoder_hidden_state"],
             batch["text_encoder_2_hidden_state"],
-        ], axis=-1)
-        pooled = batch["text_encoder_2_pooled_state"]
-        return context, pooled
+            batch["text_encoder_2_pooled_state"])
+        return jnp.concatenate([h1, h2], axis=-1), pooled
     extra_1, extra_2 = extra_embeddings if isinstance(extra_embeddings, tuple) \
         else (extra_embeddings, extra_embeddings)
     out1 = model.text_encoder.apply(
@@ -45,7 +65,10 @@ def sdxl_text_conditioning(model, te_params, te2_params, batch, layer_skip: int,
     out2 = model.text_encoder_2.apply(
         as_variables(te2_params), batch["tokens_2"], None, extra_2)
     h1 = encode_clip_text(out1, layer_skip)
-    h2 = encode_clip_text(out2, layer_skip)
+    # TE2 has its own layer skip (reference: text_encoder_2_layer_skip,
+    # BaseStableDiffusionXLSetup predict kwargs)
+    h2 = encode_clip_text(
+        out2, cfg.te2_layer_skip if cfg is not None else layer_skip)
     if cfg is not None and batch.get("output_embeddings") is not None:
         # per-TE output-embedding scatter
         # (reference: StableDiffusionXLModel.encode_text:258-270)
@@ -56,8 +79,9 @@ def sdxl_text_conditioning(model, te_params, te2_params, batch, layer_skip: int,
         h2 = scatter_output_embeddings(
             h2, batch["tokens_2"], batch["output_embeddings_2"],
             cfg.output_embedding_base_id_2)
+    h1, h2, pooled = _te_dropout(h1, h2, out2["pooled_output"])
     context = jnp.concatenate([h1, h2], axis=-1)
-    return context, out2["pooled_output"]
+    return context, pooled
 
 
 def sdxl_predict(model, unet_params, te_params, te2_params, batch, rng,
@@ -83,7 +107,7 @@ def sdxl_predict(model, unet_params, te_params, te2_params, batch, rng,
 
     context, pooled = sdxl_text_conditioning(
         model, te_params, te2_params, batch, cfg.text_encoder_layer_skip,
-        extra_embeddings, cfg)
+        extra_embeddings, cfg, dropout_rng=jax.random.fold_in(rng, 0xd0))
 
     # add_time_ids: original size + crop offset + target size
     add_time_ids = jnp.concatenate([
@@ -176,7 +200,8 @@ def make_sdxl_train_step(model, cfg: SDStepConfig, tx, peft_cfg: PeftConfig | No
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
-        if "output_embeddings" in params and cfg.output_embedding_spans:
+        if "output_embeddings" in params and cfg.output_embedding_spans \
+                and cfg.preserve_embedding_norm:
             from onetrainer_tpu.train.sd_train_step import (
                 normalize_output_embeddings,
             )
@@ -189,6 +214,7 @@ def make_sdxl_train_step(model, cfg: SDStepConfig, tx, peft_cfg: PeftConfig | No
                     params["output_embeddings_2"],
                     cfg.output_embedding_spans, cfg.output_embedding_stds_2),
             }
+        params = preserve_input_embedding_norms(params, frozen, cfg)
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema_to_compute(ema), params, cfg.ema_decay, state.step,

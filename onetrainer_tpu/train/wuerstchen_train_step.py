@@ -22,7 +22,10 @@ from onetrainer_tpu.models.clip import encode_clip_text
 from onetrainer_tpu.ops.stochastic import apply_updates_stochastic
 from onetrainer_tpu.peft.lora import PeftConfig, as_variables, lora_variables
 from onetrainer_tpu.train.ema import maybe_update_ema
-from onetrainer_tpu.train.sd_train_step import SDStepConfig
+from onetrainer_tpu.train.sd_train_step import (
+    SDStepConfig,
+    preserve_input_embedding_norms,
+)
 from onetrainer_tpu.train.train_state import (
     TrainState, ema_to_compute, ema_to_storage, opt_to_compute, opt_to_storage,
 )
@@ -96,6 +99,21 @@ def wuerstchen_predict(model, prior_params, te_params, batch, rng,
             context = apply_final_layer_norm(
                 te_params, encode_clip_text(out, cfg.text_encoder_layer_skip))
 
+    if cfg.te_dropout > 0:
+        # conditioning dropout (reference: WuerstchenModel.py:264-272 —
+        # v2 zeroes the hidden-state sequence, Cascade zeroes the pooled
+        # projection)
+        from onetrainer_tpu.train.sd_train_step import (
+            conditioning_dropout_mask,
+        )
+        keep = conditioning_dropout_mask(
+            jax.random.fold_in(rng, 0xd0), context.shape[0], cfg.te_dropout)
+        if model.model_type.is_stable_cascade():
+            pooled = pooled * keep.reshape(
+                (-1,) + (1,) * (pooled.ndim - 1)).astype(pooled.dtype)
+        else:
+            context = context * keep[:, None, None].astype(context.dtype)
+
     if model.model_type.is_stable_cascade():
         # clip_text_pooled + zero clip_img kwargs
         # (reference: BaseWuerstchenSetup.py:246-258)
@@ -154,6 +172,7 @@ def make_wuerstchen_train_step(model, cfg: SDStepConfig, tx,
             params = apply_updates_stochastic(state.params, updates, rng_round)
         else:
             params = optax.apply_updates(state.params, updates)
+        params = preserve_input_embedding_norms(params, frozen, cfg)
         ema = state.ema
         if ema is not None and cfg.ema_decay > 0:
             ema = maybe_update_ema(ema_to_compute(ema), params, cfg.ema_decay, state.step,

@@ -488,8 +488,25 @@ class GenericTrainer(BaseTrainer):
                 path = os.path.join(sample_dir, name)
                 Image.fromarray(out.image).save(path)
                 if getattr(out, "video", None) is not None:
-                    from onetrainer_tpu.sampling.hunyuan_sampler import write_video
-                    write_video(os.path.splitext(path)[0] + ".mp4", out.video)
+                    # honor sample_video_format (reference: VideoFormat —
+                    # MP4 or a numbered PNG/JPG image sequence,
+                    # BaseModelSampler.save_video)
+                    from onetrainer_tpu.util.enums import VideoFormat
+                    vfmt = config.sample_video_format
+                    stem = os.path.splitext(path)[0]
+                    if vfmt in (VideoFormat.PNG_IMAGE_SEQUENCE,
+                                VideoFormat.JPG_IMAGE_SEQUENCE):
+                        ext = ".png" if vfmt == VideoFormat.PNG_IMAGE_SEQUENCE \
+                            else ".jpg"
+                        os.makedirs(stem, exist_ok=True)
+                        for fi, frame in enumerate(out.video):
+                            Image.fromarray(frame).save(
+                                os.path.join(stem, f"{fi:05d}{ext}"))
+                    else:
+                        from onetrainer_tpu.sampling.hunyuan_sampler import (
+                            write_video,
+                        )
+                        write_video(stem + ".mp4", out.video)
                 if self.tensorboard and config.samples_to_tensorboard \
                         and not custom:
                     self.tensorboard.add_image(
@@ -557,6 +574,9 @@ class GenericTrainer(BaseTrainer):
 
                 if config.save_every_unit != TimeUnit.NEVER and \
                         self._needs("save", config.save_every, config.save_every_unit) \
+                        and self.single_action_elapsed(
+                            "save_skip_first", config.save_skip_first,
+                            config.save_every_unit, progress) \
                         or self.commands.get_and_reset_save_command():
                     prefix = config.save_filename_prefix
                     dest = os.path.join(

@@ -23,16 +23,19 @@ class TimedActionMixin:
     ) -> bool:
         match unit:
             case TimeUnit.EPOCH:
+                # fire once at the start of a matching epoch (reference:
+                # TimedActionMixin.py:25-31 requires epoch_step == 0)
                 if start_at_zero:
-                    return train_progress.epoch % int(interval) == 0
-                return train_progress.epoch % int(interval) == 0 and train_progress.epoch != 0
+                    return train_progress.epoch % int(interval) == 0 \
+                        and train_progress.epoch_step == 0
+                return train_progress.epoch % int(interval) == 0 \
+                    and train_progress.epoch_step == 0 \
+                    and train_progress.epoch > 0
             case TimeUnit.STEP:
                 if start_at_zero:
                     return train_progress.global_step % int(interval) == 0
-                return (
-                    train_progress.global_step % int(interval) == 0
-                    and train_progress.global_step != 0
-                )
+                # end of each interval (reference: TimedActionMixin.py:35-36)
+                return (train_progress.global_step + 1) % int(interval) == 0
             case TimeUnit.SECOND | TimeUnit.MINUTE | TimeUnit.HOUR:
                 seconds = interval * {
                     TimeUnit.SECOND: 1.0,

@@ -248,3 +248,29 @@ def test_8bit_enum_wraps_quantized_state():
     leaves = jax.tree.leaves(state, is_leaf=lambda l: isinstance(l, Q8State))
     assert any(isinstance(l, Q8State) and l.values.dtype == jnp.int8
                for l in leaves)
+
+
+def test_amsgrad_matches_torch():
+    # reference create.py:497,525 passes config.amsgrad into torch
+    # Adam/AdamW; parity of one update step against CPU torch
+    import torch
+
+    from onetrainer_tpu.config.train_config import TrainOptimizerConfig
+    from onetrainer_tpu.train.optimizers import create_optimizer
+    from onetrainer_tpu.util.enums import Optimizer
+
+    for opt, torch_cls in ((Optimizer.ADAMW, torch.optim.AdamW),
+                           (Optimizer.ADAM, torch.optim.Adam)):
+        cfg = TrainOptimizerConfig.default_values()
+        cfg.amsgrad = True
+        tx = create_optimizer(opt, cfg, 1e-3)
+        p = {"w": jnp.ones((4,))}
+        s = tx.init(p)
+        u, s = tx.update({"w": jnp.full((4,), 0.1)}, s, p)
+        ours = np.asarray(p["w"] + u["w"])
+
+        tp = torch.ones(4, requires_grad=True)
+        topt = torch_cls([tp], lr=1e-3, amsgrad=True)
+        tp.grad = torch.full((4,), 0.1)
+        topt.step()
+        np.testing.assert_allclose(ours, tp.detach().numpy(), rtol=1e-6)

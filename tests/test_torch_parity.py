@@ -87,6 +87,18 @@ def test_t5_parity():
         np.asarray(got_states), want.last_hidden_state.numpy(),
         rtol=3e-4, atol=3e-4)
 
+    # layer_skip parity (reference encode_t5, t5_util.py:6-29):
+    # hidden_states[-1-skip] with the final layer norm re-applied
+    with torch.no_grad():
+        want_h = torch_model(torch.tensor(ids.astype(np.int64)),
+                             output_hidden_states=True)
+        want_skip = torch_model.encoder.final_layer_norm(
+            want_h.hidden_states[-2])
+    got_skip = flax_model.apply({"params": params}, jnp.asarray(ids),
+                                layer_skip=1)
+    np.testing.assert_allclose(
+        np.asarray(got_skip), want_skip.numpy(), rtol=3e-4, atol=3e-4)
+
 
 def test_gemma2_parity():
     from transformers import Gemma2Config as HFGemmaConfig, Gemma2Model
