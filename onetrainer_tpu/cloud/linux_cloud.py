@@ -60,17 +60,51 @@ class LinuxCloud:
             parts.append(f"cd {shlex.quote(self.cloud.onetrainer_dir)} && git pull")
         return " && ".join(parts) if parts else "true"
 
+    def _get_action_cmd(self, action) -> str:
+        """Shell command for a detached-lifecycle CloudAction. A generic
+        SSH host cannot stop/delete itself (reference:
+        LinuxCloud._get_action_cmd:131-134 raises for non-NONE too);
+        RunpodCloud overrides with runpodctl."""
+        from onetrainer_tpu.util.enums import CloudAction
+        if action not in (None, CloudAction.NONE, "NONE"):
+            raise NotImplementedError(
+                "Action on detached not supported for this cloud type")
+        return ":"
+
     def train_command(self) -> str:
         log = f"{self.cloud.remote_dir}/{self.cloud.run_id}.log"
         events = f"{self.cloud.remote_dir}/{self.cloud.run_id}-events.jsonl"
         cmds = f"{self.cloud.remote_dir}/{self.cloud.run_id}-commands.json"
+        exports = []
+        # HF credentials/cache ride the remote env (reference:
+        # LinuxCloud.py:146-149)
+        token = getattr(self.config.secrets, "huggingface_token", "") or ""
+        if token:
+            exports.append(f"export HF_TOKEN={shlex.quote(token)}")
+        hf_cache = getattr(self.cloud, "huggingface_cache_dir", "") or ""
+        if hf_cache:
+            exports.append(f"export HF_HOME={shlex.quote(hf_cache)}")
         inner = (f"cd {shlex.quote(self.cloud.onetrainer_dir)} && "
                  f"python scripts/train_remote.py --config-path "
                  f"{shlex.quote(self.remote_config_path())} "
                  f"--callback-path {shlex.quote(events)} "
                  f"--command-path {shlex.quote(cmds)}")
+        if exports:
+            inner = " && ".join(exports + [inner])
         if self.cloud.detach_trainer:
-            return f"nohup bash -c {shlex.quote(inner)} > {shlex.quote(log)} 2>&1 &"
+            # detached lifecycle actions: if the events file still exists
+            # shortly after exit, no client is attached — run the
+            # configured action (reference: LinuxCloud.py:160-162)
+            finish = self._get_action_cmd(
+                getattr(self.cloud, "on_detached_finish", None))
+            error = self._get_action_cmd(
+                getattr(self.cloud, "on_detached_error", None))
+            guarded = (
+                f"({inner})"
+                f" && (sleep 10 && test -f {shlex.quote(events)} && {finish} || true)"
+                f" || (sleep 10 && test -f {shlex.quote(events)} && {error})")
+            return (f"nohup bash -c {shlex.quote(guarded)} "
+                    f"> {shlex.quote(log)} 2>&1 &")
         return f"{inner} 2>&1 | tee {shlex.quote(log)}"
 
     # -- network operations -----------------------------------------------------------
@@ -81,6 +115,28 @@ class LinuxCloud:
     def setup(self):
         self.callbacks.on_update_status("connecting to cloud")
         self._run(self.ssh_base() + [self.install_command()])
+        if getattr(self.cloud, "tensorboard_tunnel", False):
+            self._make_tensorboard_tunnel()
+
+    def tensorboard_tunnel_command(self) -> list[str]:
+        """ssh -N -L port forward for the remote TensorBoard (reference:
+        BaseCloud.py:25-26 + LinuxCloud._make_tensorboard_tunnel:101-111,
+        which uses a fabric TunnelManager; the system ssh client does the
+        same with -L)."""
+        port = int(getattr(self.config, "tensorboard_port", 6006) or 6006)
+        return self.ssh_base()[:-1] + [
+            "-N", "-L", f"{port}:localhost:{port}", self.ssh_base()[-1]]
+
+    def _make_tensorboard_tunnel(self):
+        self._tunnel = subprocess.Popen(
+            self.tensorboard_tunnel_command(),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    def close(self):
+        tunnel = getattr(self, "_tunnel", None)
+        if tunnel is not None:
+            tunnel.terminate()
+            self._tunnel = None
 
     def upload_config(self, local_tmp_dir: str = "/tmp"):
         self.callbacks.on_update_status("uploading config")
@@ -95,11 +151,82 @@ class LinuxCloud:
         self.callbacks.on_update_status("training on cloud")
         self._run(self.ssh_base() + [self.train_command()])
 
+    def remote_workspace(self) -> str:
+        return f"{self.cloud.remote_dir}/{self.cloud.run_id}-workspace"
+
+    def filter_download(self, path: str) -> bool:
+        """Per-category download filter (reference:
+        BaseCloud._filter_download:70-80 — keyed on path components)."""
+        parts = path.split("/")
+        if "samples" in parts:
+            return bool(getattr(self.cloud, "download_samples", True))
+        if "save" in parts:
+            return bool(getattr(self.cloud, "download_saves", True))
+        if "backup" in parts:
+            return bool(getattr(self.cloud, "download_backups", True))
+        if "tensorboard" in parts:
+            return bool(getattr(self.cloud, "download_tensorboard", True))
+        return True
+
     def sync_workspace(self, local_workspace: str):
-        remote = (f"{self.secrets.user}@{self.secrets.host}:"
-                  f"{self.cloud.remote_dir}/{self.cloud.run_id}-workspace")
+        from onetrainer_tpu.util.enums import CloudFileSync
+        remote_ws = self.remote_workspace()
         os.makedirs(local_workspace, exist_ok=True)
-        self._run(self.scp_base() + ["-r", remote, local_workspace])
+        method = getattr(self.cloud, "file_sync", CloudFileSync.NATIVE_SCP)
+        all_on = all(getattr(self.cloud, k, True) for k in (
+            "download_samples", "download_saves", "download_backups",
+            "download_tensorboard"))
+        if method == CloudFileSync.NATIVE_SCP and all_on:
+            # fast path: one recursive scp (NativeSCPFileSync semantics)
+            remote = f"{self.secrets.user}@{self.secrets.host}:{remote_ws}"
+            self._run(self.scp_base() + ["-r", remote, local_workspace])
+            return
+        # filtered / parallel per-file path (FabricFileSync semantics:
+        # walk the remote tree, apply the download filter, copy files)
+        out = self._run(self.ssh_base() + [
+            f"find {shlex.quote(remote_ws)} -type f 2>/dev/null || true"])
+        pairs = []
+        for remote_file in out.stdout.splitlines():
+            remote_file = remote_file.strip()
+            if not remote_file:
+                continue
+            rel = os.path.relpath(remote_file, remote_ws)
+            if not self.filter_download(rel):
+                continue
+            pairs.append((remote_file, os.path.join(local_workspace, rel)))
+        if pairs:
+            from onetrainer_tpu.cloud.file_sync import SCPFileSync
+            SCPFileSync(self.secrets.user, self.secrets.host,
+                        self.secrets.port).download_files(pairs)
+
+    def download_output_model(self):
+        """Fetch just the final output model (reference:
+        BaseCloud.download_output_model:28-35), honoring the
+        download_output_model switch."""
+        if not getattr(self.cloud, "download_output_model", True):
+            return
+        dest = self.config.output_model_destination
+        remote = (f"{self.secrets.user}@{self.secrets.host}:"
+                  f"{self.cloud.remote_dir}/{self.cloud.run_id}-out/"
+                  f"{os.path.basename(dest)}")
+        os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+        self._run(self.scp_base() + [remote, dest])
+
+    def delete_workspace(self):
+        """Remove the remote workspace after download (reference:
+        BaseCloud.delete_workspace, gated on config.delete_workspace)."""
+        remote_ws = self.remote_workspace()
+        if not self.cloud.run_id:
+            raise ValueError("refusing to delete a workspace without a run id")
+        self._run(self.ssh_base() + [f"rm -rf {shlex.quote(remote_ws)}"])
+
+    def stop(self):
+        raise NotImplementedError(
+            "stopping this cloud type not supported")  # reference: BaseCloud:113-114
+
+    def delete(self):
+        raise NotImplementedError(
+            "deleting this cloud type not supported")  # reference: BaseCloud:110-111
 
     def can_reattach(self) -> bool:
         return self.cloud.detach_trainer

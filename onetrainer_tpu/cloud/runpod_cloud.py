@@ -32,14 +32,34 @@ class RunpodCloud(LinuxCloud):
     def create_pod_query(self) -> str:
         gpu = getattr(self.cloud, "gpu_type", "") or "NVIDIA RTX A5000"
         volume = getattr(self.cloud, "volume_size", 100) or 100
+        # COMMUNITY vs SECURE cloud and the minimum download bandwidth are
+        # pod-creation parameters (reference: RunpodCloud.py:70-80 —
+        # cloud_type=config.sub_type, min_download=config.min_download)
+        sub_type = str(getattr(self.cloud, "sub_type", "") or "SECURE").upper()
+        if sub_type not in ("SECURE", "COMMUNITY"):
+            sub_type = "SECURE"
+        min_download = int(getattr(self.cloud, "min_download", 0) or 0)
+        min_dl = f'minDownload: {min_download}, ' if min_download else ''
         return (
             'mutation { podFindAndDeployOnDemand(input: {'
-            f'cloudType: SECURE, gpuCount: 1, volumeInGb: {volume}, '
-            f'containerDiskInGb: 50, gpuTypeId: "{gpu}", '
+            f'cloudType: {sub_type}, gpuCount: 1, volumeInGb: {volume}, '
+            f'containerDiskInGb: 50, gpuTypeId: "{gpu}", {min_dl}'
             f'name: "{self.cloud.run_id}", '
             'imageName: "runpod/pytorch:2.1.0-py3.10-cuda11.8.0-devel-ubuntu22.04", '
             'ports: "22/tcp", startSsh: true, supportPublicIp: true'
             '}) { id machineId }}')
+
+    def _get_action_cmd(self, action) -> str:
+        """RunPod pods can stop/delete themselves via runpodctl
+        (reference: RunpodCloud._get_action_cmd:93-99)."""
+        from onetrainer_tpu.util.enums import CloudAction
+        if action in (CloudAction.STOP, "STOP"):
+            return ("source /etc/rp_environment && "
+                    "runpodctl stop pod $RUNPOD_POD_ID")
+        if action in (CloudAction.DELETE, "DELETE"):
+            return ("source /etc/rp_environment && "
+                    "runpodctl remove pod $RUNPOD_POD_ID")
+        return ":"
 
     def resume_pod_query(self, pod_id: str) -> str:
         return ('mutation { podResume(input: {podId: "%s", gpuCount: 1}) '
@@ -93,12 +113,20 @@ class RunpodCloud(LinuxCloud):
 
     def setup(self):
         pod_id = self.create_or_resume()
+        self.secrets.id = pod_id
         self.wait_for_ssh(pod_id)
         super().setup()
 
-    def stop(self, pod_id: str):
-        action = getattr(self.cloud, "on_finish", "NONE")
-        if str(action).endswith("STOP"):
+    def stop(self):
+        """Stop the pod (reference: RunpodCloud.stop:87-88); invoked by
+        CloudTrainer.end for CloudAction.STOP."""
+        pod_id = getattr(self.secrets, "id", "") or ""
+        if pod_id:
             self._post(self._graphql(self.stop_pod_query(pod_id)))
-        elif str(action).endswith("DELETE"):
+
+    def delete(self):
+        """Terminate the pod (reference: RunpodCloud.delete:84-85);
+        invoked for CloudAction.DELETE."""
+        pod_id = getattr(self.secrets, "id", "") or ""
+        if pod_id:
             self._post(self._graphql(self.terminate_pod_query(pod_id)))

@@ -30,7 +30,8 @@ def sample_flux(
     steps = sample_config.diffusion_steps
     height, width = sample_config.height, sample_config.width
     if rng is None:
-        rng = jax.random.PRNGKey(sample_config.seed)
+        from onetrainer_tpu.sampling.sd_sampler import sample_rng_for
+        rng = sample_rng_for(sample_config)
 
     scale = model.vae_config.spatial_scale
     lh, lw = height // scale, width // scale
@@ -49,6 +50,10 @@ def sample_flux(
                                         None, extra_1)
     pooled = out_clip["pooled_output"]
     t5_states = model.text_encoder_2.apply({"params": te2_params}, t2, extra_2)
+    if getattr(sample_config, "prior_attention_mask", False):
+        # reference: FluxModel.py:275-276 (apply_attention_mask zeroes
+        # padded T5 positions; T5 pad id is 0)
+        t5_states = t5_states * (t2 != 0)[..., None].astype(t5_states.dtype)
 
     rng, noise_rng = jax.random.split(rng)
     latents = jax.random.normal(

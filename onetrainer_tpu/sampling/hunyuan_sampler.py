@@ -30,7 +30,8 @@ def sample_hunyuan_video(
     frames = max(int(sample_config.frames or 1), 1)
     frames = ((frames - 1) // 4) * 4 + 1
     if rng is None:
-        rng = jax.random.PRNGKey(sample_config.seed)
+        from onetrainer_tpu.sampling.sd_sampler import sample_rng_for
+        rng = sample_rng_for(sample_config)
 
     tokens = tokenizer(sample_config.prompt)[None]
     mask = tokenizer.mask(tokens[0])[None]

@@ -24,7 +24,8 @@ def sample_pixart(
     steps = sample_config.diffusion_steps
     height, width = sample_config.height, sample_config.width
     if rng is None:
-        rng = jax.random.PRNGKey(sample_config.seed)
+        from onetrainer_tpu.sampling.sd_sampler import sample_rng_for
+        rng = sample_rng_for(sample_config)
 
     state = sched.create_scheduler(
         sample_config.noise_scheduler, model.betas, steps,

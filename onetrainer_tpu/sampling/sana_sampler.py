@@ -26,7 +26,8 @@ def sample_sana(
     cfg_scale = sample_config.cfg_scale
     height, width = sample_config.height, sample_config.width
     if rng is None:
-        rng = jax.random.PRNGKey(sample_config.seed)
+        from onetrainer_tpu.sampling.sd_sampler import sample_rng_for
+        rng = sample_rng_for(sample_config)
 
     tokens = np.stack([tokenizer(sample_config.prompt),
                        tokenizer(sample_config.negative_prompt or "")])

@@ -24,7 +24,8 @@ def sample_sd3(
     steps = sample_config.diffusion_steps
     height, width = sample_config.height, sample_config.width
     if rng is None:
-        rng = jax.random.PRNGKey(sample_config.seed)
+        from onetrainer_tpu.sampling.sd_sampler import sample_rng_for
+        rng = sample_rng_for(sample_config)
 
     # SD3 static shift=3.0 sigma schedule
     shift = 3.0
@@ -45,6 +46,10 @@ def sample_sd3(
         out_g = model.text_encoder_2.apply({"params": te2_params}, t2,
                                            None, extra_2)
         t5 = model.text_encoder_3.apply({"params": te3_params}, t3, extra_3)
+        if getattr(sample_config, "prior_attention_mask", False):
+            # reference: StableDiffusion3Sampler prior_attention_mask ->
+            # apply_attention_mask on the T5 output (pad id 0)
+            t5 = t5 * (t3 != 0)[..., None].astype(t5.dtype)
         skip1 = sample_config.text_encoder_1_layer_skip
         skip2 = sample_config.text_encoder_2_layer_skip
         return sd3_text_context(

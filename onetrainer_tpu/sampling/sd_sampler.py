@@ -28,6 +28,17 @@ class SamplerOutput:
     video: np.ndarray | None = None       # THWC uint8 when sampling video
 
 
+def sample_rng_for(sample_config) -> jax.Array:
+    """Sampling PRNG: the configured seed, or OS entropy when
+    sample_config.random_seed is set (reference: generator.seed() vs
+    manual_seed(seed), e.g. FluxSampler.py:71-75)."""
+    seed = sample_config.seed
+    if getattr(sample_config, "random_seed", False):
+        import secrets
+        seed = secrets.randbits(31)
+    return jax.random.PRNGKey(seed)
+
+
 def sample_stable_diffusion(
         model,                        # StableDiffusionModel
         unet_params: dict,
@@ -42,9 +53,8 @@ def sample_stable_diffusion(
     cfg_scale = sample_config.cfg_scale
     steps = sample_config.diffusion_steps
     height, width = sample_config.height, sample_config.width
-    seed = sample_config.seed
     if rng is None:
-        rng = jax.random.PRNGKey(seed)
+        rng = sample_rng_for(sample_config)
 
     state = sched.create_scheduler(
         sample_config.noise_scheduler,

@@ -55,7 +55,8 @@ def sample_wuerstchen(
     cfg_rescale = getattr(sample_config, "cfg_rescale", 0.0) or 0.0
     height, width = sample_config.height, sample_config.width
     if rng is None:
-        rng = jax.random.PRNGKey(sample_config.seed)
+        from onetrainer_tpu.sampling.sd_sampler import sample_rng_for
+        rng = sample_rng_for(sample_config)
 
     layer_skip = getattr(sample_config, "text_encoder_1_layer_skip", 0) or 0
     is_cascade = model.model_type.is_stable_cascade()

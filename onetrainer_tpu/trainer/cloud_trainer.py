@@ -150,12 +150,22 @@ class CloudTrainer(BaseTrainer):
             self._threads.append(thread)
 
     def train(self):
-        self.cloud.run_trainer()
+        try:
+            self.cloud.run_trainer()
+        except Exception:
+            self.error_caught = True
+            raise
 
     def backup(self, train_progress=None):
         self.commands.backup()
 
     def end(self):
+        """Final sync + lifecycle actions (reference:
+        CloudTrainer.end:115-142 — delete_workspace on clean finish, then
+        on_error / on_finish CloudAction; a user stop runs no action)."""
+        from contextlib import suppress
+
+        from onetrainer_tpu.util.enums import CloudAction
         self._stop.set()
         for thread in self._threads:
             thread.join(timeout=10)
@@ -163,3 +173,26 @@ class CloudTrainer(BaseTrainer):
             self.cloud.sync_workspace(self.config.workspace_dir)
         except Exception:
             traceback.print_exc()
+        try:
+            if getattr(self.config.cloud, "delete_workspace", False) \
+                    and not getattr(self, "error_caught", False) \
+                    and not self.commands.get_stop_command():
+                self.callbacks.on_update_status("deleting remote workspace")
+                self.cloud.delete_workspace()
+            if hasattr(self.cloud, "close"):
+                self.cloud.close()
+        except Exception:
+            self.error_caught = True
+            raise
+        finally:
+            if getattr(self, "error_caught", False):
+                action = getattr(self.config.cloud, "on_error", CloudAction.NONE)
+            elif self.commands.get_stop_command():
+                action = CloudAction.NONE
+            else:
+                action = getattr(self.config.cloud, "on_finish", CloudAction.NONE)
+            with suppress(Exception):  # the cloud may not have been created
+                if action == CloudAction.DELETE:
+                    self.cloud.delete()
+                elif action == CloudAction.STOP:
+                    self.cloud.stop()

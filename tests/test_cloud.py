@@ -81,3 +81,122 @@ def test_sample_image_jpeg_streaming_roundtrip(tmp_path):
     # jpeg is lossy; the bright square must survive approximately
     assert abs(int(decoded[0].image[8, 8, 0]) - 200) < 30
     assert int(decoded[0].image[0, 0, 0]) < 40
+
+
+def test_download_filter_matches_reference_categories():
+    # reference: BaseCloud._filter_download:70-80
+    config = _config()
+    config.cloud.download_samples = False
+    config.cloud.download_saves = True
+    config.cloud.download_backups = False
+    config.cloud.download_tensorboard = True
+    cloud = LinuxCloud(config)
+    assert not cloud.filter_download("samples/step-100.png")
+    assert cloud.filter_download("save/model-1.safetensors")
+    assert not cloud.filter_download("backup/2024-backup-1/meta.json")
+    assert cloud.filter_download("tensorboard/events.out.tfevents")
+    assert cloud.filter_download("other/notes.txt")
+
+
+def test_hf_env_exports_in_train_command():
+    # reference: LinuxCloud.py:146-149 (HF_TOKEN / HF_HOME exports)
+    config = _config()
+    config.secrets.huggingface_token = "hf_secret"
+    config.cloud.huggingface_cache_dir = "/workspace/hf"
+    cmd = LinuxCloud(config).train_command()
+    assert "export HF_TOKEN=hf_secret" in cmd
+    assert "export HF_HOME=/workspace/hf" in cmd
+
+
+def test_detached_actions():
+    # reference: LinuxCloud.py:160-162 + RunpodCloud._get_action_cmd:93-99
+    import pytest
+
+    from onetrainer_tpu.cloud.runpod_cloud import RunpodCloud
+    from onetrainer_tpu.util.enums import CloudAction
+
+    config = _config()
+    config.cloud.detach_trainer = True
+    config.cloud.on_detached_finish = CloudAction.STOP
+    # a plain SSH host cannot stop itself -> LinuxCloud raises like the ref
+    with pytest.raises(NotImplementedError):
+        LinuxCloud(config).train_command()
+    cmd = RunpodCloud(config).train_command()
+    assert "runpodctl stop pod $RUNPOD_POD_ID" in cmd
+    config.cloud.on_detached_finish = CloudAction.NONE
+    config.cloud.on_detached_error = CloudAction.DELETE
+    cmd = RunpodCloud(config).train_command()
+    assert "runpodctl remove pod $RUNPOD_POD_ID" in cmd
+
+
+def test_runpod_pod_creation_sub_type_and_min_download():
+    # reference: RunpodCloud.py:70-80 (cloud_type, min_download)
+    from onetrainer_tpu.cloud.runpod_cloud import RunpodCloud
+
+    config = _config()
+    config.cloud.sub_type = "COMMUNITY"
+    config.cloud.min_download = 700
+    query = RunpodCloud(config).create_pod_query()
+    assert "cloudType: COMMUNITY" in query
+    assert "minDownload: 700" in query
+    config.cloud.sub_type = ""
+    config.cloud.min_download = 0
+    query = RunpodCloud(config).create_pod_query()
+    assert "cloudType: SECURE" in query
+    assert "minDownload" not in query
+
+
+def test_tensorboard_tunnel_command():
+    # reference: BaseCloud.py:25-26, LinuxCloud tunnel :101-111
+    config = _config()
+    config.tensorboard_port = 7007
+    cmd = LinuxCloud(config).tensorboard_tunnel_command()
+    assert "-N" in cmd and "-L" in cmd
+    assert "7007:localhost:7007" in cmd
+    assert cmd[-1] == "root@203.0.113.7"
+
+
+def test_cloud_trainer_lifecycle_actions():
+    # reference: CloudTrainer.end:115-142 — on_error / on_finish actions,
+    # user stop runs none, delete_workspace only on a clean finish
+    from onetrainer_tpu.trainer.cloud_trainer import CloudTrainer
+    from onetrainer_tpu.util.enums import CloudAction, CloudType
+
+    class FakeCloud:
+        def __init__(self):
+            self.calls = []
+        def sync_workspace(self, ws):
+            self.calls.append("sync")
+        def delete_workspace(self):
+            self.calls.append("delete_workspace")
+        def close(self):
+            self.calls.append("close")
+        def stop(self):
+            self.calls.append("stop")
+        def delete(self):
+            self.calls.append("delete")
+
+    def make(**cloud_fields):
+        config = _config()
+        config.cloud.type = CloudType.LINUX
+        for k, v in cloud_fields.items():
+            setattr(config.cloud, k, v)
+        trainer = CloudTrainer(config)
+        trainer.cloud = FakeCloud()
+        return trainer
+
+    t = make(on_finish=CloudAction.STOP, delete_workspace=True)
+    t.end()
+    assert t.cloud.calls == ["sync", "delete_workspace", "close", "stop"]
+
+    t = make(on_finish=CloudAction.STOP, on_error=CloudAction.DELETE)
+    t.error_caught = True
+    t.end()
+    assert "delete" in t.cloud.calls and "stop" not in t.cloud.calls
+    assert "delete_workspace" not in t.cloud.calls
+
+    t = make(on_finish=CloudAction.DELETE, delete_workspace=True)
+    t.commands.stop()  # user-requested stop -> no action, keep workspace
+    t.end()
+    assert "delete" not in t.cloud.calls
+    assert "delete_workspace" not in t.cloud.calls

@@ -149,3 +149,16 @@ def test_flux_fill_mask_channels():
     np.testing.assert_allclose(out[0, 1], 0.0)
     # mean is preserved (loss-normalization invariant)
     assert abs(out.mean() - mask.mean()) < 1e-6
+
+
+def test_sample_rng_for_random_seed():
+    # reference: FluxSampler.py:71-75 — random_seed draws OS entropy,
+    # otherwise the fixed config seed reproduces
+    from onetrainer_tpu.config.sample_config import SampleConfig
+    from onetrainer_tpu.sampling.sd_sampler import sample_rng_for
+
+    sc = SampleConfig.default_values()
+    sc.seed = 42
+    assert (sample_rng_for(sc) == sample_rng_for(sc)).all()
+    sc.random_seed = True
+    assert not (sample_rng_for(sc) == sample_rng_for(sc)).all()
