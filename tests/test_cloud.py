@@ -176,9 +176,13 @@ def test_cloud_trainer_lifecycle_actions():
         def delete(self):
             self.calls.append("delete")
 
+    import tempfile
+
     def make(**cloud_fields):
         config = _config()
         config.cloud.type = CloudType.LINUX
+        config.tensorboard = False
+        config.workspace_dir = tempfile.mkdtemp(prefix="ot_cloud_test_")
         for k, v in cloud_fields.items():
             setattr(config.cloud, k, v)
         trainer = CloudTrainer(config)
