@@ -147,12 +147,27 @@ class LinuxCloud:
         target = f"{self.secrets.user}@{self.secrets.host}:{self.remote_config_path()}"
         self._run(self.scp_base() + [local, target])
 
+    def upload_path(self, local: str, remote: str):
+        """Upload a local file or directory to the remote path (reference:
+        BaseCloud.upload_config:43-45 syncs local base/prior models up)."""
+        parent = os.path.dirname(remote.rstrip("/"))
+        self._run(self.ssh_base() + [f"mkdir -p {shlex.quote(parent)}"])
+        cmd = self.scp_base()
+        if os.path.isdir(local):
+            cmd = cmd + ["-r"]
+        self._run(cmd + [local,
+                         f"{self.secrets.user}@{self.secrets.host}:{remote}"])
+
     def run_trainer(self):
         self.callbacks.on_update_status("training on cloud")
         self._run(self.ssh_base() + [self.train_command()])
 
     def remote_workspace(self) -> str:
-        return f"{self.cloud.remote_dir}/{self.cloud.run_id}-workspace"
+        """The workspace path ON the remote box. LinuxCloud holds the
+        path-remapped remote config (CloudTrainer._make_remote_config),
+        so this is simply its workspace_dir — the same path the remote
+        trainer actually writes to."""
+        return self.config.workspace_dir
 
     def filter_download(self, path: str) -> bool:
         """Per-category download filter (reference:
@@ -182,33 +197,41 @@ class LinuxCloud:
             self._run(self.scp_base() + ["-r", remote, local_workspace])
             return
         # filtered / parallel per-file path (FabricFileSync semantics:
-        # walk the remote tree, apply the download filter, copy files)
+        # walk the remote tree, apply the download filter, copy files);
+        # files already present locally with the same size are skipped so
+        # the 5-second sync loop transfers only deltas
         out = self._run(self.ssh_base() + [
-            f"find {shlex.quote(remote_ws)} -type f 2>/dev/null || true"])
+            f"find {shlex.quote(remote_ws)} -type f -printf '%s %p\\n' "
+            "2>/dev/null || true"])
         pairs = []
-        for remote_file in out.stdout.splitlines():
-            remote_file = remote_file.strip()
-            if not remote_file:
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if not line or " " not in line:
                 continue
+            size_str, remote_file = line.split(" ", 1)
             rel = os.path.relpath(remote_file, remote_ws)
             if not self.filter_download(rel):
                 continue
-            pairs.append((remote_file, os.path.join(local_workspace, rel)))
+            local = os.path.join(local_workspace, rel)
+            try:
+                if os.path.getsize(local) == int(size_str):
+                    continue
+            except (OSError, ValueError):
+                pass
+            pairs.append((remote_file, local))
         if pairs:
             from onetrainer_tpu.cloud.file_sync import SCPFileSync
             SCPFileSync(self.secrets.user, self.secrets.host,
                         self.secrets.port).download_files(pairs)
 
-    def download_output_model(self):
-        """Fetch just the final output model (reference:
-        BaseCloud.download_output_model:28-35), honoring the
-        download_output_model switch."""
-        if not getattr(self.cloud, "download_output_model", True):
-            return
-        dest = self.config.output_model_destination
-        remote = (f"{self.secrets.user}@{self.secrets.host}:"
-                  f"{self.cloud.remote_dir}/{self.cloud.run_id}-out/"
-                  f"{os.path.basename(dest)}")
+    def download_output_model(self, local_destination: str | None = None):
+        """Fetch the final output model from the (remapped) remote
+        destination back to the local one (reference:
+        BaseCloud.download_output_model:28-35 — remote path comes from
+        the remote config, local path from the original)."""
+        remote_path = self.config.output_model_destination
+        dest = local_destination or remote_path
+        remote = (f"{self.secrets.user}@{self.secrets.host}:{remote_path}")
         os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
         self._run(self.scp_base() + [remote, dest])
 

@@ -347,9 +347,27 @@ class Text2ImageDataLoader:
                           "text_encoder_4_layer_skip")],
         }
 
+    def _blank_cond_latent(self, bucket: tuple[int, int]) -> np.ndarray:
+        """Encode-of-zeros conditioning latent for one bucket, memoized
+        (RandomLatentMaskRemove replacement conditioning)."""
+        blank = self._blank_cond_latents.get(bucket)
+        if blank is None:
+            h, w = bucket
+            blank = np.asarray(self.encode_images(
+                np.zeros((1, h, w, 3), np.float32))["latent_image"][0])
+            self._blank_cond_latents[bucket] = blank
+        return blank
+
     def ensure_cached(self, batches: list[list[PreparedSample]],
                       on_progress: Callable[[int, int], None] | None = None):
         """Cache-fill pass: encode any missing samples, bucket-batched."""
+        # precompute the mask-removal blank conditioning latents here, at
+        # cache-fill time — computing them lazily inside the training
+        # prefetch would stall the step loop on a fresh batch-1 VAE
+        # compile the first time each bucket draws a removal
+        if self.mask_remove_probability > 0 and self.conditioning_image:
+            for bucket in {s.bucket for batch in batches for s in batch}:
+                self._blank_cond_latent(bucket)
         if self.cache is None:
             return
         missing: list[PreparedSample] = []
@@ -455,13 +473,8 @@ class Text2ImageDataLoader:
         row["latent_mask"] = self._latent_mask(
             np.ones((h, w, 1), np.float32)).astype(row["latent_mask"].dtype)
         if "latent_conditioning_image" in row:
-            blank = self._blank_cond_latents.get((h, w))
-            if blank is None:
-                blank = np.asarray(self.encode_images(
-                    np.zeros((1, h, w, 3), np.float32))["latent_image"][0])
-                self._blank_cond_latents[(h, w)] = blank
-            row["latent_conditioning_image"] = blank.astype(
-                row["latent_conditioning_image"].dtype)
+            row["latent_conditioning_image"] = self._blank_cond_latent(
+                (h, w)).astype(row["latent_conditioning_image"].dtype)
         return row
 
     def materialize_batch(self, batch: list[PreparedSample]) -> dict:

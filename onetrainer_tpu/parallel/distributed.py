@@ -43,11 +43,18 @@ def distributed_env() -> dict | None:
                 f"missing — explicit multi-host launches need all three; "
                 f"on TPU pods use OT_MULTIHOST=1 instead (the runtime "
                 f"discovers topology itself)")
-        return {
+        kwargs = {
             "coordinator_address": os.environ["OT_COORDINATOR"],
             "num_processes": int(os.environ["OT_NUM_PROCESSES"]),
             "process_id": int(os.environ["OT_PROCESS_ID"]),
         }
+        # OT_INIT_TIMEOUT (seconds): the default coordination deadline can
+        # be too short when peer processes are still compiling/importing
+        # on loaded hosts
+        if os.environ.get("OT_INIT_TIMEOUT"):
+            kwargs["initialization_timeout"] = int(
+                os.environ["OT_INIT_TIMEOUT"])
+        return kwargs
     if os.environ.get("OT_MULTIHOST") == "1":
         return {}
     return None

@@ -49,7 +49,9 @@ def sample_flux(
     out_clip = model.text_encoder.apply({"params": te_params}, t1,
                                         None, extra_1)
     pooled = out_clip["pooled_output"]
-    t5_states = model.text_encoder_2.apply({"params": te2_params}, t2, extra_2)
+    t5_states = model.text_encoder_2.apply(
+        {"params": te2_params}, t2, extra_2,
+        layer_skip=sample_config.text_encoder_2_layer_skip)
     if getattr(sample_config, "prior_attention_mask", False):
         # reference: FluxModel.py:275-276 (apply_attention_mask zeroes
         # padded T5 positions; T5 pad id is 0)

@@ -40,8 +40,9 @@ def sample_hidream(
             "tokens_mask_4": jnp.asarray(
                 tokenizer_4.mask(tokenizer_4(text)))[None],
         }
-        return hidream_text_conditioning(model, te, te2, te3, te4, batch,
-                                         extra_embeddings)
+        return hidream_text_conditioning(
+            model, te, te2, te3, te4, batch, extra_embeddings,
+            te3_layer_skip=sample_config.text_encoder_3_layer_skip)
 
     t5_p, llama_p, pooled_p = conditioning(sample_config.prompt)
     t5_n, llama_n, pooled_n = conditioning(sample_config.negative_prompt or "")

@@ -36,8 +36,9 @@ def sample_pixart(
         jnp.asarray(tokenize(sample_config.prompt), jnp.int32),
         jnp.asarray(tokenize(sample_config.negative_prompt), jnp.int32),
     ])
-    context = model.text_encoder.apply({"params": te_params}, tokens,
-                                   extra_embeddings)
+    context = model.text_encoder.apply(
+        {"params": te_params}, tokens, extra_embeddings,
+        layer_skip=sample_config.text_encoder_1_layer_skip)
 
     scale = model.vae_config.spatial_scale
     latent_shape = (1, height // scale, width // scale,

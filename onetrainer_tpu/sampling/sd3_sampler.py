@@ -45,7 +45,9 @@ def sample_sd3(
                                          None, extra_1)
         out_g = model.text_encoder_2.apply({"params": te2_params}, t2,
                                            None, extra_2)
-        t5 = model.text_encoder_3.apply({"params": te3_params}, t3, extra_3)
+        t5 = model.text_encoder_3.apply(
+            {"params": te3_params}, t3, extra_3,
+            layer_skip=sample_config.text_encoder_3_layer_skip)
         if getattr(sample_config, "prior_attention_mask", False):
             # reference: StableDiffusion3Sampler prior_attention_mask ->
             # apply_attention_mask on the T5 output (pad id 0)

@@ -158,7 +158,8 @@ def create_flux_setup(model: FluxModel, config: TrainConfig,
             trainable["embeddings"] = vectors
             trainable["embeddings_2"] = vectors2
             for name in ("embeddings", "embeddings_2"):
-                group_schedules[name] = _group_schedule(config, lr, total_steps)
+                group_schedules[name] = _group_schedule(config, lr, total_steps,
+                steps_per_epoch=steps_per_epoch)
                 labels[name] = name
         n_input = int(vectors.shape[0]) if vectors is not None else 0
         # keep tokenizer placeholder registries aligned across TEs
@@ -176,7 +177,8 @@ def create_flux_setup(model: FluxModel, config: TrainConfig,
             frozen["embedding_inputs"] = out_in1
             frozen["embedding_inputs_2"] = out_in2
             group_schedules["output_embeddings_2"] = \
-                _group_schedule(config, lr, total_steps)
+                _group_schedule(config, lr, total_steps,
+                steps_per_epoch=steps_per_epoch)
             labels["output_embeddings_2"] = "output_embeddings_2"
             embedding_ids.update(out_ids)
     else:

@@ -136,7 +136,7 @@ def create_hidream_setup(
             if vectors is not None:
                 trainable[f"embeddings{suffix}"] = vectors
                 group_schedules[f"embeddings{suffix}"] = _group_schedule(
-                    config, lr, total_steps)
+                    config, lr, total_steps, steps_per_epoch=steps_per_epoch)
                 labels[f"embeddings{suffix}"] = f"embeddings{suffix}"
                 if suffix == "":
                     embedding_ids = ids
@@ -158,7 +158,7 @@ def create_hidream_setup(
                 out_vec, out_spans, out_stds = vec, spans, stds
                 trainable["output_embeddings_3"] = vec
                 group_schedules["output_embeddings_3"] = _group_schedule(
-                    config, lr, total_steps)
+                    config, lr, total_steps, steps_per_epoch=steps_per_epoch)
                 labels["output_embeddings_3"] = "output_embeddings_3"
                 embedding_ids.update(out_ids)
     else:

@@ -133,7 +133,8 @@ def create_hunyuan_setup(
             trainable["embeddings"] = vectors
             trainable["embeddings_2"] = vectors2
             for name in ("embeddings", "embeddings_2"):
-                group_schedules[name] = _group_schedule(config, lr, total_steps)
+                group_schedules[name] = _group_schedule(config, lr, total_steps,
+                steps_per_epoch=steps_per_epoch)
                 labels[name] = name
         n_input = int(vectors.shape[0]) if vectors is not None else 0
 
@@ -157,7 +158,7 @@ def create_hunyuan_setup(
             frozen["embedding_inputs"] = out_in
             frozen["embedding_inputs_2"] = out_in2
             group_schedules["output_embeddings"] = _group_schedule(
-                config, lr, total_steps)
+                config, lr, total_steps, steps_per_epoch=steps_per_epoch)
             labels["output_embeddings"] = "output_embeddings"
             embedding_ids.update(out_ids)
     else:

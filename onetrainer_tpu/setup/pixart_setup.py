@@ -110,7 +110,8 @@ def create_pixart_setup(model: PixArtAlphaModel, config: TrainConfig,
             model, model.te_params, tokenizer, config)
         if vectors is not None:
             trainable["embeddings"] = vectors
-            group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
+            group_schedules["embeddings"] = _group_schedule(config, lr, total_steps,
+                steps_per_epoch=steps_per_epoch)
             labels["embeddings"] = "embeddings"
         n_input = int(vectors.shape[0]) if vectors is not None else 0
         out_in, out_vec, out_ids, out_spans, out_stds = \
@@ -120,7 +121,7 @@ def create_pixart_setup(model: PixArtAlphaModel, config: TrainConfig,
             trainable["output_embeddings"] = out_vec
             frozen["embedding_inputs"] = out_in
             group_schedules["output_embeddings"] = _group_schedule(
-                config, lr, total_steps)
+                config, lr, total_steps, steps_per_epoch=steps_per_epoch)
             labels["output_embeddings"] = "output_embeddings"
             embedding_ids.update(out_ids)
     else:

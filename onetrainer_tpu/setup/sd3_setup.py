@@ -175,7 +175,7 @@ def create_sd3_setup(model: StableDiffusion3Model, config: TrainConfig,
             if vectors is not None:
                 trainable[f"embeddings{suffix}"] = vectors
                 group_schedules[f"embeddings{suffix}"] = _group_schedule(
-                    config, lr, total_steps)
+                    config, lr, total_steps, steps_per_epoch=steps_per_epoch)
                 labels[f"embeddings{suffix}"] = f"embeddings{suffix}"
                 if suffix == "":
                     embedding_ids.update(ids)
@@ -187,7 +187,8 @@ def create_sd3_setup(model: StableDiffusion3Model, config: TrainConfig,
                 trainable[f"output_embeddings{suffix}"] = out_vec
                 frozen[f"embedding_inputs{suffix}"] = out_in
                 group_schedules[f"output_embeddings{suffix}"] = \
-                    _group_schedule(config, lr, total_steps)
+                    _group_schedule(config, lr, total_steps,
+                steps_per_epoch=steps_per_epoch)
                 labels[f"output_embeddings{suffix}"] = \
                     f"output_embeddings{suffix}"
                 if suffix == "":

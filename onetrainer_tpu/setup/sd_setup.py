@@ -341,7 +341,8 @@ def create_sd_setup(
         lr = config.embedding_learning_rate or config.learning_rate
         if vectors is not None:
             trainable["embeddings"] = vectors
-            group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
+            group_schedules["embeddings"] = _group_schedule(config, lr, total_steps,
+                steps_per_epoch=steps_per_epoch)
             labels["embeddings"] = "embeddings"
         n_input = int(vectors.shape[0]) if vectors is not None else 0
         out_inputs, out_vectors, out_ids, out_spans, out_stds = \
@@ -351,7 +352,7 @@ def create_sd_setup(
             trainable["output_embeddings"] = out_vectors
             frozen["embedding_inputs"] = out_inputs
             group_schedules["output_embeddings"] = _group_schedule(
-                config, lr, total_steps)
+                config, lr, total_steps, steps_per_epoch=steps_per_epoch)
             labels["output_embeddings"] = "output_embeddings"
             embedding_ids.update(out_ids)
         frozen["unet"] = model.unet_params
@@ -391,7 +392,8 @@ def create_sd_setup(
             if vectors is not None:
                 trainable["embeddings"] = vectors
                 lr = config.embedding_learning_rate or config.learning_rate
-                group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
+                group_schedules["embeddings"] = _group_schedule(config, lr, total_steps,
+                steps_per_epoch=steps_per_epoch)
                 labels["embeddings"] = "embeddings"
 
     tx = create_group_optimizer(

@@ -140,8 +140,10 @@ def create_sdxl_setup(model: StableDiffusionXLModel, config: TrainConfig,
         if vectors is not None:
             trainable["embeddings"] = vectors
             trainable["embeddings_2"] = vectors2
-            group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
-            group_schedules["embeddings_2"] = _group_schedule(config, lr, total_steps)
+            group_schedules["embeddings"] = _group_schedule(config, lr, total_steps,
+                steps_per_epoch=steps_per_epoch)
+            group_schedules["embeddings_2"] = _group_schedule(config, lr, total_steps,
+                steps_per_epoch=steps_per_epoch)
             labels["embeddings"] = "embeddings"
             labels["embeddings_2"] = "embeddings_2"
         n_input = int(vectors.shape[0]) if vectors is not None else 0
@@ -158,7 +160,8 @@ def create_sdxl_setup(model: StableDiffusionXLModel, config: TrainConfig,
             frozen["embedding_inputs"] = out_in1
             frozen["embedding_inputs_2"] = out_in2
             for name in ("output_embeddings", "output_embeddings_2"):
-                group_schedules[name] = _group_schedule(config, lr, total_steps)
+                group_schedules[name] = _group_schedule(config, lr, total_steps,
+                steps_per_epoch=steps_per_epoch)
                 labels[name] = name
             embedding_ids.update(out_ids)
     else:

@@ -127,7 +127,8 @@ def create_wuerstchen_setup(
             model, model.te_params, tokenizer, config)
         trainable["embeddings"] = vectors
         lr = config.embedding_learning_rate or config.learning_rate
-        group_schedules["embeddings"] = _group_schedule(config, lr, total_steps)
+        group_schedules["embeddings"] = _group_schedule(config, lr, total_steps,
+                steps_per_epoch=steps_per_epoch)
         labels["embeddings"] = "embeddings"
         frozen["prior"] = model.prior_params
         frozen["text_encoder"] = model.te_params
@@ -157,7 +158,7 @@ def create_wuerstchen_setup(
                 trainable["embeddings"] = vectors
                 lr = config.embedding_learning_rate or config.learning_rate
                 group_schedules["embeddings"] = _group_schedule(
-                    config, lr, total_steps)
+                    config, lr, total_steps, steps_per_epoch=steps_per_epoch)
                 labels["embeddings"] = "embeddings"
 
     tx = create_group_optimizer(

@@ -176,8 +176,13 @@ def preserve_input_embedding_norms(params, frozen, cfg):
     for key, vec in params.items():
         if not key.startswith("embeddings"):
             continue
+        te_key = "text_encoder" + key[len("embeddings"):]
+        # the TE param tree lives in `frozen` normally, but in `params`
+        # when the text encoder itself is being fine-tuned — the
+        # reference normalizes learned embeddings either way
+        # (AdditionalEmbeddingWrapper.normalize_embeddings:69-75)
         table = _base_embedding_table(
-            frozen.get("text_encoder" + key[len("embeddings"):]))
+            frozen.get(te_key, params.get(te_key)))
         if table is None:
             continue
         median = jnp.median(

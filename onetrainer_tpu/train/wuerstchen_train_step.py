@@ -108,11 +108,12 @@ def wuerstchen_predict(model, prior_params, te_params, batch, rng,
         )
         keep = conditioning_dropout_mask(
             jax.random.fold_in(rng, 0xd0), context.shape[0], cfg.te_dropout)
+        context = context * keep[:, None, None].astype(context.dtype)
         if model.model_type.is_stable_cascade():
+            # Cascade drops the pooled projection as well
+            # (reference: WuerstchenModel.py:271-273)
             pooled = pooled * keep.reshape(
                 (-1,) + (1,) * (pooled.ndim - 1)).astype(pooled.dtype)
-        else:
-            context = context * keep[:, None, None].astype(context.dtype)
 
     if model.model_type.is_stable_cascade():
         # clip_text_pooled + zero clip_img kwargs

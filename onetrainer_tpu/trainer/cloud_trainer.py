@@ -26,14 +26,72 @@ class CloudTrainer(BaseTrainer):
                  commands: TrainCommands | None = None):
         super().__init__(config, callbacks or TrainCallbacks(),
                          commands or TrainCommands())
+        # the remote box trains against a path-remapped copy of the
+        # config; self.config keeps the local paths for downloads
+        # (reference: CloudTrainer.__make_remote_config:145-186)
+        self.remote_config, self.local_paths = \
+            self._make_remote_config(config)
         if getattr(config.cloud, "type", None) == CloudType.RUNPOD:
             from onetrainer_tpu.cloud.runpod_cloud import RunpodCloud
-            self.cloud = RunpodCloud(config, self.callbacks, self.commands)
+            self.cloud = RunpodCloud(
+                self.remote_config, self.callbacks, self.commands)
         else:
-            self.cloud = LinuxCloud(config, self.callbacks, self.commands)
+            self.cloud = LinuxCloud(
+                self.remote_config, self.callbacks, self.commands)
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
-        self._events_seen = 0
+
+    # -- remote path remapping -----------------------------------------------------
+
+    @staticmethod
+    def _adjust_path(pathstr: str, remote_dir: str) -> str:
+        """Map a local path under <remote_dir>/remote/ (reference:
+        CloudTrainer.__adjust_path:189-197 — absolute paths lose their
+        anchor/drive)."""
+        if not pathstr or not pathstr.strip():
+            return ""
+        p = pathstr.replace("\\", "/")
+        if len(p) > 1 and p[1] == ":":     # windows drive
+            p = p[2:]
+        p = p.lstrip("/")
+        return f"{remote_dir}/remote/{p}"
+
+    @staticmethod
+    def _make_remote_config(config: TrainConfig):
+        """Clone the config with workspace/cache/model paths remapped to
+        the remote box; `cloud:`-prefixed paths are passed through
+        unprefixed (already remote). Returns (remote_config,
+        {attr: local_path} for the download side). Reference:
+        CloudTrainer.__make_remote_config:145-186."""
+        remote = TrainConfig.default_values().from_dict(
+            config.to_pack_dict(secrets=True))
+        remote.cloud = config.cloud
+        remote.secrets.cloud = config.secrets.cloud
+        local_paths: dict[str, str] = {}
+
+        def adjust(obj, attr, key=None):
+            path = getattr(obj, attr, "") or ""
+            if path.startswith("cloud:"):
+                setattr(obj, attr, path[len("cloud:"):])
+            elif path:
+                local_paths[key or attr] = path
+                setattr(obj, attr, CloudTrainer._adjust_path(
+                    path, remote.cloud.remote_dir))
+
+        adjust(remote, "debug_dir")
+        adjust(remote, "workspace_dir")
+        adjust(remote, "cache_dir")
+        if os.path.exists(remote.base_model_name) \
+                or remote.base_model_name.startswith("cloud:"):
+            adjust(remote, "base_model_name")
+        adjust(remote, "output_model_destination")
+        if remote.lora_model_name and (
+                os.path.exists(remote.lora_model_name)
+                or remote.lora_model_name.startswith("cloud:")):
+            adjust(remote, "lora_model_name")
+        # concepts are inlined by to_pack_dict
+        remote.concept_file_name = ""
+        return remote, local_paths
 
     # -- event / command / sync pollers -------------------------------------------
 
@@ -90,20 +148,29 @@ class CloudTrainer(BaseTrainer):
             traceback.print_exc()
 
     def _poll_events(self):
+        # consume-and-delete, like the reference's exec_callback: the
+        # attached client removing the events file is also the signal the
+        # remote side uses to decide "a client is attached" before firing
+        # on_detached_finish/on_detached_error (reference:
+        # LinuxCloud.py:160-162 — the writer reopens the path per append,
+        # so the atomic mv loses nothing)
+        events = self.remote_events_path()
         while not self._stop.is_set():
             try:
+                consumed = f"{events}.consumed"
                 out = subprocess.run(
                     self.cloud.ssh_base()
-                    + [f"tail -n +{self._events_seen + 1} "
-                       f"{self.remote_events_path()} 2>/dev/null || true"],
+                    + [f"if [ -f {events} ]; then "
+                       f"mv {events} {consumed} && cat {consumed} && "
+                       f"rm -f {consumed}; fi"],
                     capture_output=True, text=True, timeout=30)
-                lines = [l for l in out.stdout.splitlines() if l.strip()]
-                for line in lines:
+                for line in out.stdout.splitlines():
+                    if not line.strip():
+                        continue
                     try:
                         self._dispatch_event(json.loads(line))
                     except json.JSONDecodeError:
                         pass
-                self._events_seen += len(lines)
             except Exception:
                 pass
             self._stop.wait(5.0)
@@ -143,6 +210,13 @@ class CloudTrainer(BaseTrainer):
     def start(self):
         self.cloud.setup()
         self.cloud.upload_config()
+        # locally-present models ride up to their remapped remote paths
+        # (reference: BaseCloud.upload_config:43-45)
+        for attr in ("base_model_name", "lora_model_name"):
+            local = self.local_paths.get(attr)
+            if local and os.path.exists(local):
+                self.callbacks.on_update_status(f"uploading {attr}")
+                self.cloud.upload_path(local, getattr(self.remote_config, attr))
         for target in (self._poll_events, self._push_commands,
                        self._sync_workspace_loop):
             thread = threading.Thread(target=target, daemon=True)
@@ -151,7 +225,17 @@ class CloudTrainer(BaseTrainer):
 
     def train(self):
         try:
+            if self.commands.get_stop_command():
+                return
             self.cloud.run_trainer()
+            if getattr(self.config.cloud, "download_output_model", True) \
+                    and "output_model_destination" in self.local_paths:
+                # fetch the final model back to the LOCAL destination
+                # (reference: CloudTrainer.train:102-104 +
+                # BaseCloud.download_output_model:28-35)
+                self.callbacks.on_update_status("downloading output model")
+                self.cloud.download_output_model(
+                    self.local_paths["output_model_destination"])
         except Exception:
             self.error_caught = True
             raise
@@ -172,6 +256,10 @@ class CloudTrainer(BaseTrainer):
         try:
             self.cloud.sync_workspace(self.config.workspace_dir)
         except Exception:
+            # a failed final download is NOT a clean finish — it must
+            # block delete_workspace below or remote outputs would be
+            # destroyed with no local copy
+            self.error_caught = True
             traceback.print_exc()
         try:
             if getattr(self.config.cloud, "delete_workspace", False) \

@@ -182,6 +182,8 @@ def test_cloud_trainer_lifecycle_actions():
         config = _config()
         config.cloud.type = CloudType.LINUX
         config.tensorboard = False
+        config.concepts = []   # to_pack_dict would read concept_file_name
+        config.samples = []    # ... and sample_definition_file_name
         config.workspace_dir = tempfile.mkdtemp(prefix="ot_cloud_test_")
         for k, v in cloud_fields.items():
             setattr(config.cloud, k, v)
@@ -204,3 +206,32 @@ def test_cloud_trainer_lifecycle_actions():
     t.end()
     assert "delete" not in t.cloud.calls
     assert "delete_workspace" not in t.cloud.calls
+
+
+def test_remote_config_path_remap():
+    # reference: CloudTrainer.__make_remote_config:145-186 +
+    # __adjust_path:189-197 — local paths move under <remote_dir>/remote/,
+    # cloud:-prefixed paths pass through unprefixed, HF ids stay
+    from onetrainer_tpu.trainer.cloud_trainer import CloudTrainer
+
+    config = _config()
+    config.concepts = []
+    config.samples = []
+    config.workspace_dir = "/home/me/ws"
+    config.cache_dir = "/home/me/cache"
+    config.output_model_destination = "/home/me/out/model.safetensors"
+    config.base_model_name = "stabilityai/sd-base"  # HF id: untouched
+    remote, local_paths = CloudTrainer._make_remote_config(config)
+    assert remote.workspace_dir == "/workspace/remote/home/me/ws"
+    assert remote.cache_dir == "/workspace/remote/home/me/cache"
+    assert remote.output_model_destination == \
+        "/workspace/remote/home/me/out/model.safetensors"
+    assert remote.base_model_name == "stabilityai/sd-base"
+    assert local_paths["output_model_destination"] == \
+        "/home/me/out/model.safetensors"
+    # the original config keeps its local paths
+    assert config.workspace_dir == "/home/me/ws"
+
+    config.workspace_dir = "cloud:/data/ws"
+    remote, _ = CloudTrainer._make_remote_config(config)
+    assert remote.workspace_dir == "/data/ws"

@@ -49,7 +49,10 @@ def _spawn_pair():
             [sys.executable, WORKER],
             env=_env(4, {"OT_COORDINATOR": coord,
                          "OT_NUM_PROCESSES": "2",
-                         "OT_PROCESS_ID": str(pid)}),
+                         "OT_PROCESS_ID": str(pid),
+                         # generous coordination deadline: the 1-core CI
+                         # box can stall a worker mid-import under load
+                         "OT_INIT_TIMEOUT": "300"}),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
     outs, errs = [], []
     ok = True
