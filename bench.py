@@ -17,6 +17,7 @@ TFLOPs — real-world SDXL LoRA training on A100 typically lands below that.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 V5E_PEAK_FLOPS = 197e12          # bf16
@@ -354,7 +355,35 @@ def _run_isolated(name, timeout=3600):
     return f"error: rc={r.returncode}"
 
 
+def _probe_backend(timeout=600):
+    """Fast device probe in a subprocess: during a TPU pool outage the
+    backend init either hangs or fails UNAVAILABLE — detect that in
+    minutes instead of burning the headline stage's 1 h timeout."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "(jnp.ones((8,8))@jnp.ones((8,8))).block_until_ready();"
+            "print('OK', jax.devices()[0])")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout)
+        return r.returncode == 0 and "OK" in r.stdout, \
+            (r.stdout + r.stderr).strip()[-400:]
+    except subprocess.TimeoutExpired:
+        return False, f"device probe timed out after {timeout}s"
+
+
 def main():
+    ok, detail = _probe_backend()
+    if not ok:
+        # one parseable line for the driver instead of a traceback
+        print(json.dumps({
+            "metric": "sdxl_lora_train_imgs_per_sec_per_chip_1024px",
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": f"accelerator backend unavailable: {detail}",
+        }))
+        sys.exit(1)
     sdxl = _run_isolated("sdxl_fp8")
     if not isinstance(sdxl, list):
         raise RuntimeError(f"headline SDXL bench failed: {sdxl}")
