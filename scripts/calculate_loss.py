@@ -21,7 +21,8 @@ from onetrainer_tpu.util.generate_losses import GenerateLossesModel
 def main():
     p = argparse.ArgumentParser(description="Calculate per-sample losses")
     p.add_argument("--config-path", required=True)
-    p.add_argument("--output", default="losses.json")
+    p.add_argument("--output", "--output-path", default="losses.json",
+                   dest="output")
     args = p.parse_args()
 
     config = TrainConfig.default_values()

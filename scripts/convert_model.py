@@ -21,8 +21,13 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser(description="Convert models between formats")
     p.add_argument("--model-type", required=True)
-    p.add_argument("--input", required=True, dest="input_name")
-    p.add_argument("--output", required=True, dest="output_name")
+    p.add_argument("--input", "--input-name", required=True,
+                   dest="input_name")
+    p.add_argument("--output", "--output-model-destination",
+                   required=True, dest="output_name")
+    # accepted for reference-CLI compatibility (loaders infer the
+    # method from the checkpoint contents)
+    p.add_argument("--training-method", default="FINE_TUNE")
     p.add_argument("--output-model-format", default="SAFETENSORS")
     p.add_argument("--output-dtype", default="FLOAT_16")
     return p.parse_args()

@@ -25,6 +25,10 @@ def main():
     p.add_argument("--caption-postfix", default="")
     p.add_argument("--mode", default="fill", choices=["fill", "replace", "add"])
     p.add_argument("--include-subdirectories", action="store_true")
+    # reference-CLI compatibility (GenerateCaptionsArgs.py:36-37):
+    # tooling models run on CPU torch in this image regardless
+    p.add_argument("--device", default="cpu")
+    p.add_argument("--dtype", default="FLOAT_16")
     args = p.parse_args()
 
     from onetrainer_tpu.tooling.caption_models import Blip2Model, BlipModel, WDModel

@@ -29,6 +29,10 @@ def main():
     p.add_argument("--color", default="255,255,255",
                    help="target color for COLOR model")
     p.add_argument("--include-subdirectories", action="store_true")
+    # reference-CLI compatibility (GenerateCaptionsArgs.py:36-37):
+    # tooling models run on CPU torch in this image regardless
+    p.add_argument("--device", default="cpu")
+    p.add_argument("--dtype", default="FLOAT_16")
     args = p.parse_args()
 
     from onetrainer_tpu.tooling.mask_models import (

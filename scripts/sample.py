@@ -31,6 +31,17 @@ def parse_args():
     p.add_argument("--decoder-model-name", default="",
                    help="Würstchen/Cascade stage-B decoder repo dir "
                         "(reference: ModelNames.decoder_model)")
+    # reference SampleArgs parity (modules/util/args/SampleArgs.py:46-58)
+    p.add_argument("--embedding-name", default="",
+                   help="a trained embedding safetensors to apply")
+    p.add_argument("--text-encoder-layer-skip", type=int, default=0)
+    p.add_argument("--sample-inpainting", action="store_true", default=False)
+    p.add_argument("--base-image-path", default="",
+                   help="base image for inpainting sampling")
+    p.add_argument("--mask-image-path", default="",
+                   help="mask image for inpainting sampling")
+    p.add_argument("--weight-dtype", default="",
+                   help="weight dtype during sampling (e.g. BFLOAT_16)")
     return p.parse_args()
 
 
@@ -52,6 +63,15 @@ def main():
     config.text_encoder_2.train = False
     if args.decoder_model_name:
         config.decoder.model_name = args.decoder_model_name
+    if args.embedding_name:
+        # apply a trained embedding during sampling (reference:
+        # SampleArgs --embedding-name; the prompt must contain the
+        # embedding's placeholder token)
+        config.training_method = TrainingMethod.EMBEDDING
+        config.embedding.model_name = args.embedding_name
+    if args.weight_dtype:
+        from onetrainer_tpu.util.enums import DataType
+        config.weight_dtype = DataType[args.weight_dtype]
 
     family = get_family(config.model_type)
     model = family.load(args.base_model_name, config)
@@ -66,6 +86,10 @@ def main():
     sample_config.cfg_scale = args.cfg
     sample_config.seed = args.seed
     sample_config.noise_scheduler = NoiseScheduler[args.scheduler]
+    sample_config.text_encoder_1_layer_skip = args.text_encoder_layer_skip
+    sample_config.sample_inpainting = args.sample_inpainting
+    sample_config.base_image_path = args.base_image_path
+    sample_config.mask_image_path = args.mask_image_path
 
     out = family.sample(setup, sample_config,
                         lambda s, m: print(f"step {s}/{m}"))

@@ -41,6 +41,13 @@ def parse_args():
                         help="path to the train config json")
     parser.add_argument("--secrets-path", default=None,
                         help="path to a secrets json")
+    # remote-control files (reference: TrainArgs.py:22-23) — when given,
+    # callbacks stream to a JSONL file and commands are polled from a
+    # JSON file, same contract as scripts/train_remote.py
+    parser.add_argument("--callback-path", default=None,
+                        help="JSONL file callback events append to")
+    parser.add_argument("--command-path", default=None,
+                        help="JSON file polled for commands")
     return parser.parse_args()
 
 
@@ -67,10 +74,22 @@ def main():
     args = parse_args()
     config = load_config(args)
 
-    callbacks = TrainCallbacks(
-        on_update_status=lambda s: print(f"status: {s}"),
-    )
+    if args.callback_path:
+        from train_remote import make_streaming_callbacks
+        callbacks = make_streaming_callbacks(args.callback_path)
+    else:
+        callbacks = TrainCallbacks(
+            on_update_status=lambda s: print(f"status: {s}"),
+        )
     commands = TrainCommands()
+    if args.command_path:
+        import threading
+
+        from train_remote import command_poller
+        threading.Thread(
+            target=command_poller,
+            args=(commands, args.command_path, threading.Event()),
+            daemon=True).start()
     trainer = create_trainer(config, callbacks, commands)
 
     trainer.start()

@@ -165,3 +165,54 @@ def test_sample_script_end_to_end(tmp_path):
     assert os.path.exists(dest)
     img = Image.open(dest)
     assert img.size == (32, 32)
+
+
+def test_reference_cli_flags_accepted():
+    """Every flag of the reference's Args classes parses (reference:
+    modules/util/args/*.py — TrainArgs callback/command paths,
+    SampleArgs inpainting/embedding/layer-skip/weight-dtype,
+    ConvertModelArgs input-name/output-model-destination/training-method,
+    Generate*Args device/dtype, CalculateLossArgs output-path)."""
+    cases = [
+        (["scripts/train.py", "--help"],
+         ["--callback-path", "--command-path", "--secrets-path"]),
+        (["scripts/sample.py", "--help"],
+         ["--embedding-name", "--text-encoder-layer-skip",
+          "--sample-inpainting", "--base-image-path", "--mask-image-path",
+          "--weight-dtype"]),
+        (["scripts/convert_model.py", "--help"],
+         ["--input-name", "--output-model-destination",
+          "--training-method"]),
+        (["scripts/generate_captions.py", "--help"], ["--device", "--dtype"]),
+        (["scripts/generate_masks.py", "--help"], ["--device", "--dtype"]),
+        (["scripts/calculate_loss.py", "--help"], ["--output-path"]),
+    ]
+    for args, flags in cases:
+        r = run_script(args)
+        assert r.returncode == 0, (args, r.stderr[-1500:])
+        for flag in flags:
+            assert flag in r.stdout, (args[0], flag, r.stdout[-800:])
+
+
+def test_train_script_command_and_callback_paths(tmp_path):
+    """--callback-path streams JSONL events; --command-path is polled
+    (reference: TrainArgs.py:22-23 remote-control files)."""
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    write_tiny_checkpoint(base, tiny_sd_model())
+    config = tiny_train_config(base, ds, str(tmp_path / "ws"),
+                               str(tmp_path / "cache"))
+    config.epochs = 1
+    config.backup_before_save = False
+    config_path = str(tmp_path / "config.json")
+    with open(config_path, "w") as f:
+        json.dump(config.to_dict(), f)
+    events = str(tmp_path / "events.jsonl")
+    commands = str(tmp_path / "commands.json")
+    with open(commands, "w") as f:
+        json.dump({}, f)
+    r = run_script(["scripts/train.py", "--config-path", config_path,
+                    "--callback-path", events, "--command-path", commands])
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = [json.loads(l) for l in open(events).read().splitlines() if l.strip()]
+    assert any(e["event"] == "on_update_status" for e in lines)
