@@ -191,3 +191,58 @@ def test_sd3_embedding_e2e(tmp_path):
     assert sd["clip_g"].shape == (2, 10)
     assert sd["t5"].shape == (2, 24)
     assert sd["t5_out"].shape == (1, 24)
+
+
+def test_sd3_e2e_lora_with_cached_te_dropout(tmp_path):
+    """Per-TE conditioning dropout must work on the CACHED conditioning
+    path, where the per-TE slices live inside the combined sd3_context
+    (reference: StableDiffusion3Model.py:397-415 applies dropout to
+    cached states too). Exercises the slice-masking branch of
+    sd3_conditioning end to end."""
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    model = tiny_sd3_model()
+    write_tiny_sd3_checkpoint(base, model)
+
+    config = TrainConfig.default_values()
+    config.model_type = ModelType.STABLE_DIFFUSION_3
+    config.training_method = TrainingMethod.LORA
+    config.base_model_name = base
+    config.workspace_dir = str(tmp_path / "ws")
+    config.cache_dir = str(tmp_path / "cache")
+    config.epochs = 1
+    config.batch_size = 2
+    config.resolution = "32"
+    config.aspect_ratio_bucketing = False
+    config.lora_rank = 4
+    config.learning_rate = 1e-3
+    config.learning_rate_warmup_steps = 0.0
+    config.tensorboard = False
+    config.sample_after_unit = TimeUnit.NEVER
+    config.backup_after_unit = TimeUnit.NEVER
+    config.save_every_unit = TimeUnit.NEVER
+    config.ema = EMAMode.OFF
+    config.optimizer.stochastic_rounding = False
+    config.prior.train = True
+    config.text_encoder.train = False
+    config.text_encoder.dropout_probability = 0.5
+    config.text_encoder_2.train = False
+    config.text_encoder_2.dropout_probability = 0.5
+    config.text_encoder_3.train = False
+    config.text_encoder_3.dropout_probability = 0.5
+    config.samples = []
+    concept = ConceptConfig.default_values()
+    concept.path = ds
+    concept.seed = 3
+    config.concepts = [concept]
+    config.output_model_destination = str(tmp_path / "out_sd3_drop.safetensors")
+    config.backup_before_save = False
+
+    trainer = GenericTrainer(config)
+    trainer.start()
+    trainer.train()
+    trainer.end()
+
+    assert trainer.train_progress.global_step >= 2
+    sd = load_safetensors(config.output_model_destination)
+    assert any(k.startswith("lora_transformer_") for k in sd)
