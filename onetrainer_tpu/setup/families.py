@@ -25,8 +25,8 @@ class ModelFamily:
     create_setup: Callable  # (model, config, total_steps) -> setup
     make_encode_fns: Callable
     sample: Callable        # (setup, sample_config, on_progress) -> SamplerOutput
-    save_model: Callable    # (setup, dir, source_dir) -> None (diffusers layout)
-    save_single_file: Callable  # (setup, path) -> None (LDM safetensors)
+    save_model: Callable    # (setup, dir, source_dir, save_dtype=None) -> None
+    save_single_file: Callable  # (setup, path, save_dtype=None) -> None
     lora_prefixes: dict     # trainable key -> kohya prefix
     video: bool = False     # data loader samples video clips
 
@@ -80,15 +80,16 @@ def _sd_sample(setup, sample_config, on_progress):
         sample_config, extra_embeddings=extra, on_update_progress=on_progress)
 
 
-def _sd_save_model(setup, out_dir, source_dir):
+def _sd_save_model(setup, out_dir, source_dir, save_dtype=None):
     from onetrainer_tpu.io.sd_checkpoints import save_sd_diffusers
     unet, te, _ = setup.merged_inference_params()
     save_sd_diffusers(out_dir, setup.model, unet,
                       setup.effective_vae_params(), te,
+                      save_dtype=save_dtype or np.float32,
                       source_dir=source_dir)
 
 
-def _sd_save_single_file(setup, path):
+def _sd_save_single_file(setup, path, save_dtype=None):
     from onetrainer_tpu.io.sd_checkpoints import save_sd_single_file
     from onetrainer_tpu.util.model_spec import make_modelspec_metadata
     unet, te, _ = setup.merged_inference_params()
@@ -98,7 +99,8 @@ def _sd_save_single_file(setup, path):
         prediction_type=setup.model.prediction_type,
         train_config=setup.config)
     save_sd_single_file(path, setup.model, unet,
-                        setup.effective_vae_params(), te, metadata=meta)
+                        setup.effective_vae_params(), te, metadata=meta,
+                        save_dtype=save_dtype or np.float32)
 
 
 # -- SDXL -----------------------------------------------------------------------------
@@ -153,14 +155,15 @@ def _sdxl_sample(setup, sample_config, on_progress):
         extra_embeddings=extra, on_update_progress=on_progress)
 
 
-def _sdxl_save_model(setup, out_dir, source_dir):
+def _sdxl_save_model(setup, out_dir, source_dir, save_dtype=None):
     from onetrainer_tpu.io.sd_checkpoints import save_sdxl_diffusers
     unet, te, te2, _ = setup.merged_inference_params()
     save_sdxl_diffusers(out_dir, setup.model, unet, setup.model.vae_params,
-                        te, te2, source_dir=source_dir)
+                        te, te2, save_dtype=save_dtype or np.float32,
+                        source_dir=source_dir)
 
 
-def _sdxl_save_single_file(setup, path):
+def _sdxl_save_single_file(setup, path, save_dtype=None):
     from onetrainer_tpu.io.sd_checkpoints import save_sdxl_single_file
     from onetrainer_tpu.util.model_spec import make_modelspec_metadata
     unet, te, te2, _ = setup.merged_inference_params()
@@ -170,7 +173,8 @@ def _sdxl_save_single_file(setup, path):
         prediction_type=setup.model.prediction_type,
         train_config=setup.config)
     save_sdxl_single_file(path, setup.model, unet, setup.model.vae_params,
-                          te, te2, metadata=meta)
+                          te, te2, metadata=meta,
+                          save_dtype=save_dtype or np.float32)
 
 
 
@@ -260,14 +264,16 @@ def _unstacked_blocks(transformer):
     return transformer
 
 
-def _flux_save_model(setup, out_dir, source_dir):
+def _flux_save_model(setup, out_dir, source_dir, save_dtype=None):
     from onetrainer_tpu.io.flux_checkpoints import save_flux_diffusers
     transformer, te, te2, _ = setup.merged_inference_params()
     save_flux_diffusers(out_dir, setup.model, _unstacked_blocks(transformer),
-                        setup.model.vae_params, te, te2, source_dir=source_dir)
+                        setup.model.vae_params, te, te2,
+                        save_dtype=save_dtype or np.float32,
+                        source_dir=source_dir)
 
 
-def _flux_save_single_file(setup, path):
+def _flux_save_single_file(setup, path, save_dtype=None):
     """BFL single-file layout (reference:
     modules/util/convert/convert_flux_diffusers_to_ckpt.py)."""
     import numpy as _np
@@ -277,7 +283,8 @@ def _flux_save_single_file(setup, path):
     from onetrainer_tpu.util.model_spec import make_modelspec_metadata
     transformer, *_ = setup.merged_inference_params()
     sd = flux_transformer_to_bfl(
-        unet_flax_to_state_dict(_to_numpy_tree(_unstacked_blocks(transformer))))
+        unet_flax_to_state_dict(
+            _to_numpy_tree(_unstacked_blocks(transformer), save_dtype)))
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
         resolution=setup.config.resolution,
@@ -334,14 +341,16 @@ def _pixart_sample(setup, sample_config, on_progress):
         extra_embeddings=extra, on_update_progress=on_progress)
 
 
-def _pixart_save_model(setup, out_dir, source_dir):
+def _pixart_save_model(setup, out_dir, source_dir, save_dtype=None):
     from onetrainer_tpu.io.pixart_checkpoints import save_pixart_diffusers
     transformer, te, _ = setup.merged_inference_params()
     save_pixart_diffusers(out_dir, setup.model, _unstacked_blocks(transformer),
-                          setup.model.vae_params, te, source_dir=source_dir)
+                          setup.model.vae_params, te,
+                          save_dtype=save_dtype or np.float32,
+                          source_dir=source_dir)
 
 
-def _pixart_save_single_file(setup, path):
+def _pixart_save_single_file(setup, path, save_dtype=None):
     """Original PixArt repo single-file layout (reference:
     modules/util/convert/convert_pixart_diffusers_to_ckpt.py)."""
     import numpy as _np
@@ -352,7 +361,7 @@ def _pixart_save_single_file(setup, path):
     transformer, *_ = setup.merged_inference_params()
     transformer = _unstacked_blocks(transformer)
     sd = pixart_transformer_to_ckpt(
-        unet_flax_to_state_dict(_to_numpy_tree(transformer)))
+        unet_flax_to_state_dict(_to_numpy_tree(transformer, save_dtype)))
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
         resolution=setup.config.resolution,
@@ -412,7 +421,7 @@ def _hidream_sample(setup, sample_config, on_progress):
         extra_embeddings=extra, on_update_progress=on_progress)
 
 
-def _hidream_save_model(setup, out_dir, source_dir):
+def _hidream_save_model(setup, out_dir, source_dir, save_dtype=None):
     from onetrainer_tpu.io.hidream_checkpoints import save_hidream_diffusers
     transformer, *_ = setup.merged_inference_params()
     transformer = dict(transformer)
@@ -420,10 +429,11 @@ def _hidream_save_model(setup, out_dir, source_dir):
     unstack_scanned_blocks(transformer, "double_stream_blocks")
     unstack_scanned_blocks(transformer, "single_stream_blocks")
     save_hidream_diffusers(out_dir, setup.model, transformer,
+                           save_dtype=save_dtype or np.float32,
                            source_dir=source_dir)
 
 
-def _hidream_save_single_file(setup, path):
+def _hidream_save_single_file(setup, path, save_dtype=None):
     """Transformer state-dict dump in diffusers key layout — the reference
     saves exactly model.transformer.state_dict() to safetensors
     (modules/modelSaver/hidream/HiDreamModelSaver.py:51-63)."""
@@ -436,7 +446,7 @@ def _hidream_save_single_file(setup, path):
     transformer = dict(transformer)
     unstack_scanned_blocks(transformer, "double_stream_blocks")
     unstack_scanned_blocks(transformer, "single_stream_blocks")
-    sd = hidream_flax_to_state_dict(_to_numpy_tree(transformer))
+    sd = hidream_flax_to_state_dict(_to_numpy_tree(transformer, save_dtype))
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
         resolution=setup.config.resolution,
@@ -496,14 +506,15 @@ def _hunyuan_sample(setup, sample_config, on_progress):
         extra_embeddings=extra, on_update_progress=on_progress)
 
 
-def _hunyuan_save_model(setup, out_dir, source_dir):
+def _hunyuan_save_model(setup, out_dir, source_dir, save_dtype=None):
     from onetrainer_tpu.io.hunyuan_checkpoints import save_hunyuan_diffusers
     transformer, te, _, _ = setup.merged_inference_params()
     save_hunyuan_diffusers(out_dir, setup.model, _unstacked_blocks(transformer),
-                           te, source_dir=source_dir)
+                           te, save_dtype=save_dtype or np.float32,
+                           source_dir=source_dir)
 
 
-def _hunyuan_save_single_file(setup, path):
+def _hunyuan_save_single_file(setup, path, save_dtype=None):
     """Original-repo ckpt layout under the `model.model` prefix (reference:
     modules/util/convert/convert_hunyuan_video_diffusers_to_ckpt.py:143-149,
     modules/modelSaver/hunyuanVideo/HunyuanVideoModelSaver.py:60-92)."""
@@ -515,7 +526,7 @@ def _hunyuan_save_single_file(setup, path):
     transformer, *_ = setup.merged_inference_params()
     sd = hunyuan_transformer_to_ckpt(
         hunyuan_flax_to_state_dict(
-            _to_numpy_tree(_unstacked_blocks(transformer))))
+            _to_numpy_tree(_unstacked_blocks(transformer), save_dtype)))
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
         resolution=setup.config.resolution,
@@ -568,14 +579,15 @@ def _sana_sample(setup, sample_config, on_progress):
         extra_embeddings=extra, on_update_progress=on_progress)
 
 
-def _sana_save_model(setup, out_dir, source_dir):
+def _sana_save_model(setup, out_dir, source_dir, save_dtype=None):
     from onetrainer_tpu.io.sana_checkpoints import save_sana_diffusers
     transformer, te, _ = setup.merged_inference_params()
     save_sana_diffusers(out_dir, setup.model, _unstacked_blocks(transformer),
-                        te, source_dir=source_dir)
+                        te, save_dtype=save_dtype or np.float32,
+                        source_dir=source_dir)
 
 
-def _sana_save_single_file(setup, path):
+def _sana_save_single_file(setup, path, save_dtype=None):
     raise NotImplementedError(
         "Sana single-file export not implemented; use DIFFUSERS format")
 
@@ -649,14 +661,15 @@ def _wuerstchen_sample(setup, sample_config, on_progress):
         extra_embeddings=extra, on_update_progress=on_progress)
 
 
-def _wuerstchen_save_model(setup, out_dir, source_dir):
+def _wuerstchen_save_model(setup, out_dir, source_dir, save_dtype=None):
     from onetrainer_tpu.io.wuerstchen_checkpoints import save_wuerstchen_diffusers
     prior, te, _ = setup.merged_inference_params()
     save_wuerstchen_diffusers(out_dir, setup.model, prior, te,
+                              save_dtype=save_dtype or np.float32,
                               source_dir=source_dir)
 
 
-def _wuerstchen_save_single_file(setup, path):
+def _wuerstchen_save_single_file(setup, path, save_dtype=None):
     """Stable Cascade single-file export: stage_c.safetensors (fused
     in_proj attention keys) + text_encoder.safetensors (reference:
     modules/modelSaver/wuerstchen/WuerstchenModelSaver.py:41-69 — a
@@ -686,10 +699,11 @@ def _wuerstchen_save_single_file(setup, path):
         os.makedirs(path, exist_ok=True)
         stage_c_path = os.path.join(path, "stage_c.safetensors")
         te_path = os.path.join(path, "text_encoder.safetensors")
-    sd = cascade_prior_to_ckpt(prior_flax_to_state_dict(_to_numpy_tree(prior)))
+    sd = cascade_prior_to_ckpt(
+        prior_flax_to_state_dict(_to_numpy_tree(prior, save_dtype)))
     save_safetensors(stage_c_path,
                      {k: _np.asarray(v) for k, v in sd.items()}, metadata=meta)
-    te_sd = clip_flax_to_state_dict(_to_numpy_tree(te))
+    te_sd = clip_flax_to_state_dict(_to_numpy_tree(te, save_dtype))
     save_safetensors(te_path,
                      {k: _np.asarray(v) for k, v in te_sd.items()},
                      metadata=meta)
@@ -752,15 +766,16 @@ def _sd3_sample(setup, sample_config, on_progress):
         extra_embeddings=extra, on_update_progress=on_progress)
 
 
-def _sd3_save_model(setup, out_dir, source_dir):
+def _sd3_save_model(setup, out_dir, source_dir, save_dtype=None):
     from onetrainer_tpu.io.sd3_checkpoints import save_sd3_diffusers
     transformer, te, te2, te3, _ = setup.merged_inference_params()
     save_sd3_diffusers(out_dir, setup.model, _unstacked_blocks(transformer),
                        setup.model.vae_params, te, te2, te3,
+                       save_dtype=save_dtype or np.float32,
                        source_dir=source_dir)
 
 
-def _sd3_save_single_file(setup, path):
+def _sd3_save_single_file(setup, path, save_dtype=None):
     """SAI single-file layout: vae + MMDiT + 3 TEs
     (reference: modules/util/convert/convert_sd3_diffusers_to_ckpt.py)."""
     import numpy as _np
@@ -775,20 +790,25 @@ def _sd3_save_single_file(setup, path):
     transformer, te, te2, te3, _ = setup.merged_inference_params()
     sd = {}
     vae_sd = convert_vae_diffusers_to_ldm(
-        vae_flax_to_state_dict(_to_numpy_tree(setup.model.vae_params)))
+        vae_flax_to_state_dict(_to_numpy_tree(setup.model.vae_params,
+                                              save_dtype)))
     sd.update({f"first_stage_model.{k}": v for k, v in vae_sd.items()})
     sd.update({f"model.diffusion_model.{k}": v for k, v in
                sd3_transformer_to_sai(unet_flax_to_state_dict(
-                   _to_numpy_tree(_unstacked_blocks(transformer)))).items()})
+                   _to_numpy_tree(_unstacked_blocks(transformer),
+                                  save_dtype))).items()})
     if te is not None:
         sd.update({f"text_encoders.clip_l.transformer.{k}": v for k, v in
-                   clip_flax_to_state_dict(_to_numpy_tree(te)).items()})
+                   clip_flax_to_state_dict(
+                       _to_numpy_tree(te, save_dtype)).items()})
     if te2 is not None:
         sd.update({f"text_encoders.clip_g.transformer.{k}": v for k, v in
-                   clip_flax_to_state_dict(_to_numpy_tree(te2)).items()})
+                   clip_flax_to_state_dict(
+                       _to_numpy_tree(te2, save_dtype)).items()})
     if te3 is not None:
         sd.update({f"text_encoders.t5xxl.transformer.{k}": v for k, v in
-                   t5_flax_to_state_dict(_to_numpy_tree(te3)).items()})
+                   t5_flax_to_state_dict(
+                       _to_numpy_tree(te3, save_dtype)).items()})
     meta = make_modelspec_metadata(
         setup.config.model_type, setup.config.training_method,
         resolution=setup.config.resolution,
@@ -1093,10 +1113,78 @@ def get_family(model_type: ModelType) -> ModelFamily:
         f"model family {model_type} is not wired up yet")
 
 
-def save_lora_output(setup, destination: str, lora_prefixes: dict):
+def cast_float_array(arr, dtype):
+    """Cast float arrays (incl. ml_dtypes bf16/fp8) to `dtype`; pass
+    integers and None through — mirrors the reference's
+    DtypeModelSaverMixin._convert_state_dict_dtype, which `.to()`s every
+    tensor but only floats actually change representation here."""
+    import ml_dtypes
+    if dtype is None:
+        return arr
+    a = np.asarray(jax.device_get(arr))
+    if (np.issubdtype(a.dtype, np.floating)
+            or a.dtype in (np.dtype(ml_dtypes.bfloat16),
+                           np.dtype(ml_dtypes.float8_e4m3fn),
+                           np.dtype(ml_dtypes.float8_e5m2))):
+        return np.ascontiguousarray(a.astype(dtype))
+    return a
+
+
+@dataclass
+class _InferenceSetup:
+    """A minimal stand-in for a training setup wrapping a freshly loaded
+    (untrained) model, so `ModelFamily.save_model` / `save_single_file`
+    can run outside a trainer — used by scripts/convert_model.py
+    (reference: that script builds a full model_loader/model_saver pair,
+    scripts/convert_model.py:16-47)."""
+    model: object
+    config: object
+    parts: tuple
+
+    def merged_inference_params(self, params=None):
+        return self.parts
+
+    def effective_vae_params(self):
+        return self.model.vae_params
+
+
+def make_inference_setup(model, config) -> _InferenceSetup:
+    """Build the per-family `merged_inference_params()` tuple straight
+    from the loaded model's param attributes (the FINE_TUNE branch of each
+    setup's merged_inference_params with no trained deltas applied)."""
+    mt = config.model_type
+    if mt.is_stable_diffusion():
+        parts = (model.unet_params, model.te_params, None)
+    elif mt.is_stable_diffusion_xl():
+        parts = (model.unet_params, model.te_params, model.te2_params, None)
+    elif mt.is_stable_diffusion_3():
+        parts = (model.transformer_params, model.te_params,
+                 model.te2_params, model.te3_params, None)
+    elif mt.is_flux():
+        parts = (model.transformer_params, model.te_params,
+                 model.te2_params, None)
+    elif mt.is_pixart() or mt.is_sana():
+        parts = (model.transformer_params, model.te_params, None)
+    elif mt.is_hi_dream():
+        parts = (model.transformer_params, model.te_params, model.te2_params,
+                 model.te3_params, model.te4_params, None)
+    elif mt.is_hunyuan_video():
+        parts = (model.transformer_params, model.te_params,
+                 model.te2_params, None)
+    elif mt.is_wuerstchen():
+        parts = (model.prior_params, model.te_params, None)
+    else:
+        raise ValueError(f"unsupported model type {mt}")
+    return _InferenceSetup(model=model, config=config, parts=parts)
+
+
+def save_lora_output(setup, destination: str, lora_prefixes: dict,
+                     save_dtype=None):
     """kohya-format LoRA safetensors across all adapter groups, with
     trained additional embeddings bundled as bundle_emb.* keys
-    (reference: StableDiffusionLoRASaver.py:33-41)."""
+    (reference: StableDiffusionLoRASaver.py:33-41; tensors cast to the
+    configured output_dtype like LoRASaverMixin.save via
+    DtypeModelSaverMixin._convert_state_dict_dtype)."""
     tensors = {}
     params = setup.state.params
     for key, prefix in lora_prefixes.items():
@@ -1114,6 +1202,9 @@ def save_lora_output(setup, destination: str, lora_prefixes: dict):
             start, count = span
             tensors[f"bundle_emb.{cfg_e.placeholder}.emp_params"] = \
                 vectors[start:start + count]
+    if save_dtype is not None:
+        tensors = {k: cast_float_array(v, save_dtype)
+                   for k, v in tensors.items()}
     if not destination.endswith(".safetensors"):
         destination += ".safetensors"
     from onetrainer_tpu.util.model_spec import make_modelspec_metadata

@@ -347,8 +347,13 @@ class GenericTrainer(BaseTrainer):
 
     def _save_output(self, destination: str):
         config = self.config
+        # every exported tensor is cast to output_dtype (reference:
+        # GenericTrainer.save passes output_dtype.torch_dtype() into the
+        # saver, GenericTrainer.py:479; backups keep the train dtype)
+        save_dtype = config.output_dtype.to_save_dtype()
         if config.training_method == TrainingMethod.LORA:
-            save_lora_output(self.setup, destination, self.family.lora_prefixes)
+            save_lora_output(self.setup, destination,
+                             self.family.lora_prefixes, save_dtype=save_dtype)
         elif config.training_method == TrainingMethod.EMBEDDING:
             params = self.setup.state.params
             tensors = {}
@@ -364,29 +369,32 @@ class GenericTrainer(BaseTrainer):
                              "output_embeddings": "clip_l_out",
                              "output_embeddings_2": "clip_g_out",
                              "output_embeddings_3": "t5_out"}
+            from onetrainer_tpu.setup.families import cast_float_array
             if save_keys:
                 for key, name in save_keys.items():
                     if key in params:
-                        tensors[name] = np.asarray(
-                            jax.device_get(params[key]))
+                        tensors[name] = cast_float_array(
+                            params[key], save_dtype)
             else:
                 if "embeddings" in params:
-                    tensors["emp_params"] = np.asarray(
-                        jax.device_get(params["embeddings"]))
+                    tensors["emp_params"] = cast_float_array(
+                        params["embeddings"], save_dtype)
                 if "output_embeddings" in params:
                     # output-embedding vectors (reference:
                     # BaseModelEmbedding output_vector save path)
-                    tensors["output_emp_params"] = np.asarray(
-                        jax.device_get(params["output_embeddings"]))
+                    tensors["output_emp_params"] = cast_float_array(
+                        params["output_embeddings"], save_dtype)
             if not destination.endswith(".safetensors"):
                 destination = destination + ".safetensors"
             save_safetensors(destination, tensors, metadata={"format": "pt"})
         elif config.output_model_format.is_single_file():
             if not destination.endswith((".safetensors", ".ckpt")):
                 destination += config.output_model_format.file_extension()
-            self.family.save_single_file(self.setup, destination)
+            self.family.save_single_file(self.setup, destination,
+                                         save_dtype=save_dtype)
         else:
-            self.family.save_model(self.setup, destination, self._source_dir)
+            self.family.save_model(self.setup, destination, self._source_dir,
+                                   save_dtype=save_dtype)
 
     # -- validation ----------------------------------------------------------------
 

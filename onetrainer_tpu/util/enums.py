@@ -194,6 +194,22 @@ class DataType(_StrEnum):
             DataType.NFLOAT_4: jnp.uint8,
         }[self]
 
+    def to_save_dtype(self):
+        """numpy dtype for save-time tensor casting — the reference threads
+        `config.output_dtype.torch_dtype()` into every model/LoRA/embedding
+        saver (reference: GenericTrainer.py:479, DtypeModelSaverMixin.py:
+        _convert_state_dict_dtype). NONE keeps each tensor's own dtype."""
+        import ml_dtypes
+        import numpy as np
+        return {
+            DataType.NONE: None,
+            DataType.FLOAT_8: ml_dtypes.float8_e4m3fn,
+            DataType.FLOAT_16: np.float16,
+            DataType.FLOAT_32: np.float32,
+            DataType.BFLOAT_16: ml_dtypes.bfloat16,
+            DataType.TFLOAT_32: np.float32,
+        }.get(self, np.float32)
+
     def to_compute_dtype(self):
         """Compute-dtype policy for the TPU backend: fp16 maps to bf16
         (the MXU's native half type; removes the reference's GradScaler

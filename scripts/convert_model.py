@@ -1,9 +1,18 @@
-"""Convert between model formats (reference: scripts/convert_model.py):
-diffusers directory <-> LDM single-file safetensors, any dtype.
+"""Convert models between formats and dtypes (reference:
+scripts/convert_model.py, modules/util/args/ConvertModelArgs.py).
+
+All nine model families convert between diffusers directories and their
+single-file layouts; LoRA and embedding safetensors convert dtype
+(the reference loads them through the model loader and re-saves through
+the saver with the requested dtype — the net effect is a cast).
 
     python scripts/convert_model.py --model-type STABLE_DIFFUSION_15 \
         --input model_dir_or_file --output out.safetensors \
         --output-model-format SAFETENSORS --output-dtype FLOAT_16
+
+    python scripts/convert_model.py --model-type STABLE_DIFFUSION_XL_10_BASE \
+        --training-method LORA --input lora.safetensors \
+        --output lora_fp16.safetensors --output-dtype FLOAT_16
 """
 
 import argparse
@@ -15,8 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from onetrainer_tpu.util.platform import maybe_force_platform
 maybe_force_platform()
 
-import numpy as np
-
 
 def parse_args():
     p = argparse.ArgumentParser(description="Convert models between formats")
@@ -25,69 +32,69 @@ def parse_args():
                    dest="input_name")
     p.add_argument("--output", "--output-model-destination",
                    required=True, dest="output_name")
-    # accepted for reference-CLI compatibility (loaders infer the
-    # method from the checkpoint contents)
-    p.add_argument("--training-method", default="FINE_TUNE")
+    p.add_argument("--training-method", default="FINE_TUNE",
+                   help="FINE_TUNE converts the base model; LORA/EMBEDDING "
+                        "convert a trained adapter/embedding file")
     p.add_argument("--output-model-format", default="SAFETENSORS")
     p.add_argument("--output-dtype", default="FLOAT_16")
     return p.parse_args()
 
 
+def _convert_adapter(input_name: str, output_name: str, save_dtype):
+    """LoRA / embedding safetensors: cast every float tensor to the output
+    dtype, keep keys and metadata (reference: LoRASaverMixin.save /
+    EmbeddingSaverMixin both funnel through
+    DtypeModelSaverMixin._convert_state_dict_dtype)."""
+    from onetrainer_tpu.io.safetensors_io import (
+        SafetensorsFile, save_safetensors,
+    )
+    from onetrainer_tpu.setup.families import cast_float_array
+    with SafetensorsFile(input_name) as f:
+        tensors = {k: cast_float_array(f.tensor(k), save_dtype)
+                   for k in f.keys()}
+        meta = dict(f.metadata)
+    if not output_name.endswith(".safetensors"):
+        output_name += ".safetensors"
+    save_safetensors(output_name, tensors, metadata=meta)
+
+
 def main():
     args = parse_args()
-    import jax.numpy as jnp
-    import ml_dtypes
-
-    from onetrainer_tpu.io import sd_checkpoints as ckpt
-    from onetrainer_tpu.models.sd import StableDiffusionModel
-    from onetrainer_tpu.models.sdxl import StableDiffusionXLModel
-    from onetrainer_tpu.util.enums import DataType, ModelFormat, ModelType
+    from onetrainer_tpu.config.train_config import TrainConfig
+    from onetrainer_tpu.setup.families import get_family, make_inference_setup
+    from onetrainer_tpu.util.enums import (
+        DataType, ModelFormat, ModelType, TrainingMethod,
+    )
 
     model_type = ModelType[args.model_type]
+    method = TrainingMethod[args.training_method]
     out_format = ModelFormat[args.output_model_format]
-    out_dtype = {
-        DataType.FLOAT_32: np.float32,
-        DataType.FLOAT_16: np.float16,
-        DataType.BFLOAT_16: ml_dtypes.bfloat16,
-    }[DataType[args.output_dtype]]
+    save_dtype = DataType[args.output_dtype].to_save_dtype()
 
-    is_xl = model_type.is_stable_diffusion_xl()
-    if os.path.isfile(args.input_name):
-        loaded = (ckpt.load_sdxl_single_file if is_xl else ckpt.load_sd_single_file)(
-            args.input_name, model_type, device=False)
-    else:
-        loaded = (ckpt.load_sdxl_diffusers if is_xl else ckpt.load_sd_diffusers)(
-            args.input_name, device=False)
+    if method in (TrainingMethod.LORA, TrainingMethod.EMBEDDING):
+        _convert_adapter(args.input_name, args.output_name, save_dtype)
+        print(f"converted {args.input_name} -> {args.output_name}")
+        return
 
-    if is_xl:
-        model = StableDiffusionXLModel(
-            model_type=model_type, unet_config=loaded["unet_config"],
-            vae_config=loaded["vae_config"], te_config=loaded["te_config"],
-            te2_config=loaded["te2_config"])
-        if out_format.is_single_file():
-            ckpt.save_sdxl_single_file(
-                args.output_name, model, loaded["unet_params"],
-                loaded["vae_params"], loaded["te_params"], loaded["te2_params"],
-                save_dtype=out_dtype)
-        else:
-            ckpt.save_sdxl_diffusers(
-                args.output_name, model, loaded["unet_params"],
-                loaded["vae_params"], loaded["te_params"], loaded["te2_params"],
-                save_dtype=out_dtype,
-                source_dir=args.input_name if os.path.isdir(args.input_name) else None)
+    config = TrainConfig.default_values()
+    config.model_type = model_type
+    config.base_model_name = args.input_name
+    config.training_method = TrainingMethod.FINE_TUNE
+    config.weight_dtype = DataType.FLOAT_32
+
+    family = get_family(model_type)
+    model = family.load(args.input_name, config)
+    setup = make_inference_setup(model, config)
+
+    if out_format.is_single_file():
+        out = args.output_name
+        if not out.endswith((".safetensors", ".ckpt")):
+            out += out_format.file_extension()
+        family.save_single_file(setup, out, save_dtype=save_dtype)
     else:
-        model = StableDiffusionModel(
-            model_type=model_type, unet_config=loaded["unet_config"],
-            vae_config=loaded["vae_config"], te_config=loaded["te_config"])
-        if out_format.is_single_file():
-            ckpt.save_sd_single_file(
-                args.output_name, model, loaded["unet_params"],
-                loaded["vae_params"], loaded["te_params"], save_dtype=out_dtype)
-        else:
-            ckpt.save_sd_diffusers(
-                args.output_name, model, loaded["unet_params"],
-                loaded["vae_params"], loaded["te_params"], save_dtype=out_dtype,
-                source_dir=args.input_name if os.path.isdir(args.input_name) else None)
+        source_dir = args.input_name if os.path.isdir(args.input_name) else None
+        family.save_model(setup, args.output_name, source_dir,
+                          save_dtype=save_dtype)
     print(f"converted {args.input_name} -> {args.output_name}")
 
 

@@ -65,6 +65,58 @@ def test_convert_model_roundtrip(tmp_path):
         np.testing.assert_array_equal(orig[k], conv[k], err_msg=k)
 
 
+def test_convert_model_sd3_single_file_with_dtype(tmp_path):
+    """DiT-family conversion + output-dtype cast (reference:
+    scripts/convert_model.py passes output_dtype into the saver)."""
+    from tests.test_sd3 import tiny_sd3_model
+    from tests.test_trainer_sd3 import write_tiny_sd3_checkpoint
+    base = str(tmp_path / "sd3")
+    write_tiny_sd3_checkpoint(base, tiny_sd3_model())
+    out = str(tmp_path / "sd3_fp16.safetensors")
+    r = run_script(["scripts/convert_model.py",
+                    "--model-type", "STABLE_DIFFUSION_3",
+                    "--input", base, "--output", out,
+                    "--output-model-format", "SAFETENSORS",
+                    "--output-dtype", "FLOAT_16"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    with SafetensorsFile(out) as f:
+        keys = f.keys()
+        assert any(k.startswith("model.diffusion_model.") for k in keys)
+        assert any(k.startswith("first_stage_model.") for k in keys)
+        assert any(k.startswith("text_encoders.t5xxl.") for k in keys)
+        float_keys = [k for k in keys if f.dtype(k).kind == "f"]
+        assert float_keys
+        assert all(f.dtype(k) == np.float16 for k in float_keys)
+
+
+def test_convert_lora_dtype(tmp_path):
+    """LORA training-method conversion = dtype cast with metadata kept
+    (reference: convert_model.py LORA branch through LoRASaverMixin)."""
+    import ml_dtypes
+
+    from onetrainer_tpu.io.safetensors_io import save_safetensors
+    src = str(tmp_path / "lora.safetensors")
+    rng = np.random.default_rng(0)
+    save_safetensors(src, {
+        "lora_unet_x.lora_down.weight":
+            rng.standard_normal((4, 8)).astype(np.float32),
+        "lora_unet_x.lora_up.weight":
+            rng.standard_normal((8, 4)).astype(np.float32),
+        "lora_unet_x.alpha": np.asarray(4.0, np.float32),
+    }, metadata={"format": "pt", "ss_network_dim": "4"})
+    out = str(tmp_path / "lora_bf16.safetensors")
+    r = run_script(["scripts/convert_model.py",
+                    "--model-type", "STABLE_DIFFUSION_15",
+                    "--training-method", "LORA",
+                    "--input", src, "--output", out,
+                    "--output-dtype", "BFLOAT_16"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    with SafetensorsFile(out) as f:
+        assert f.metadata.get("ss_network_dim") == "4"
+        for k in f.keys():
+            assert f.dtype(k) == np.dtype(ml_dtypes.bfloat16), k
+
+
 def test_train_script_end_to_end(tmp_path):
     base = str(tmp_path / "ckpt")
     ds = make_dataset(str(tmp_path / "ds"), n=4)

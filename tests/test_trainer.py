@@ -153,6 +153,28 @@ def test_e2e_dora_training_with_ema_interval(tmp_path):
                for v in conv)
 
 
+def test_save_honors_output_dtype(trained_workspace):
+    """config.output_dtype casts every exported tensor (reference:
+    GenericTrainer.save passes output_dtype.torch_dtype() to the saver,
+    GenericTrainer.py:479)."""
+    from onetrainer_tpu.io.safetensors_io import SafetensorsFile
+    from onetrainer_tpu.util.enums import DataType
+    tmp, config, trainer = trained_workspace
+    old = config.output_dtype
+    dest = str(tmp / "out_fp16.safetensors")
+    try:
+        config.output_dtype = DataType.FLOAT_16
+        trainer.save(dest)
+    finally:
+        config.output_dtype = old
+    with SafetensorsFile(dest) as f:
+        keys = f.keys()
+        assert any(k.endswith("lora_down.weight") for k in keys)
+        for k in keys:
+            if f.dtype(k).kind == "f":
+                assert f.dtype(k) == np.float16, k
+
+
 def test_e2e_backup_and_resume(trained_workspace):
     tmp, config, trainer = trained_workspace
     backup_dir = config.get_last_backup_path()
