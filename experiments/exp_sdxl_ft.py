@@ -1,9 +1,20 @@
-"""SDXL @1024 remat-policy experiment on the real chip.
+"""SDXL FULL fine-tune @1024 — the BASELINE.json north-star workload
+("SDXL full fine-tune on v5p ... >=3x images/sec/chip vs A100"); the
+reference's SDXL fine-tune path (modules/modelSetup/
+StableDiffusionXLFineTuneSetup.py with train_dtype bf16 + stochastic
+rounding, modules/util/bf16_stochastic_rounding.py).
 
-Usage: python experiments/exp_sdxl_remat.py <policy> [bs]
-Measures imgs/sec for one (policy, bs) point; prints one JSON line.
-Run each point in a fresh process so HBM is clean.
+Memory plan for one 16 GB v5e (the 2.57B UNet cannot carry fp32 AdamW
+state: 10.3 GB weights + 20.6 GB m,v):
+- bf16 weights + stochastic-rounded updates (ops/stochastic.py) = 5.1 GB
+- int8 block-2048 optimizer state (ops/quant_opt.py)            = 5.1 GB
+- full remat, grads bf16 transient, donated state buffers
+
+Usage: python experiments/exp_sdxl_ft.py [bs] [policy] [flags...]
+flags: fp32 (fp32 weights, no SR), opt32 (fp32 m,v), ema, masked
+Prints one JSON line; run each point in a fresh process.
 """
+
 from __future__ import annotations
 
 import json
@@ -12,21 +23,15 @@ import time
 
 
 def main():
-    policy = sys.argv[1] if len(sys.argv) > 1 else "full"
-    bs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    offload = "offload" in sys.argv[3:]
-    opt8 = "opt8" in sys.argv[3:]
-    bf16_adapters = "bf16ad" in sys.argv[3:]
-    base_quant = next((f for f in sys.argv[3:]
-                       if f in ("fp8", "int8", "nf4")), None)
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    policy = sys.argv[2] if len(sys.argv) > 2 else "full"
+    flags = sys.argv[3:]
+    fp32 = "fp32" in flags
+    opt8 = "opt32" not in flags
+    ema = "ema" in flags
+    masked = "masked" in flags
 
     import os
-    # fp8 activations on the frozen-base dots (ops/fp8_acts.py) — set
-    # before the first trace (trace-time switch)
-    if "fp8acts" in sys.argv[3:]:
-        os.environ["OT_FP8_ACTS"] = "1"
-    elif "fp8acts_static" in sys.argv[3:]:
-        os.environ["OT_FP8_ACTS"] = "static"
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -37,7 +42,6 @@ def main():
     from onetrainer_tpu.math.losses import LossConfig
     from onetrainer_tpu.math.timesteps import TimestepConfig
     from onetrainer_tpu.models.sdxl import create_sdxl_model
-    from onetrainer_tpu.peft.lora import PeftConfig, init_peft_params
     from onetrainer_tpu.train.sd_train_step import SDStepConfig
     from onetrainer_tpu.train.sdxl_train_step import make_sdxl_train_step
     from onetrainer_tpu.train.train_state import create_train_state
@@ -56,30 +60,27 @@ def main():
         jnp.zeros((1, 77, 2048), jnp.bfloat16),
         jnp.zeros((1, 1280), jnp.bfloat16),
         jnp.zeros((1, 6), jnp.bfloat16)))(rng)["params"]
-    peft_cfg = PeftConfig(rank=16, alpha=16.0)
-    adapters = init_peft_params(jax.random.PRNGKey(1), unet_params, peft_cfg)
-    if bf16_adapters:
-        adapters = jax.tree.map(lambda x: x.astype(jnp.bfloat16), adapters)
+    if not fp32:
+        unet_params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            unet_params)
     cfg = SDStepConfig(
-        training_method=TrainingMethod.LORA, timestep=TimestepConfig(),
-        loss=LossConfig(vb_loss_strength=0.0, batch_size=bs),
-        stochastic_rounding=bf16_adapters)
-    inner = optax.adamw(1e-4)
+        training_method=TrainingMethod.FINE_TUNE, timestep=TimestepConfig(),
+        loss=LossConfig(vb_loss_strength=0.0, batch_size=bs,
+                        masked_training=masked, raw_masked_training=masked,
+                        unmasked_weight=0.1 if masked else 1.0,
+                        normalize_masked_area_loss=masked),
+        ema_decay=0.999 if ema else 0.0,
+        stochastic_rounding=not fp32)
+    inner = optax.adamw(3e-6)
     if opt8:
         from onetrainer_tpu.ops.quant_opt import int8_optimizer_state
         inner = int8_optimizer_state(inner)
     tx = optax.chain(optax.clip_by_global_norm(1.0), inner)
-    if offload:
-        from onetrainer_tpu.train.train_state import configure_offload
-        configure_offload(opt_state=True)
-    state = create_train_state({"unet_lora": adapters}, tx)
-    step = make_sdxl_train_step(model, cfg, tx, peft_cfg)
-    if base_quant:
-        from onetrainer_tpu.ops.quant import quantize_tree
-        qdtype = {"fp8": jnp.float8_e4m3fn, "int8": jnp.int8,
-                  "nf4": "nf4"}[base_quant]
-        unet_params = quantize_tree(unet_params, qdtype)
-    frozen = {"unet": unet_params}
+    state = create_train_state({"unet": unet_params}, tx, ema_enabled=ema)
+    del unet_params
+    step = make_sdxl_train_step(model, cfg, tx, peft_cfg=None)
+    frozen = {"unet": None}
     batch = {
         "latent_image": jax.random.normal(
             jax.random.PRNGKey(2), (bs, lat, lat, 4), jnp.bfloat16),
@@ -94,6 +95,9 @@ def main():
         "crop_offset": jnp.zeros((bs, 2), jnp.int32),
         "crop_resolution": jnp.full((bs, 2), res, jnp.int32),
     }
+    if masked:
+        batch["latent_mask"] = (jax.random.uniform(
+            jax.random.PRNGKey(7), (bs, lat, lat, 1)) > 0.5).astype(jnp.bfloat16)
     flops = None
     try:
         analysis = step.lower(state, frozen, batch,
@@ -114,14 +118,15 @@ def main():
     float(metrics["loss"])
     elapsed = time.perf_counter() - start
     ips = bs * n / elapsed
-    out = {"policy": policy, "bs": bs, "flags": sys.argv[3:],
+    out = {"workload": f"sdxl_ft_1024_bs{bs}_{policy}", "flags": flags,
            "imgs_per_sec": round(ips, 3),
            "sec_per_step": round(elapsed / n, 3),
            "compile_s": round(compile_s, 1)}
     if flops:
-        out["hw_tflops_per_img"] = round(flops / bs / 1e12, 2)
         out["hw_util_v5e"] = round(ips * flops / bs / 197e12, 3)
     print(json.dumps(out))
+    with open("/root/repo/experiments/sweep_log.txt", "a") as f:
+        f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":

@@ -82,6 +82,43 @@ def _delta_2d(entry: dict) -> jnp.ndarray:
     return entry["lora_up"].astype(jnp.float32) @ down
 
 
+def _adapter_y(entry: dict | None, xp: jnp.ndarray, dtype) -> jnp.ndarray | None:
+    """The additive adapter term for a dense layer (LoRA low-rank or LoHa
+    delta), or None. DoRA is handled by its merged-weight path instead."""
+    if entry is None:
+        return None
+    if "hada_w1_a" in entry:
+        delta = _delta_2d(entry)         # [out, in] fp32, transient
+        (delta,) = promote_dtype(delta, dtype=dtype)
+        return xp @ delta.T
+    down, up = promote_dtype(
+        entry["lora_down"], entry["lora_up"], dtype=dtype)
+    return (xp @ down.T) @ up.T
+
+
+def _fp8_acts_kernel(module: nn.Module, entry: dict | None):
+    """The frozen fp8 base kernel when the OT_FP8_ACTS path applies
+    (ops/fp8_acts.py: activation operand quantized to e4m3 so the
+    producer→matmul HBM edge is 1 byte/elem), else None. DoRA needs the
+    merged bf16 weight, so it never takes this path."""
+    from onetrainer_tpu.ops import fp8_acts
+    if not fp8_acts.mode():
+        return None
+    if entry is not None and "dora_scale" in entry:
+        return None
+    if not module.has_variable("params", "kernel"):
+        return None
+    from onetrainer_tpu.ops.quant import QuantizedArray
+    value = module.get_variable("params", "kernel")
+    if not isinstance(value, QuantizedArray):
+        return None
+    if value.q.dtype != jnp.float8_e4m3fn or value.q.ndim != 2 \
+            or value.scale.ndim != 0:
+        return None
+    fp8_acts.STATS["fp8_dot"] += 1
+    return value
+
+
 def _dora_weight(kernel_2d: jnp.ndarray, entry: dict,
                  conv_geom: tuple[int, int, int] | None = None) -> jnp.ndarray:
     """DoRA: m · (W + ΔW)/‖W + ΔW‖ in torch layout [out, fan_in]
@@ -122,12 +159,25 @@ class LoraDense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        entry = _lora_entry(self)
+        fp8_kernel = _fp8_acts_kernel(self, entry)
+        if fp8_kernel is not None:
+            from onetrainer_tpu.ops import fp8_acts
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              self.param_dtype) if self.use_bias else None
+            xp, bias = promote_dtype(x, bias, dtype=self.dtype)
+            y = fp8_acts.fp8_dot(xp, fp8_kernel.q, fp8_kernel.scale,
+                                 fp8_acts.mode() == "dynamic")
+            dy = _adapter_y(entry, xp, self.dtype)
+            if dy is not None:
+                y = y + dy
+            return y + bias if bias is not None else y
+
         kernel = _get_kernel(self, self.kernel_init,
                              (x.shape[-1], self.features), self.param_dtype,
                              self.dtype)
         bias = self.param("bias", self.bias_init, (self.features,),
                           self.param_dtype) if self.use_bias else None
-        entry = _lora_entry(self)
 
         if entry is not None and "dora_scale" in entry:
             # transient merged weight (per layer, freed after use; remat
@@ -139,15 +189,9 @@ class LoraDense(nn.Module):
 
         xp, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
         y = xp @ kernel
-        if entry is not None:
-            if "hada_w1_a" in entry:
-                delta = _delta_2d(entry)         # [out, in] fp32, transient
-                (delta,) = promote_dtype(delta, dtype=self.dtype)
-                y = y + xp @ delta.T
-            else:
-                down, up = promote_dtype(
-                    entry["lora_down"], entry["lora_up"], dtype=self.dtype)
-                y = y + (xp @ down.T) @ up.T
+        dy = _adapter_y(entry, xp, self.dtype)
+        if dy is not None:
+            y = y + dy
         return y + bias if bias is not None else y
 
 

@@ -40,7 +40,7 @@ def _sd_load(base_dir, config):
     )
     from onetrainer_tpu.models.sd import StableDiffusionModel
     kwargs = dict(
-        weight_dtype=config.weight_dtypes().unet.to_compute_dtype() or np.float32,
+        weight_dtype=config.weight_dtypes().unet.to_load_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
@@ -112,7 +112,7 @@ def _sdxl_load(base_dir, config):
     )
     from onetrainer_tpu.models.sdxl import StableDiffusionXLModel
     kwargs = dict(
-        weight_dtype=config.weight_dtypes().unet.to_compute_dtype() or np.float32,
+        weight_dtype=config.weight_dtypes().unet.to_load_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
@@ -210,7 +210,7 @@ def _flux_load(base_dir, config):
     from onetrainer_tpu.io.flux_checkpoints import load_flux_diffusers
     from onetrainer_tpu.models.flux_model import FluxModel
     kwargs = dict(
-        weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
+        weight_dtype=config.weight_dtypes().prior.to_load_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
@@ -300,7 +300,7 @@ def _pixart_load(base_dir, config):
     from onetrainer_tpu.io.pixart_checkpoints import load_pixart_diffusers
     from onetrainer_tpu.models.pixart_model import PixArtAlphaModel
     kwargs = dict(
-        weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
+        weight_dtype=config.weight_dtypes().prior.to_load_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
@@ -378,7 +378,7 @@ def _hidream_load(base_dir, config):
     from onetrainer_tpu.models.hidream_model import HiDreamModel
     loaded = load_hidream_diffusers(
         base_dir,
-        weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
+        weight_dtype=config.weight_dtypes().prior.to_load_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
@@ -462,7 +462,7 @@ def _hunyuan_load(base_dir, config):
     from onetrainer_tpu.io.hunyuan_checkpoints import load_hunyuan_diffusers
     from onetrainer_tpu.models.hunyuan_video_model import HunyuanVideoModel
     kwargs = dict(
-        weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
+        weight_dtype=config.weight_dtypes().prior.to_load_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
@@ -543,7 +543,7 @@ def _sana_load(base_dir, config):
     from onetrainer_tpu.models.sana_model import SanaModel
     loaded = load_sana_diffusers(
         base_dir,
-        weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
+        weight_dtype=config.weight_dtypes().prior.to_load_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
@@ -599,7 +599,7 @@ def _wuerstchen_load(base_dir, config):
     from onetrainer_tpu.io.wuerstchen_checkpoints import load_wuerstchen_diffusers
     from onetrainer_tpu.models.wuerstchen_model import WuerstchenModel
     kwargs = dict(
-        weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
+        weight_dtype=config.weight_dtypes().prior.to_load_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )
@@ -716,7 +716,7 @@ def _sd3_load(base_dir, config):
     from onetrainer_tpu.io.sd3_checkpoints import load_sd3_diffusers
     from onetrainer_tpu.models.sd3_model import StableDiffusion3Model
     kwargs = dict(
-        weight_dtype=config.weight_dtypes().prior.to_compute_dtype() or np.float32,
+        weight_dtype=config.weight_dtypes().prior.to_load_dtype() or np.float32,
         compute_dtype=config.train_dtype.to_compute_dtype() or jnp.bfloat16,
         gradient_checkpointing=config.gradient_checkpointing.enabled(),
     )

@@ -15,7 +15,6 @@ import optax
 from onetrainer_tpu.config.train_config import TrainConfig
 from onetrainer_tpu.models.clip import encode_clip_text
 from onetrainer_tpu.models.flux_model import FluxModel
-from onetrainer_tpu.ops.quant import quantize_tree
 from onetrainer_tpu.peft.lora import PeftConfig, apply_peft, init_peft_params
 from onetrainer_tpu.setup.sd_setup import _group_schedule, _init_embedding_vectors
 from onetrainer_tpu.setup.tokenizer import SDTokenizer, T5TokenizerWrapper
@@ -23,7 +22,7 @@ from onetrainer_tpu.train.flux_train_step import make_flux_train_step
 from onetrainer_tpu.train.optimizers import create_group_optimizer
 from onetrainer_tpu.train.sd_train_step import SDStepConfig
 from onetrainer_tpu.train.train_state import create_train_state
-from onetrainer_tpu.util.enums import DataType, EMAMode, TrainingMethod
+from onetrainer_tpu.util.enums import EMAMode, TrainingMethod
 
 # FLUX layer-filter presets (reference: FluxLoRASetup.PRESETS:12-16)
 FLUX_LORA_PRESETS = {
@@ -130,19 +129,6 @@ def create_flux_setup(model: FluxModel, config: TrainConfig,
                 config.text_encoder, steps_per_epoch)
             labels["te_lora"] = jax.tree.map(lambda _: "te_lora",
                                              trainable["te_lora"])
-        # quantized frozen base (reference: NF4 weight_dtype in flux presets)
-        prior_dtype = config.weight_dtypes().prior
-        if prior_dtype.is_quantized():
-            qdtype = ("nf4" if prior_dtype == DataType.NFLOAT_4
-                      else jnp.int8 if prior_dtype == DataType.INT_8
-                      else jnp.float8_e4m3fn)
-            frozen["transformer"] = quantize_tree(model.transformer_params, qdtype)
-        te2_dtype = config.weight_dtypes().text_encoder_2
-        if te2_dtype.is_quantized() and model.te2_params is not None:
-            qdtype = ("nf4" if te2_dtype == DataType.NFLOAT_4
-                      else jnp.int8 if te2_dtype == DataType.INT_8
-                      else jnp.float8_e4m3fn)
-            frozen["text_encoder_2"] = quantize_tree(model.te2_params, qdtype)
     elif method == TrainingMethod.EMBEDDING:
         # per-TE vector tables (reference: FluxModelEmbedding holds
         # text_encoder_1_vector (clip) + text_encoder_2_vector (t5));
@@ -204,6 +190,14 @@ def create_flux_setup(model: FluxModel, config: TrainConfig,
         peft_cfg = apply_lora_checkpoint(
             config.lora_model_name, trainable,
             {"transformer_lora": "lora_transformer", "te_lora": "lora_te1"}, peft_cfg)
+
+    # quantized frozen base (setup/quantize.py; reference quantizes the
+    # same parts post-load: modules/util/quantization_util.py:72-160)
+    if method in (TrainingMethod.LORA, TrainingMethod.EMBEDDING):
+        from onetrainer_tpu.setup.quantize import quantize_frozen_parts
+        quantize_frozen_parts(frozen, config.weight_dtypes(),
+                              {"transformer": "prior", "text_encoder": "text_encoder",
+                               "text_encoder_2": "text_encoder_2"})
 
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)

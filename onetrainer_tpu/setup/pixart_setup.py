@@ -13,7 +13,6 @@ import optax
 
 from onetrainer_tpu.config.train_config import TrainConfig
 from onetrainer_tpu.models.pixart_model import PixArtAlphaModel
-from onetrainer_tpu.ops.quant import quantize_tree
 from onetrainer_tpu.peft.lora import PeftConfig, apply_peft, init_peft_params
 from onetrainer_tpu.setup.sd_setup import _group_schedule
 from onetrainer_tpu.setup.tokenizer import T5TokenizerWrapper
@@ -21,7 +20,7 @@ from onetrainer_tpu.train.optimizers import create_group_optimizer
 from onetrainer_tpu.train.pixart_train_step import make_pixart_train_step
 from onetrainer_tpu.train.sd_train_step import SDStepConfig
 from onetrainer_tpu.train.train_state import create_train_state
-from onetrainer_tpu.util.enums import DataType, EMAMode, TrainingMethod
+from onetrainer_tpu.util.enums import EMAMode, TrainingMethod
 
 
 @dataclass
@@ -93,12 +92,6 @@ def create_pixart_setup(model: PixArtAlphaModel, config: TrainConfig,
                 config.prior, steps_per_epoch)
             labels["transformer_lora"] = jax.tree.map(
                 lambda _: "transformer_lora", trainable["transformer_lora"])
-        prior_dtype = config.weight_dtypes().prior
-        if prior_dtype.is_quantized():
-            qdtype = ("nf4" if prior_dtype == DataType.NFLOAT_4
-                      else jnp.int8 if prior_dtype == DataType.INT_8
-                      else jnp.float8_e4m3fn)
-            frozen["transformer"] = quantize_tree(model.transformer_params, qdtype)
     elif method == TrainingMethod.EMBEDDING:
         # T5 textual inversion (reference: PixArtAlphaModelEmbedding,
         # PixArtAlphaEmbeddingSaver.py:29-31 t5/t5_out keys)
@@ -140,6 +133,13 @@ def create_pixart_setup(model: PixArtAlphaModel, config: TrainConfig,
         peft_cfg = apply_lora_checkpoint(
             config.lora_model_name, trainable,
             {"transformer_lora": "lora_transformer"}, peft_cfg)
+
+    # quantized frozen base (setup/quantize.py; reference quantizes the
+    # same parts post-load: modules/util/quantization_util.py:72-160)
+    if method in (TrainingMethod.LORA, TrainingMethod.EMBEDDING):
+        from onetrainer_tpu.setup.quantize import quantize_frozen_parts
+        quantize_frozen_parts(frozen, config.weight_dtypes(),
+                              {"transformer": "prior", "text_encoder": "text_encoder"})
 
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)

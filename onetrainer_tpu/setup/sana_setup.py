@@ -150,6 +150,13 @@ def create_sana_setup(
             config.lora_model_name, trainable,
             {"transformer_lora": "lora_transformer", "te_lora": "lora_te1"}, peft_cfg)
 
+    # quantized frozen base (setup/quantize.py; reference quantizes the
+    # same parts post-load: modules/util/quantization_util.py:72-160)
+    if method in (TrainingMethod.LORA, TrainingMethod.EMBEDDING):
+        from onetrainer_tpu.setup.quantize import quantize_frozen_parts
+        quantize_frozen_parts(frozen, config.weight_dtypes(),
+                              {"transformer": "prior", "text_encoder": "text_encoder"})
+
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)
     if config.clip_grad_norm is not None and config.clip_grad_norm > 0:

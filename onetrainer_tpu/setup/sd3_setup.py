@@ -14,7 +14,6 @@ from onetrainer_tpu.config.train_config import TrainConfig
 from onetrainer_tpu.models.clip import encode_clip_text
 from onetrainer_tpu.models.sd3 import sd3_text_context
 from onetrainer_tpu.models.sd3_model import StableDiffusion3Model
-from onetrainer_tpu.ops.quant import quantize_tree
 from onetrainer_tpu.peft.lora import PeftConfig, apply_peft, init_peft_params
 from onetrainer_tpu.setup.sd_setup import _group_schedule, _init_embedding_vectors
 from onetrainer_tpu.setup.tokenizer import SDTokenizer, T5TokenizerWrapper
@@ -22,7 +21,7 @@ from onetrainer_tpu.train.optimizers import create_group_optimizer
 from onetrainer_tpu.train.sd3_train_step import make_sd3_train_step
 from onetrainer_tpu.train.sd_train_step import SDStepConfig
 from onetrainer_tpu.train.train_state import create_train_state
-from onetrainer_tpu.util.enums import DataType, EMAMode, TrainingMethod
+from onetrainer_tpu.util.enums import EMAMode, TrainingMethod
 
 
 @dataclass
@@ -135,12 +134,6 @@ def create_sd3_setup(model: StableDiffusion3Model, config: TrainConfig,
                 config.text_encoder_2, steps_per_epoch)
             labels["te2_lora"] = jax.tree.map(lambda _: "te2_lora",
                                               trainable["te2_lora"])
-        prior_dtype = config.weight_dtypes().prior
-        if prior_dtype.is_quantized():
-            qdtype = ("nf4" if prior_dtype == DataType.NFLOAT_4
-                      else jnp.int8 if prior_dtype == DataType.INT_8
-                      else jnp.float8_e4m3fn)
-            frozen["transformer"] = quantize_tree(model.transformer_params, qdtype)
     elif method != TrainingMethod.EMBEDDING:
         if config.prior.train:
             trainable["transformer"] = frozen.pop("transformer")
@@ -206,6 +199,15 @@ def create_sd3_setup(model: StableDiffusion3Model, config: TrainConfig,
         peft_cfg = apply_lora_checkpoint(
             config.lora_model_name, trainable,
             {"transformer_lora": "lora_transformer", "te_lora": "lora_te1", "te2_lora": "lora_te2"}, peft_cfg)
+
+    # quantized frozen base (setup/quantize.py; reference quantizes the
+    # same parts post-load: modules/util/quantization_util.py:72-160)
+    if method in (TrainingMethod.LORA, TrainingMethod.EMBEDDING):
+        from onetrainer_tpu.setup.quantize import quantize_frozen_parts
+        quantize_frozen_parts(frozen, config.weight_dtypes(),
+                              {"transformer": "prior", "text_encoder": "text_encoder",
+                               "text_encoder_2": "text_encoder_2",
+                               "text_encoder_3": "text_encoder_3"})
 
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)

@@ -191,6 +191,14 @@ def create_sdxl_setup(model: StableDiffusionXLModel, config: TrainConfig,
             config.lora_model_name, trainable,
             {"unet_lora": "lora_unet", "te_lora": "lora_te1", "te2_lora": "lora_te2"}, peft_cfg)
 
+    # quantized frozen base (setup/quantize.py; reference quantizes the
+    # same parts post-load: modules/util/quantization_util.py:72-160)
+    if method in (TrainingMethod.LORA, TrainingMethod.EMBEDDING):
+        from onetrainer_tpu.setup.quantize import quantize_frozen_parts
+        quantize_frozen_parts(frozen, config.weight_dtypes(),
+                              {"unet": "unet", "text_encoder": "text_encoder",
+                               "text_encoder_2": "text_encoder_2"})
+
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)
     if config.clip_grad_norm is not None and config.clip_grad_norm > 0:

@@ -223,6 +223,20 @@ class DataType(_StrEnum):
     def is_quantized(self) -> bool:
         return self in (DataType.FLOAT_8, DataType.INT_8, DataType.NFLOAT_4)
 
+    def to_load_dtype(self):
+        """Checkpoint-load cast dtype. Quantized types load at bf16 and
+        are quantized by the setup afterwards (setup/quantize.py) —
+        naively casting the raw state dict to the storage dtype would
+        truncate weights (float→int8/uint4 with no absmax scale) and
+        break every non-quantized component that shares the checkpoint.
+        The reference loads at a float dtype and swaps in quantized
+        Linear modules the same way (modules/util/quantization_util.py:
+        replace_linear_modules runs after torch load)."""
+        import jax.numpy as jnp
+        if self.is_quantized():
+            return jnp.bfloat16
+        return self.to_compute_dtype()
+
     def enable_loss_scaling(self) -> bool:
         # fp16 needs loss scaling; bf16/fp32 never do. On TPU the default
         # train dtype is bf16 so this is normally False.

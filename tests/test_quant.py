@@ -277,3 +277,43 @@ def test_nf4_pallas_kernel_interpret_matches_jnp():
                             interpret=True)
     np.testing.assert_allclose(np.asarray(vals[:n].reshape(x.shape)),
                                np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_quantize_frozen_parts_and_load_dtype():
+    """setup/quantize.py: frozen parts quantize by their configured part
+    dtype; trainable (absent) and non-quantized parts are untouched.
+    DataType.to_load_dtype keeps quantized types at bf16 for the load
+    cast — raw-casting a checkpoint to the storage dtype corrupts it
+    (the r3 loader regression behind test_lora_fp8_base_e2e)."""
+    import jax.numpy as jnp
+
+    from onetrainer_tpu.ops.quant import NF4Array, QuantizedArray
+    from onetrainer_tpu.setup.quantize import quantize_frozen_parts
+    from onetrainer_tpu.util.enums import DataType
+    from onetrainer_tpu.util.model_names import ModelWeightDtypes
+
+    def wd(unet=DataType.NONE, te=DataType.NONE):
+        return ModelWeightDtypes(
+            DataType.BFLOAT_16, DataType.BFLOAT_16, unet, DataType.NONE,
+            te, *([DataType.NONE] * 10))
+
+    def tree():
+        return {"layer": {"kernel": jnp.ones((64, 128), jnp.bfloat16),
+                          "bias": jnp.ones((128,), jnp.bfloat16)}}
+
+    for dt, cls in ((DataType.FLOAT_8, QuantizedArray),
+                    (DataType.INT_8, QuantizedArray),
+                    (DataType.NFLOAT_4, NF4Array)):
+        frozen = {"unet": tree(), "text_encoder": tree()}
+        quantize_frozen_parts(frozen, wd(unet=dt),
+                              {"unet": "unet", "text_encoder": "text_encoder"})
+        assert isinstance(frozen["unet"]["layer"]["kernel"], cls), dt
+        # bias never quantizes; the non-quantized TE part is untouched
+        assert frozen["unet"]["layer"]["bias"].dtype == jnp.bfloat16
+        assert isinstance(frozen["text_encoder"]["layer"]["kernel"],
+                          jnp.ndarray)
+        # quantized types load at bf16; float types load at themselves
+        assert dt.to_load_dtype() == jnp.bfloat16
+    assert DataType.FLOAT_32.to_load_dtype() == jnp.float32
+    # trainable part absent from frozen -> skipped, no KeyError
+    quantize_frozen_parts({}, wd(unet=DataType.FLOAT_8), {"unet": "unet"})

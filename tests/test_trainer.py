@@ -370,3 +370,52 @@ def test_e2e_custom_sample_command(tmp_path):
     # from_train_config filled the train-config-derived fields
     assert sc.force_last_timestep == \
         config.rescale_noise_scheduler_to_zero_terminal_snr
+
+
+def test_lora_fp8_base_e2e(tmp_path, monkeypatch):
+    """unet.weight_dtype=FLOAT_8 through the real trainer, with fp8
+    activations (OT_FP8_ACTS=1, ops/fp8_acts.py) on top.
+
+    Regression: the family loaders used to raw-cast EVERY component to
+    the part's storage dtype (to_compute_dtype), corrupting the VAE/TE
+    (fp8 TypePromotionError in the cache encode; int8/uint8 truncation
+    for INT_8/NFLOAT_4) — and sd/sdxl had no quantize wiring at all.
+    Now the load keeps bf16 (DataType.to_load_dtype) and the setup
+    quantizes only the frozen parts (setup/quantize.py), like the
+    reference's post-load replace-linears pass
+    (modules/util/quantization_util.py:72-160)."""
+    from onetrainer_tpu.ops import fp8_acts
+    from onetrainer_tpu.ops.quant import QuantizedArray
+    from onetrainer_tpu.util.enums import DataType
+
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    write_tiny_checkpoint(base, tiny_sd_model())
+    config = tiny_train_config(base, ds, str(tmp_path / "ws"),
+                               str(tmp_path / "cache"))
+    config.epochs = 1
+    config.backup_before_save = False
+    config.unet.weight_dtype = DataType.FLOAT_8
+    monkeypatch.setenv("OT_FP8_ACTS", "1")
+
+    before = fp8_acts.STATS["fp8_dot"]
+    trainer = GenericTrainer(config)
+    trainer.start()
+
+    # the frozen unet is quantized, the VAE/TE are NOT degraded to fp8
+    frozen_unet = trainer.setup.frozen["unet"]
+    assert any(isinstance(v, QuantizedArray)
+               for v in jax.tree.leaves(frozen_unet, is_leaf=lambda x:
+                                        isinstance(x, QuantizedArray)))
+    for leaf in jax.tree.leaves(trainer.setup.model.vae_params):
+        assert leaf.dtype != jnp.float8_e4m3fn
+    for leaf in jax.tree.leaves(trainer.setup.frozen["text_encoder"]):
+        assert leaf.dtype != jnp.float8_e4m3fn
+
+    trainer.train()
+    trainer.end()
+
+    assert trainer.train_progress.global_step >= 2
+    assert fp8_acts.STATS["fp8_dot"] > before  # fp8 dots actually traced
+    sd = load_safetensors(config.output_model_destination)
+    assert any(k.endswith("lora_down.weight") for k in sd)
