@@ -50,10 +50,14 @@ def mode() -> str:
     """'' (off), 'dynamic' (per-tensor absmax scale), or 'static'
     (scale 1, saturating cast). Trace-time switch — read when the step
     is traced, like OT_NO_FLASH (ops/attention.py)."""
-    m = os.environ.get("OT_FP8_ACTS", "")
-    if m in ("", "0"):
+    m = os.environ.get("OT_FP8_ACTS", "").strip().lower()
+    if m in ("", "0", "off", "false", "no", "none"):
         return ""
-    return "static" if m == "static" else "dynamic"
+    if m == "static":
+        return "static"
+    if m in ("1", "on", "true", "yes", "dynamic"):
+        return "dynamic"
+    raise ValueError(f"OT_FP8_ACTS={m!r}: use ''/0/off, 1/dynamic, or static")
 
 
 def _quantize_x(x32: jnp.ndarray, dynamic: bool):

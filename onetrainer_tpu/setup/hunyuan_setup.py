@@ -179,11 +179,10 @@ def create_hunyuan_setup(
 
     # quantized frozen base (setup/quantize.py; reference quantizes the
     # same parts post-load: modules/util/quantization_util.py:72-160)
-    if method in (TrainingMethod.LORA, TrainingMethod.EMBEDDING):
-        from onetrainer_tpu.setup.quantize import quantize_frozen_parts
-        quantize_frozen_parts(frozen, config.weight_dtypes(),
-                              {"transformer": "prior", "text_encoder": "text_encoder",
-                               "text_encoder_2": "text_encoder_2"})
+    from onetrainer_tpu.setup.quantize import quantize_frozen_parts
+    quantize_frozen_parts(frozen, config.weight_dtypes(),
+                          {"transformer": "prior", "text_encoder": "text_encoder",
+                           "text_encoder_2": "text_encoder_2"})
 
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)

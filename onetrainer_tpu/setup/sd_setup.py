@@ -398,10 +398,9 @@ def create_sd_setup(
 
     # quantized frozen base (setup/quantize.py; reference quantizes the
     # same parts post-load: modules/util/quantization_util.py:72-160)
-    if method in (TrainingMethod.LORA, TrainingMethod.EMBEDDING):
-        from onetrainer_tpu.setup.quantize import quantize_frozen_parts
-        quantize_frozen_parts(frozen, config.weight_dtypes(),
-                              {"unet": "unet", "text_encoder": "text_encoder"})
+    from onetrainer_tpu.setup.quantize import quantize_frozen_parts
+    quantize_frozen_parts(frozen, config.weight_dtypes(),
+                          {"unet": "unet", "text_encoder": "text_encoder"})
 
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)

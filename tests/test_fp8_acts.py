@@ -71,6 +71,7 @@ def _dense_with_quant_base(key=0, din=64, dout=48):
 def test_lora_dense_fp8_acts_dispatch_and_numerics(monkeypatch):
     d, x, params, qparams = _dense_with_quant_base()
     ref = d.apply({"params": qparams}, x)          # fp8 weights, bf16 acts
+    ref_plain = d.apply({"params": params}, x)     # unquantized, flag off
 
     monkeypatch.setenv("OT_FP8_ACTS", "1")
     before = fp8_acts.STATS["fp8_dot"]
@@ -83,8 +84,8 @@ def test_lora_dense_fp8_acts_dispatch_and_numerics(monkeypatch):
     before = fp8_acts.STATS["fp8_dot"]
     y_plain = d.apply({"params": params}, x)
     assert fp8_acts.STATS["fp8_dot"] == before
-    np.testing.assert_allclose(np.asarray(y_plain),
-                               np.asarray(d.apply({"params": params}, x)))
+    # flag-on output of the unquantized path == flag-off reference
+    np.testing.assert_allclose(np.asarray(y_plain), np.asarray(ref_plain))
 
     # int8 bases never take the path either
     qi8 = {"kernel": quantize_array(params["kernel"], jnp.int8),
@@ -159,3 +160,22 @@ def test_fp8_acts_train_step(monkeypatch):
     assert fp8_acts.STATS["fp8_dot"] > before
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_mode_env_parsing(monkeypatch):
+    """Common falsy strings disable the path (r3 review: 'off'/'false'
+    used to silently enable dynamic mode, poisoning bf16 A/B controls);
+    unknown values fail loudly instead of guessing."""
+    import pytest
+
+    for v in ("", "0", "off", "OFF", "false", "no", "none", " 0 "):
+        monkeypatch.setenv("OT_FP8_ACTS", v)
+        assert fp8_acts.mode() == "", v
+    for v in ("1", "on", "true", "yes", "dynamic", "DYNAMIC"):
+        monkeypatch.setenv("OT_FP8_ACTS", v)
+        assert fp8_acts.mode() == "dynamic", v
+    monkeypatch.setenv("OT_FP8_ACTS", "static")
+    assert fp8_acts.mode() == "static"
+    monkeypatch.setenv("OT_FP8_ACTS", "e5m2")
+    with pytest.raises(ValueError):
+        fp8_acts.mode()

@@ -419,3 +419,41 @@ def test_lora_fp8_base_e2e(tmp_path, monkeypatch):
     assert fp8_acts.STATS["fp8_dot"] > before  # fp8 dots actually traced
     sd = load_safetensors(config.output_model_destination)
     assert any(k.endswith("lora_down.weight") for k in sd)
+
+
+def test_fine_tune_quantized_frozen_te(tmp_path):
+    """FINE_TUNE with a quantized FROZEN part: quantize_frozen_parts is
+    method-agnostic (frozen-ness is already encoded in the frozen dict —
+    fine-tune pops trainable parts out of it), so
+    text_encoder.weight_dtype=FLOAT_8 quantizes the frozen TE while the
+    trained unet stays full precision. Regression for the r3 review
+    finding where a (LORA, EMBEDDING) method gate silently no-op'd the
+    config knob in fine-tune runs. TE-only fine-tune here: the tiny TE's
+    kernels are below quantize_tree's 4096-element min_size, the unet's
+    are not."""
+    from onetrainer_tpu.ops.quant import QuantizedArray
+    from onetrainer_tpu.util.enums import DataType
+
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    write_tiny_checkpoint(base, tiny_sd_model())
+    config = tiny_train_config(base, ds, str(tmp_path / "ws"),
+                               str(tmp_path / "cache"))
+    config.training_method = TrainingMethod.FINE_TUNE
+    config.epochs = 1
+    config.backup_before_save = False
+    config.unet.train = False
+    config.unet.weight_dtype = DataType.FLOAT_8
+    config.text_encoder.train = True
+    config.output_model_destination = str(tmp_path / "ws" / "out_ft")
+
+    trainer = GenericTrainer(config)
+    trainer.start()
+    q_leaves = jax.tree.leaves(
+        trainer.setup.frozen["unet"],
+        is_leaf=lambda x: isinstance(x, QuantizedArray))
+    assert any(isinstance(v, QuantizedArray) for v in q_leaves)
+    assert "text_encoder" not in trainer.setup.frozen  # trained
+    trainer.train()
+    trainer.end()
+    assert trainer.train_progress.global_step >= 2
