@@ -72,7 +72,13 @@ def _discrete_weights(cfg: TimestepConfig, num_timestep: int, shift: float) -> j
     if cfg.distribution == TimestepDistribution.SIGMOID:
         bias = cfg.noising_bias + 0.5
         weight = cfg.noising_weight
-        weights = 1.0 / (1.0 + jnp.exp(-weight * (shifted - bias)))
+        # the reference applies the shift map a SECOND time here: its
+        # line 147 reuses the linspace variable already reassigned to the
+        # shifted values at line 127 (ModelSetupNoiseMixin.py:126-148) —
+        # matched exactly, divergence is ~11% of peak weight at shift=3
+        # (tests/test_reference_goldens_timesteps.py)
+        shifted2 = shifted / (shift - shift * shifted + shifted)
+        weights = 1.0 / (1.0 + jnp.exp(-weight * (shifted2 - bias)))
         return weights * derivative
     raise ValueError(f"not a discrete distribution: {cfg.distribution}")
 
