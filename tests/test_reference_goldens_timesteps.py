@@ -250,3 +250,91 @@ def test_create_noise_matches_reference(monkeypatch, offset, perturb):
                         perturbation_noise_weight=perturb)
     np.testing.assert_allclose(np.asarray(mine), ref_noise.numpy(),
                                rtol=1e-6, atol=1e-6)
+
+
+# -- forward noising (diffusion + flow matching) ----------------------------------------
+
+def _ref_flow_mixin():
+    from modules.modelSetup.mixin.ModelSetupFlowMatchingMixin import (
+        ModelSetupFlowMatchingMixin,
+    )
+
+    class M(ModelSetupFlowMatchingMixin):
+        pass
+
+    return M()
+
+
+def _ref_diff_mixin():
+    from modules.modelSetup.mixin.ModelSetupDiffusionMixin import (
+        ModelSetupDiffusionMixin,
+    )
+
+    class M(ModelSetupDiffusionMixin):
+        pass
+
+    return M()
+
+
+def test_add_noise_flow_matching_matches_reference():
+    from onetrainer_tpu.math.noise import add_noise_flow_matching
+
+    rng = np.random.default_rng(29)
+    latent = rng.normal(size=(3, 4, 8, 8)).astype(np.float32)
+    noise = rng.normal(size=(3, 4, 8, 8)).astype(np.float32)
+    t = np.array([0, 499, 999], np.int32)
+
+    ref_noisy, ref_sigmas = _ref_flow_mixin()._add_noise_discrete(
+        torch.from_numpy(latent), torch.from_numpy(noise),
+        torch.from_numpy(t.astype(np.int64)), torch.zeros(1000))
+    noisy, sigmas = add_noise_flow_matching(
+        jnp.asarray(latent), jnp.asarray(noise), jnp.asarray(t), 1000)
+    np.testing.assert_allclose(np.asarray(noisy), ref_noisy.numpy(),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sigmas), ref_sigmas.numpy(),
+                               rtol=1e-6)
+
+
+def test_add_noise_discrete_matches_reference():
+    from onetrainer_tpu.math.noise import add_noise_discrete
+    from onetrainer_tpu.math.schedules import make_betas
+
+    betas = np.asarray(make_betas("scaled_linear"), np.float32)
+    alphas_cumprod = np.cumprod(1.0 - betas)
+    rng = np.random.default_rng(31)
+    latent = rng.normal(size=(3, 4, 8, 8)).astype(np.float32)
+    noise = rng.normal(size=(3, 4, 8, 8)).astype(np.float32)
+    t = np.array([0, 123, 999], np.int32)
+
+    ref = _ref_diff_mixin()._add_noise_discrete(
+        torch.from_numpy(latent), torch.from_numpy(noise),
+        torch.from_numpy(t.astype(np.int64)), torch.from_numpy(betas))
+    mine = add_noise_discrete(
+        jnp.asarray(latent), jnp.asarray(noise), jnp.asarray(t),
+        jnp.sqrt(jnp.asarray(alphas_cumprod)),
+        jnp.sqrt(1.0 - jnp.asarray(alphas_cumprod)))
+    np.testing.assert_allclose(np.asarray(mine), ref.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_add_noise_continuous_matches_reference():
+    from onetrainer_tpu.math.noise import add_noise_continuous
+
+    rng = np.random.default_rng(37)
+    latent = rng.normal(size=(2, 4, 8, 8)).astype(np.float32)
+    noise = rng.normal(size=(2, 4, 8, 8)).astype(np.float32)
+    ac = np.array([0.91, 0.13], np.float32)
+
+    def ac_fun(timestep, ndim):
+        v = torch.from_numpy(ac)
+        while v.dim() < ndim:
+            v = v.unsqueeze(-1)
+        return v
+
+    ref = _ref_diff_mixin()._add_noise_continuous(
+        torch.from_numpy(latent), torch.from_numpy(noise),
+        torch.from_numpy(np.array([0.1, 0.9], np.float32)), ac_fun)
+    mine = add_noise_continuous(jnp.asarray(latent), jnp.asarray(noise),
+                                jnp.asarray(ac))
+    np.testing.assert_allclose(np.asarray(mine), ref.numpy(),
+                               rtol=1e-6, atol=1e-6)
