@@ -236,14 +236,31 @@ def _create_base_optimizer(
                 lr, momentum=_d(cfg.momentum, 0.0) or None,
                 nesterov=cfg.nesterov)
         case Optimizer.ADAGRAD | Optimizer.ADAGRAD_8BIT:
-            return optax.adagrad(
+            lr_decay = _d(cfg.lr_decay, 0.0)
+            if lr_decay:
+                # torch Adagrad: lr_t = lr / (1 + step * lr_decay)
+                base_lr = lr
+
+                def lr(count, _base=base_lr, _dec=lr_decay):
+                    scalar = _base(count) if callable(_base) else _base
+                    return scalar / (1.0 + count * _dec)
+            base = optax.adagrad(
                 lr, initial_accumulator_value=float(_d(cfg.initial_accumulator_value, 0)),
                 eps=_d(cfg.eps, 1e-10))
+            if wd:
+                # torch semantics: L2 term joins the gradient BEFORE the
+                # accumulator update
+                return optax.chain(optax.add_decayed_weights(wd), base)
+            return base
         case Optimizer.RMSPROP | Optimizer.RMSPROP_8BIT:
-            return optax.rmsprop(
+            base = optax.rmsprop(
                 lr, decay=_d(cfg.alpha, 0.99), eps=_d(cfg.eps, 1e-8),
                 momentum=_d(cfg.momentum, 0.0) or None,
                 centered=cfg.centered)
+            if wd:
+                # torch RMSprop weight_decay is L2-into-gradient
+                return optax.chain(optax.add_decayed_weights(wd), base)
+            return base
         case Optimizer.LION | Optimizer.LION_8BIT:
             return optax.lion(
                 lr, b1=_d(cfg.beta1, 0.9), b2=_d(cfg.beta2, 0.99),
@@ -251,12 +268,12 @@ def _create_base_optimizer(
         case Optimizer.LARS | Optimizer.LARS_8BIT:
             return optax.lars(
                 lr, weight_decay=wd,
-                momentum=_d(cfg.momentum, 0.9),
+                momentum=_d(cfg.momentum, 0.0),
                 nesterov=cfg.nesterov)
         case Optimizer.LAMB | Optimizer.LAMB_8BIT:
             return optax.lamb(
                 lr, b1=_d(cfg.beta1, 0.9), b2=_d(cfg.beta2, 0.999),
-                eps=_d(cfg.eps, 1e-6), weight_decay=wd)
+                eps=_d(cfg.eps, 1e-8), weight_decay=wd)
         case Optimizer.ADEMAMIX | Optimizer.ADEMAMIX_8BIT:
             return optax.contrib.ademamix(
                 lr, b1=_d(cfg.beta1, 0.9), b2=_d(cfg.beta2, 0.999),
@@ -277,9 +294,12 @@ def _create_base_optimizer(
                 return optax.chain(optax.add_decayed_weights(wd), base)
             return base
         case Optimizer.YOGI:
-            return optax.yogi(
+            base = optax.yogi(
                 lr, b1=_d(cfg.beta1, 0.9), b2=_d(cfg.beta2, 0.999),
                 eps=_d(cfg.eps, 1e-3))
+            if wd:
+                return optax.chain(optax.add_decayed_weights(wd), base)
+            return base
         case Optimizer.TIGER:
             return tiger(lr, b1=_d(cfg.beta1, 0.965),
                          weight_decay=_d(cfg.weight_decay, 0.01))
@@ -292,6 +312,7 @@ def _create_base_optimizer(
                 clipping_threshold=_d(cfg.clip_threshold, 1.0),
                 weight_decay_rate=_d(cfg.weight_decay, 0.0) or None,
                 eps=_d(cfg.eps, 1e-30),
+                momentum=cfg.beta1,  # reference default None = no momentum
                 multiply_by_parameter_scale=bool(cfg.scale_parameter),
                 factored=True)
         case Optimizer.CAME:
@@ -309,18 +330,33 @@ def _create_base_optimizer(
                 lr,
                 b1=_d(cfg.beta1, 0.9), b2=_d(cfg.beta2, 0.999),
                 eps=_d(cfg.eps, 1e-8),
-                weight_decay=_d(cfg.weight_decay, 0.0),
+                weight_decay=_d(cfg.weight_decay, 0.01),
                 weight_lr_power=_d(cfg.weight_lr_power, 2.0))
         case Optimizer.SCHEDULE_FREE_SGD:
+            # the reference's SGDScheduleFree takes `momentum`, not beta1
+            # (optimizer_util.py OPTIMIZER_DEFAULT_PARAMETERS)
+            momentum = _d(cfg.momentum, 0.9)
+            if momentum == 0.0:
+                raise ValueError(
+                    "SCHEDULE_FREE_SGD needs momentum > 0 here: optax's "
+                    "schedule_free derives eval params by dividing by b1, "
+                    "so the reference's momentum=0 mode cannot be "
+                    "represented (default: 0.9)")
             return optax.contrib.schedule_free_sgd(
                 lr,
-                b1=_d(cfg.beta1, 0.9),
-                weight_decay=_d(cfg.weight_decay, 0.0),
+                b1=momentum,
+                weight_decay=_d(cfg.weight_decay, 0.01),
                 weight_lr_power=_d(cfg.weight_lr_power, 2.0))
         case Optimizer.DADAPT_ADAM:
-            return optax.contrib.dadapt_adamw(
+            # decouple=False (the reference default) is dadaptation's
+            # L2-into-gradient mode; decoupled AdamW-style otherwise
+            base = optax.contrib.dadapt_adamw(
                 learning_rate=lr, betas=(_d(cfg.beta1, 0.9), _d(cfg.beta2, 0.999)),
-                eps=_d(cfg.eps, 1e-8), weight_decay=_d(cfg.weight_decay, 0.0))
+                eps=_d(cfg.eps, 1e-8),
+                weight_decay=wd if cfg.decouple else 0.0)
+            if wd and not cfg.decouple:
+                return optax.chain(optax.add_decayed_weights(wd), base)
+            return base
         case Optimizer.DADAPT_SGD:
             from onetrainer_tpu.train.dadapt import dadapt_sgd
             return dadapt_sgd(
@@ -366,7 +402,7 @@ def _create_base_optimizer(
             # wrapper interpolates y/z iterates with the same LR schedule
             # (reference: prodigyplus package, create.py:886-916)
             inner = optax.contrib.prodigy(
-                learning_rate=lr, betas=(0.0, _d(cfg.beta2, 0.999)),
+                learning_rate=lr, betas=(0.0, _d(cfg.beta2, 0.99)),
                 beta3=cfg.beta3,
                 eps=_d(cfg.eps, 1e-8),
                 estim_lr0=_d(cfg.d0, 1e-6),

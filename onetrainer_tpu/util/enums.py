@@ -14,6 +14,20 @@ class _StrEnum(Enum):
     def __str__(self) -> str:
         return self.value
 
+    @classmethod
+    def _missing_(cls, value):
+        # the reference serializes a few members in mixed case (e.g.
+        # Optimizer.AdEMAMix = 'AdEMAMix', reference
+        # modules/util/enum/Optimizer.py:21-22) — accept any casing so
+        # its configs load unchanged (tests/test_reference_goldens_
+        # optimizer_defaults.py::test_every_reference_enum_value_parses)
+        if isinstance(value, str):
+            upper = value.upper()
+            for member in cls:
+                if member.value.upper() == upper:
+                    return member
+        return None
+
 
 class ModelType(_StrEnum):
     STABLE_DIFFUSION_15 = 'STABLE_DIFFUSION_15'

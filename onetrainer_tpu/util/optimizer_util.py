@@ -13,46 +13,70 @@ from onetrainer_tpu.util.enums import Optimizer
 
 OPTIMIZER_DEFAULT_PARAMETERS: dict[Optimizer, dict] = {
     Optimizer.ADAMW: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-8,
-                      "weight_decay": 1e-2},
+                      "weight_decay": 1e-2, "amsgrad": False,
+                      "stochastic_rounding": False},
     Optimizer.ADAMW_8BIT: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-8,
-                           "weight_decay": 1e-2},
+                           "weight_decay": 1e-2, "amsgrad": False},
     Optimizer.ADAM: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-8,
-                     "weight_decay": 0.0},
+                     "weight_decay": 0.0, "amsgrad": False,
+                     "stochastic_rounding": False},
     Optimizer.ADAM_8BIT: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-8,
-                          "weight_decay": 0.0},
+                          "weight_decay": 0.0, "amsgrad": False},
     Optimizer.SGD: {"momentum": 0.0, "weight_decay": 0.0, "nesterov": False},
-    Optimizer.SGD_8BIT: {"momentum": 0.0, "weight_decay": 0.0},
+    Optimizer.SGD_8BIT: {"momentum": 0.0, "weight_decay": 0.0,
+                         "nesterov": False},
     Optimizer.LION: {"beta1": 0.9, "beta2": 0.99, "weight_decay": 0.0},
-    Optimizer.LION_8BIT: {"beta1": 0.9, "beta2": 0.99, "weight_decay": 0.0},
-    Optimizer.ADAGRAD: {"eps": 1e-10, "weight_decay": 0.0,
+    Optimizer.LION_8BIT: {"beta1": 0.9, "beta2": 0.999, "weight_decay": 0.0},
+    Optimizer.ADAGRAD: {"lr_decay": 0.0, "eps": 1e-10, "weight_decay": 0.0,
                         "initial_accumulator_value": 0},
+    Optimizer.ADAGRAD_8BIT: {"lr_decay": 0.0, "eps": 1e-10,
+                             "weight_decay": 0.0,
+                             "initial_accumulator_value": 0},
     Optimizer.RMSPROP: {"alpha": 0.99, "eps": 1e-8, "momentum": 0.0,
-                        "centered": False},
-    Optimizer.LARS: {"momentum": 0.9, "weight_decay": 0.0},
-    Optimizer.LAMB: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-6,
+                        "weight_decay": 0.0, "centered": False},
+    Optimizer.RMSPROP_8BIT: {"alpha": 0.99, "eps": 1e-8, "momentum": 0.0,
+                             "weight_decay": 0.0, "centered": False},
+    Optimizer.LARS: {"momentum": 0.0, "weight_decay": 0.0,
+                     "nesterov": False},
+    Optimizer.LARS_8BIT: {"momentum": 0.0, "weight_decay": 0.0,
+                          "nesterov": False},
+    Optimizer.LAMB: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-8,
                      "weight_decay": 0.0},
+    Optimizer.LAMB_8BIT: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-8,
+                          "weight_decay": 0.0},
     Optimizer.ADEMAMIX: {"beta1": 0.9, "beta2": 0.999, "beta3": 0.9999,
-                         "alpha": 5.0, "eps": 1e-8, "weight_decay": 0.0},
+                         "alpha": 5.0, "eps": 1e-8, "weight_decay": 0.01},
+    Optimizer.ADEMAMIX_8BIT: {"beta1": 0.9, "beta2": 0.999, "beta3": 0.9999,
+                              "alpha": 5.0, "eps": 1e-8,
+                              "weight_decay": 0.01},
     Optimizer.ADOPT: {"beta1": 0.9, "beta2": 0.9999, "eps": 1e-6,
                       "weight_decay": 0.0},
     Optimizer.ADABELIEF: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-16,
                           "weight_decay": 0.0},
-    Optimizer.YOGI: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-3},
+    Optimizer.YOGI: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-3,
+                     "weight_decay": 0.0},
     Optimizer.TIGER: {"beta1": 0.965, "weight_decay": 0.01},
     Optimizer.ADAFACTOR: {"decay_rate": -0.8, "clip_threshold": 1.0,
-                          "eps": 1e-30, "eps2": 1e-3, "weight_decay": 0.0,
+                          "eps": 1e-30, "eps2": 1e-3, "beta1": None,
+                          "weight_decay": 0.0,
                           "scale_parameter": False, "relative_step": False,
                           "warmup_init": False, "stochastic_rounding": True},
     Optimizer.CAME: {"beta1": 0.9, "beta2": 0.999, "beta3": 0.9999,
                      "eps": 1e-30, "eps2": 1e-16, "clip_threshold": 1.0,
-                     "weight_decay": 1e-2, "stochastic_rounding": True},
+                     "weight_decay": 1e-2, "stochastic_rounding": False},
     Optimizer.SCHEDULE_FREE_ADAMW: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-8,
-                                    "weight_decay": 0.0,
+                                    "weight_decay": 0.01,
                                     "weight_lr_power": 2.0},
-    Optimizer.SCHEDULE_FREE_SGD: {"beta1": 0.9, "weight_decay": 0.0,
+    # momentum: the reference defaults to 0, but optax's schedule_free
+    # recovers eval params by dividing by b1, so b1=0 is structurally
+    # unsupported (NaN) — 0.9 here, create_optimizer raises on 0
+    # (tests/test_reference_goldens_optimizer_defaults.py documents this
+    # as the single allowed defaults deviation)
+    Optimizer.SCHEDULE_FREE_SGD: {"momentum": 0.9, "weight_decay": 0.01,
                                   "weight_lr_power": 2.0},
     Optimizer.DADAPT_ADAM: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-8,
-                            "weight_decay": 0.0, "d0": 1e-6, "decouple": True},
+                            "weight_decay": 0.0, "d0": 1e-6,
+                            "decouple": False},
     Optimizer.DADAPT_SGD: {"momentum": 0.0, "weight_decay": 0.0,
                            "d0": 1e-6, "growth_rate": float("inf")},
     Optimizer.DADAPT_LION: {"beta1": 0.9, "beta2": 0.999,
@@ -64,13 +88,15 @@ OPTIMIZER_DEFAULT_PARAMETERS: dict[Optimizer, dict] = {
                             "eps": 1e-8, "weight_decay": 0.02, "d0": 1e-6,
                             "growth_rate": float("inf")},
     Optimizer.AIDA: {"beta1": 0.9, "beta2": 0.999, "k": 2, "xi": 1e-20,
-                     "weight_decay": 0.0},
-    Optimizer.PRODIGY: {"beta1": 0.9, "beta2": 0.999, "eps": 1e-8,
+                     "weight_decay": 0.0, "eps": 1e-8},
+    Optimizer.PRODIGY: {"beta1": 0.9, "beta2": 0.999, "beta3": None,
+                        "eps": 1e-8,
                         "weight_decay": 0.0, "d0": 1e-6, "d_coef": 1.0,
-                        "safeguard_warmup": False},
+                        "decouple": True, "safeguard_warmup": False},
     Optimizer.PRODIGY_PLUS_SCHEDULE_FREE: {
-        "beta1": 0.9, "beta2": 0.999, "eps": 1e-8, "weight_decay": 0.0,
-        "d0": 1e-6, "d_coef": 1.0},
+        "beta1": 0.9, "beta2": 0.99, "beta3": None, "eps": 1e-8,
+        "weight_decay": 0.0, "d0": 1e-6, "d_coef": 1.0,
+        "stochastic_rounding": True},
 }
 
 
