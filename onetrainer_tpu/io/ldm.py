@@ -312,9 +312,28 @@ def convert_hf_to_openclip(sd: dict, prefix: str) -> dict:
         elif key.startswith("text_model.final_layer_norm"):
             out[prefix + "ln_final" + key[len("text_model.final_layer_norm"):]] = value
         elif key == "text_projection.weight":
+            # open_clip applies x @ text_projection, HF's Linear applies
+            # x @ W.T — the open_clip tensor is the HF weight TRANSPOSED.
+            # The reference's converter omits this transpose
+            # (convert_sdxl_diffusers_to_ckpt.py:131) even though its own
+            # loader goes through diffusers' transposing open_clip->HF
+            # conversion, so a reference round trip silently flips the
+            # (square) CLIP-G projection. Deliberate deviation: we match
+            # open_clip/diffusers semantics, not the reference bug
+            # (tests/test_reference_goldens_ldm.py).
             out[prefix + "text_projection"] = value.transpose(1, 0)
     for key, qkv in packs.items():
         out[key] = np.concatenate([qkv["q"], qkv["k"], qkv["v"]], axis=0)
+    # constants the reference converter always writes
+    # (convert_sdxl_diffusers_to_ckpt.py:132, convert_sd_diffusers_to_
+    # ckpt.py:135-136): tools reading the open_clip tower expect them
+    any_val = next(iter(out.values()))
+    out.setdefault(prefix + "logit_scale",
+                   np.asarray(1, dtype=any_val.dtype))
+    if prefix + "text_projection" not in out:
+        hidden = sd["text_model.final_layer_norm.weight"].shape[0]
+        out[prefix + "text_projection"] = np.ones(
+            (hidden, hidden), dtype=any_val.dtype)
     return out
 
 

@@ -1,0 +1,257 @@
+"""Reference-anchored golden for the SD1.5 single-file (LDM) interchange.
+
+Runs the reference's OWN converter
+(/root/reference/modules/util/convert/convert_sd_diffusers_to_ckpt.py)
+and this repo's io/ldm.py merge on the SAME diffusers-layout state dict
+(exported from a tiny flax SD model with the REAL SD1.5 topology: 4 unet
+blocks x 2 resnets, 4-block VAE, 12-layer CLIP) and asserts the produced
+checkpoints agree key-for-key and value-for-value. The reference's
+diffusers import is satisfied with a stub: its converters only use
+DDIMScheduler as a type hint / .betas carrier.
+
+This proves the export format a kohya/A1111 user receives is the
+reference's format, not this repo's transcription of it.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+torch = pytest.importorskip("torch")
+
+# the reference converters import diffusers only for type hints (and
+# .betas on the scheduler object) — stub it before importing them
+if "diffusers" not in sys.modules:
+    fake = types.ModuleType("diffusers")
+    fake.DDIMScheduler = type("DDIMScheduler", (), {})
+    sys.modules["diffusers"] = fake
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from onetrainer_tpu.io import ldm  # noqa: E402
+from onetrainer_tpu.io.torch_flax import (  # noqa: E402
+    clip_flax_to_state_dict, unet_flax_to_state_dict, vae_flax_to_state_dict,
+)
+from onetrainer_tpu.math.schedules import make_betas  # noqa: E402
+from onetrainer_tpu.models.clip import CLIPTextConfig  # noqa: E402
+from onetrainer_tpu.models.unet import UNetConfig  # noqa: E402
+from onetrainer_tpu.models.vae import VAEConfig  # noqa: E402
+
+
+def _full_topology_tiny_sd():
+    """Real SD1.5 topology (block/layer/attention structure), tiny dims."""
+    from onetrainer_tpu.models.clip import CLIPTextModel
+    from onetrainer_tpu.models.unet import UNet2DCondition
+    from onetrainer_tpu.models.vae import AutoencoderKL
+
+    unet = UNet2DCondition(UNetConfig(
+        block_out_channels=(32, 64, 64, 64),
+        cross_attn_blocks=(True, True, True, False),
+        layers_per_block=2,
+        transformer_layers_per_block=(1, 1, 1, 1),
+        num_heads=(4, 4, 4, 4),
+        cross_attention_dim=32,
+        dtype=jnp.float32))
+    vae = AutoencoderKL(VAEConfig(
+        block_out_channels=(32, 32, 64, 64), layers_per_block=2,
+        dtype=jnp.float32))
+    te = CLIPTextModel(CLIPTextConfig(
+        vocab_size=100, hidden_size=8, intermediate_size=16, num_layers=12,
+        num_heads=2, max_position_embeddings=16, eos_token_id=99,
+        dtype=jnp.float32))
+    rng = jax.random.PRNGKey(0)
+    unet_params = unet.init(rng, jnp.zeros((1, 16, 16, 4)),
+                            jnp.asarray([1]), jnp.zeros((1, 8, 32)))["params"]
+    vae_params = vae.init(rng, jnp.zeros((1, 32, 32, 3)), rng)["params"]
+    te_params = te.init(rng, jnp.zeros((1, 8), jnp.int32))["params"]
+    return (unet_flax_to_state_dict(jax.device_get(unet_params)),
+            vae_flax_to_state_dict(jax.device_get(vae_params)),
+            clip_flax_to_state_dict(jax.device_get(te_params)))
+
+
+def test_sd15_single_file_matches_reference_converter():
+    from modules.util.convert.convert_sd_diffusers_to_ckpt import (
+        convert_sd_diffusers_to_ckpt,
+    )
+    from modules.util.enum.ModelType import ModelType as RefModelType
+
+    unet_sd, vae_sd, te_sd = _full_topology_tiny_sd()
+
+    betas = np.asarray(make_betas("scaled_linear"), np.float32)
+    scheduler = types.SimpleNamespace(betas=torch.from_numpy(betas.copy()))
+    ref = convert_sd_diffusers_to_ckpt(
+        RefModelType.STABLE_DIFFUSION_15,
+        {k: torch.from_numpy(v.copy()) for k, v in vae_sd.items()},
+        {k: torch.from_numpy(v.copy()) for k, v in unet_sd.items()},
+        {k: torch.from_numpy(v.copy()) for k, v in te_sd.items()},
+        scheduler)
+    ref = {k: v.numpy() if isinstance(v, torch.Tensor) else np.asarray(v)
+           for k, v in ref.items()}
+
+    mine = ldm.merge_sd15_single_file(unet_sd, vae_sd, te_sd)
+
+    scheduler_keys = {k for k in ref
+                      if not k.startswith(("model.", "first_stage_model.",
+                                           "cond_stage_model."))}
+    # weight keys: exact set equality
+    assert set(mine) == set(ref) - scheduler_keys, (
+        sorted(set(mine) ^ (set(ref) - scheduler_keys))[:20])
+    for k in mine:
+        np.testing.assert_array_equal(mine[k], ref[k], err_msg=k)
+
+
+def _np(d):
+    return {k: torch.from_numpy(np.asarray(v).copy()) for k, v in d.items()}
+
+
+def _back(d):
+    return {k: (v.numpy() if isinstance(v, torch.Tensor) else np.asarray(v))
+            for k, v in d.items()}
+
+
+def _assert_same(mine: dict, ref: dict, strip: str = ""):
+    if strip:
+        ref = {k[len(strip):]: v for k, v in ref.items()
+               if k.startswith(strip)}
+    assert set(mine) == set(ref), sorted(set(mine) ^ set(ref))[:20]
+    for k in mine:
+        np.testing.assert_array_equal(np.asarray(mine[k]), ref[k],
+                                      err_msg=k)
+
+
+def test_sdxl_single_file_matches_reference_converter():
+    """Full SDXL topology at tiny dims: 3 unet blocks (plain, 2-deep attn,
+    10-deep attn) x 2 resnets, CLIP-L + the open_clip-mapped CLIP-G."""
+    from modules.util.convert.convert_sdxl_diffusers_to_ckpt import (
+        convert_sdxl_diffusers_to_ckpt,
+    )
+
+    from onetrainer_tpu.models.clip import CLIPTextModel
+    from onetrainer_tpu.models.unet import UNet2DCondition
+    from onetrainer_tpu.models.vae import AutoencoderKL
+
+    unet = UNet2DCondition(UNetConfig(
+        block_out_channels=(32, 64, 64),
+        cross_attn_blocks=(False, True, True),
+        layers_per_block=2,
+        transformer_layers_per_block=(0, 2, 10),
+        num_heads=(4, 4, 4),
+        cross_attention_dim=32 + 64,
+        use_linear_projection=True,
+        addition_embed_dim=8,
+        addition_pooled_dim=64,
+        dtype=jnp.float32))
+    vae = AutoencoderKL(VAEConfig(
+        block_out_channels=(32, 32, 64, 64), layers_per_block=2,
+        scaling_factor=0.13025, dtype=jnp.float32))
+    te1 = CLIPTextModel(CLIPTextConfig(
+        vocab_size=100, hidden_size=32, intermediate_size=64, num_layers=12,
+        num_heads=4, max_position_embeddings=16, eos_token_id=99,
+        dtype=jnp.float32))
+    te2 = CLIPTextModel(CLIPTextConfig(
+        vocab_size=100, hidden_size=64, intermediate_size=128, num_layers=32,
+        num_heads=4, max_position_embeddings=16, eos_token_id=99,
+        projection_dim=64, dtype=jnp.float32))
+    rng = jax.random.PRNGKey(0)
+    unet_sd = unet_flax_to_state_dict(jax.device_get(unet.init(
+        rng, jnp.zeros((1, 16, 16, 4)), jnp.asarray([1]),
+        jnp.zeros((1, 8, 96)), jnp.zeros((1, 64)),
+        jnp.zeros((1, 6)))["params"]))
+    vae_sd = vae_flax_to_state_dict(jax.device_get(vae.init(
+        rng, jnp.zeros((1, 32, 32, 3)), rng)["params"]))
+    te1_sd = clip_flax_to_state_dict(jax.device_get(te1.init(
+        rng, jnp.zeros((1, 8), jnp.int32))["params"]))
+    te2_sd = clip_flax_to_state_dict(jax.device_get(te2.init(
+        rng, jnp.zeros((1, 8), jnp.int32))["params"]))
+
+    betas = np.asarray(make_betas("scaled_linear"), np.float32)
+    scheduler = types.SimpleNamespace(
+        betas=torch.from_numpy(betas.copy()),
+        config=types.SimpleNamespace(prediction_type="epsilon"))
+    ref = _back(convert_sdxl_diffusers_to_ckpt(
+        _np(vae_sd), _np(unet_sd), _np(te1_sd), _np(te2_sd), scheduler))
+    mine = ldm.merge_sdxl_single_file(unet_sd, vae_sd, te1_sd, te2_sd)
+
+    scheduler_keys = {k for k in ref
+                      if not k.startswith(("model.", "first_stage_model.",
+                                           "conditioner."))}
+    assert set(mine) == set(ref) - scheduler_keys, (
+        sorted(set(mine) ^ (set(ref) - scheduler_keys))[:20])
+    proj_key = "conditioner.embedders.1.model.text_projection"
+    for k in mine:
+        if k == proj_key:
+            # deliberate deviation: open_clip applies x @ text_projection
+            # (the HF weight TRANSPOSED); the reference stores the HF
+            # weight untransposed even though its own loader transposes
+            # through diffusers — a reference round trip silently flips
+            # the square CLIP-G projection (io/ldm.py convert_hf_to_
+            # openclip documents this)
+            np.testing.assert_array_equal(np.asarray(mine[k]), ref[k].T,
+                                          err_msg=k)
+        else:
+            np.testing.assert_array_equal(np.asarray(mine[k]), ref[k],
+                                          err_msg=k)
+
+
+def test_flux_bfl_matches_reference_converter():
+    import modules.util.convert.convert_flux_diffusers_to_ckpt as ref_mod
+
+    from onetrainer_tpu.io.single_file import flux_transformer_to_bfl
+    from onetrainer_tpu.models.flux import prepare_latent_image_ids
+    from tests.test_flux import tiny_flux_model
+
+    model = tiny_flux_model()
+    rng = jax.random.PRNGKey(0)
+    h = w = 8
+    params = model.transformer.init(
+        rng, jnp.zeros((1, (h // 2) * (w // 2), 16)), jnp.asarray([0.5]),
+        jnp.zeros((1, 20)), jnp.zeros((1, 6, 24)),
+        prepare_latent_image_ids(h, w))["params"]
+    sd = unet_flax_to_state_dict(jax.device_get(params))
+
+    ref = _back(ref_mod.convert_flux_diffusers_to_ckpt(_np(sd)))
+    _assert_same(flux_transformer_to_bfl(sd), ref)
+
+
+def test_sd3_sai_matches_reference_converter():
+    import modules.util.convert.convert_sd3_diffusers_to_ckpt as ref_mod
+
+    from onetrainer_tpu.io.single_file import sd3_transformer_to_sai
+    from tests.test_sd3 import tiny_sd3_model
+
+    model = tiny_sd3_model()
+    rng = jax.random.PRNGKey(0)
+    params = model.transformer.init(
+        rng, jnp.zeros((1, 8, 8, 4)), jnp.asarray([500.0]),
+        jnp.zeros((1, 16)), jnp.zeros((1, 6, 24)))["params"]
+    sd = unet_flax_to_state_dict(jax.device_get(params))
+
+    map_transformer = getattr(ref_mod, "__map_transformer")
+    ref = _back(map_transformer(_np(sd), "model.diffusion_model", ""))
+    _assert_same(sd3_transformer_to_sai(sd), ref,
+                 strip="model.diffusion_model.")
+
+
+def test_hunyuan_video_matches_reference_converter():
+    import modules.util.convert.convert_hunyuan_video_diffusers_to_ckpt \
+        as ref_mod
+
+    from onetrainer_tpu.io.single_file import hunyuan_transformer_to_ckpt
+    from tests.test_trainer_hunyuan import tiny_hunyuan_model
+
+    model = tiny_hunyuan_model()
+    rng = jax.random.PRNGKey(0)
+    params = model.transformer.init(
+        rng, jnp.zeros((1, 2, 4, 4, 16)), jnp.asarray([500.0]),
+        jnp.zeros((1, 5, 24)), jnp.ones((1, 5), jnp.int32),
+        jnp.zeros((1, 16)))["params"]
+    sd = unet_flax_to_state_dict(jax.device_get(params))
+
+    ref = _back(ref_mod.convert_hunyuan_video_diffusers_to_ckpt(_np(sd)))
+    _assert_same(hunyuan_transformer_to_ckpt(sd, "model.model"), ref)
