@@ -34,6 +34,12 @@ def pixart_config_from_diffusers(config: dict, dtype=jnp.bfloat16,
         head_dim=config.get("attention_head_dim", 72),
         cross_attention_dim=config.get("cross_attention_dim", 4096),
         caption_channels=config.get("caption_channels", 4096),
+        # diffusers: use_additional_conditions defaults to sample_size==128
+        # (alpha-1024 micro-conditions); sigma configs set it False
+        use_additional_conditions=(
+            config["use_additional_conditions"]
+            if config.get("use_additional_conditions") is not None
+            else config.get("sample_size", 64) == 128),
         gradient_checkpointing=gradient_checkpointing,
         dtype=dtype,
     )

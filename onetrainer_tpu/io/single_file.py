@@ -323,6 +323,18 @@ def pixart_transformer_to_ckpt(sd: dict) -> dict:
     _map_wb(out, sd, "t_embedder.mlp.2",
             "adaln_single.emb.timestep_embedder.linear_2")
     _map_wb(out, sd, "t_block.1", "adaln_single.linear")
+    # alpha-1024 micro-condition embedders (reference maps them in the
+    # is_pixart_alpha() branch, convert_pixart_diffusers_to_ckpt.py:73-78);
+    # presence-gated: sigma and alpha-512 checkpoints don't have them
+    if "adaln_single.emb.aspect_ratio_embedder.linear_1.weight" in sd:
+        _map_wb(out, sd, "ar_embedder.mlp.0",
+                "adaln_single.emb.aspect_ratio_embedder.linear_1")
+        _map_wb(out, sd, "ar_embedder.mlp.2",
+                "adaln_single.emb.aspect_ratio_embedder.linear_2")
+        _map_wb(out, sd, "csize_embedder.mlp.0",
+                "adaln_single.emb.resolution_embedder.linear_1")
+        _map_wb(out, sd, "csize_embedder.mlp.2",
+                "adaln_single.emb.resolution_embedder.linear_2")
     i = 0
     while f"transformer_blocks.{i}.attn1.to_q.weight" in sd:
         ip, op = f"transformer_blocks.{i}", f"blocks.{i}"
@@ -355,6 +367,15 @@ def pixart_ckpt_to_transformer(sd: dict) -> dict:
     _map_wb(out, sd, "adaln_single.emb.timestep_embedder.linear_2",
             "t_embedder.mlp.2")
     _map_wb(out, sd, "adaln_single.linear", "t_block.1")
+    if "ar_embedder.mlp.0.weight" in sd:
+        _map_wb(out, sd, "adaln_single.emb.aspect_ratio_embedder.linear_1",
+                "ar_embedder.mlp.0")
+        _map_wb(out, sd, "adaln_single.emb.aspect_ratio_embedder.linear_2",
+                "ar_embedder.mlp.2")
+        _map_wb(out, sd, "adaln_single.emb.resolution_embedder.linear_1",
+                "csize_embedder.mlp.0")
+        _map_wb(out, sd, "adaln_single.emb.resolution_embedder.linear_2",
+                "csize_embedder.mlp.2")
     i = 0
     while f"blocks.{i}.attn.qkv.weight" in sd:
         ip, op = f"blocks.{i}", f"transformer_blocks.{i}"
@@ -657,6 +678,10 @@ def load_pixart_single_file(path: str, weight_dtype=np.float32,
     tcfg = pixart_config_from_diffusers({
         "num_layers": n_layers, "in_channels": in_ch, "out_channels": out_ch,
         "num_attention_heads": 16, "attention_head_dim": hidden // 16,
+        # alpha-1024 micro-conditions travel with the checkpoint
+        "use_additional_conditions":
+            "adaln_single.emb.aspect_ratio_embedder.linear_1.weight"
+            in diff_sd,
     }, compute_dtype, gradient_checkpointing)
 
     from onetrainer_tpu.io.flux_checkpoints import t5_config_from_transformers

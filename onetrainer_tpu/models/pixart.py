@@ -33,6 +33,11 @@ class PixArtConfig:
     head_dim: int = 72
     cross_attention_dim: int = 4096  # T5
     caption_channels: int = 4096
+    # PixArt-alpha 1024 (sample_size 128) micro-conditions: resolution +
+    # aspect-ratio sinusoidal embeddings added to the timestep embedding
+    # (diffusers PixArtAlphaCombinedTimestepSizeEmbeddings; reference
+    # feeds them from the latent shape, BasePixArtAlphaSetup.py:209-216)
+    use_additional_conditions: bool = False
     gradient_checkpointing: bool = False
     # scan-over-layers (models/flux.py pattern)
     scan_layers: bool = False
@@ -125,22 +130,44 @@ class AdaLNSingle(nn.Module):
     cfg: PixArtConfig
 
     @nn.compact
-    def __call__(self, timestep):
+    def __call__(self, timestep, resolution=None, aspect_ratio=None):
+        """Returns (6*hidden modulation, embedded timestep) like diffusers
+        AdaLayerNormSingle -- the final norm needs the pre-linear emb."""
         c = self.cfg
         t_emb = timestep_embedding(timestep, 256, flip_sin_to_cos=True,
                                    downscale_freq_shift=0)
-        emb = _TimestepInner(c, name="emb")(t_emb)
-        return LoraDense(6 * c.hidden_size, dtype=c.dtype, name="linear")(
+        emb = _TimestepInner(c, name="emb")(t_emb, resolution, aspect_ratio)
+        t6 = LoraDense(6 * c.hidden_size, dtype=c.dtype, name="linear")(
             nn.silu(emb))
+        return t6, emb
 
 
 class _TimestepInner(nn.Module):
     cfg: PixArtConfig
 
     @nn.compact
-    def __call__(self, t_emb):
-        return MLPEmbedder(self.cfg.hidden_size, self.cfg.dtype,
-                           name="timestep_embedder")(t_emb)
+    def __call__(self, t_emb, resolution=None, aspect_ratio=None):
+        c = self.cfg
+        emb = MLPEmbedder(c.hidden_size, c.dtype,
+                          name="timestep_embedder")(t_emb)
+        if c.use_additional_conditions:
+            # size_emb_dim = hidden//3: [B,2] resolution -> 2 chunks,
+            # [B,1] aspect ratio -> 1 chunk, concatenated to hidden
+            b = t_emb.shape[0]
+            size_dim = c.hidden_size // 3
+            res_proj = timestep_embedding(
+                resolution.reshape(-1).astype(jnp.float32), 256,
+                flip_sin_to_cos=True, downscale_freq_shift=0)
+            res_emb = MLPEmbedder(size_dim, c.dtype,
+                                  name="resolution_embedder")(res_proj)
+            ar_proj = timestep_embedding(
+                aspect_ratio.reshape(-1).astype(jnp.float32), 256,
+                flip_sin_to_cos=True, downscale_freq_shift=0)
+            ar_emb = MLPEmbedder(size_dim, c.dtype,
+                                 name="aspect_ratio_embedder")(ar_proj)
+            emb = emb + jnp.concatenate(
+                [res_emb.reshape(b, -1), ar_emb.reshape(b, -1)], axis=1)
+        return emb
 
 
 class CaptionProjection(nn.Module):
@@ -194,6 +221,8 @@ class PixArtTransformer2D(nn.Module):
             latents: jnp.ndarray,    # [B, H, W, 4]
             timestep: jnp.ndarray,   # [B] int in [0,1000)
             context: jnp.ndarray,    # [B, S, caption_channels] (T5)
+            resolution: jnp.ndarray | None = None,    # [B, 2] (h, w) px
+            aspect_ratio: jnp.ndarray | None = None,  # [B, 1] h/w
     ) -> jnp.ndarray:
         c = self.cfg
         b, height, width, _ = latents.shape
@@ -205,7 +234,8 @@ class PixArtTransformer2D(nn.Module):
                                 base_size=c.sample_size // p)
         x = x + jnp.asarray(pos, c.dtype)[None]
 
-        t6 = AdaLNSingle(c, name="adaln_single")(timestep.astype(jnp.float32))
+        t6, embedded_t = AdaLNSingle(c, name="adaln_single")(
+            timestep.astype(jnp.float32), resolution, aspect_ratio)
         ctx = CaptionProjection(c, name="caption_projection")(context)
 
         if c.scan_layers:
@@ -217,12 +247,12 @@ class PixArtTransformer2D(nn.Module):
             for i in range(c.num_layers):
                 x = block_cls(c, name=f"transformer_blocks_{i}")(x, ctx, t6)
 
-        # final AdaLN (2-entry table) + projection
+        # final AdaLN (2-entry table + embedded timestep) + projection
+        # (diffusers: scale_shift_table[None] + embedded_timestep[:, None])
         table = self.param("scale_shift_table", nn.initializers.normal(0.02),
                            (2, c.hidden_size))
-        # diffusers uses the *embedded timestep* (pre-linear) for the final
-        # modulation; approximate with the first two chunks of t6's source
-        shift, scale = table[0][None], table[1][None]
+        mods = table[None] + embedded_t.astype(jnp.float32)[:, None]
+        shift, scale = mods[:, 0], mods[:, 1]
         x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                          dtype=c.dtype, name="norm_out")(x)
         x = x * (1 + scale[:, None]) + shift[:, None]

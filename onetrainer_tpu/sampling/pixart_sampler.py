@@ -53,8 +53,13 @@ def sample_pixart(
     def dit_step(latents, t):
         both = jnp.concatenate([latents, latents], axis=0)
         ts = jnp.full((2,), t, jnp.int32)
+        lh, lw = both.shape[1], both.shape[2]
+        resolution = jnp.tile(
+            jnp.asarray([[lh * 8, lw * 8]], jnp.float32), (2, 1))
+        aspect_ratio = jnp.full((2, 1), float(lh) / float(lw), jnp.float32)
         out = model.transformer.apply(
-            {"params": transformer_params}, both, ts, context)
+            {"params": transformer_params}, both, ts, context,
+            resolution, aspect_ratio)
         eps = out[..., :latent_ch]
         cond, uncond = eps[0:1], eps[1:2]
         return uncond + cfg_scale * (cond - uncond)

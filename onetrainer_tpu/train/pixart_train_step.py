@@ -74,8 +74,16 @@ def pixart_predict(model, transformer_params, te_params, batch, rng,
             jax.random.fold_in(rng, 0xd0), context.shape[0], cfg.te_dropout)
         context = context * keep[:, None, None].astype(context.dtype)
 
+    # micro-conditions from the latent shape, like the reference
+    # (BasePixArtAlphaSetup.py:209-216); consumed only by alpha-1024
+    # models (use_additional_conditions)
+    b, lh, lw = noisy.shape[0], noisy.shape[1], noisy.shape[2]
+    resolution = jnp.tile(
+        jnp.asarray([[lh * 8, lw * 8]], jnp.float32), (b, 1))
+    aspect_ratio = jnp.full((b, 1), float(lh) / float(lw), jnp.float32)
     out = model.transformer.apply(
-        as_variables(transformer_params), noisy, timestep, context)
+        as_variables(transformer_params), noisy, timestep, context,
+        resolution, aspect_ratio)
     latent_ch = scaled.shape[-1]
     predicted = out[..., :latent_ch]
     predicted_var = out[..., latent_ch:]

@@ -88,3 +88,42 @@ def test_pixart_lora_step_with_vb_loss():
     state, metrics = step(state, frozen, batch, jax.random.PRNGKey(4))
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["grad_norm"]) > 0
+
+
+def test_pixart_alpha_1024_micro_conditions():
+    """alpha-1024 (use_additional_conditions): resolution/aspect-ratio
+    embedders exist, feed the conditioning, and change the output
+    (reference: BasePixArtAlphaSetup.py:209-225 feeds them from the
+    latent shape; diffusers PixArtAlphaCombinedTimestepSizeEmbeddings)."""
+    cfg = tiny_pixart_config(num_heads=3, head_dim=8,
+                             use_additional_conditions=True)
+    model = PixArtTransformer2D(cfg)
+    latents = jnp.ones((2, 8, 8, 4)) * 0.1
+    t = jnp.asarray([100, 500])
+    ctx = jnp.zeros((2, 6, 24))
+    res = jnp.tile(jnp.asarray([[64.0, 64.0]]), (2, 1))
+    ar = jnp.ones((2, 1))
+    params = model.init(jax.random.PRNGKey(0), latents, t, ctx, res, ar)
+
+    p = params["params"]["adaln_single"]["emb"]
+    assert "resolution_embedder" in p and "aspect_ratio_embedder" in p
+
+    out_a = model.apply(params, latents, t, ctx, res, ar)
+    out_b = model.apply(params, latents, t, ctx, res * 4.0, ar * 2.0)
+    assert float(jnp.abs(out_a - out_b).max()) > 0
+
+
+def test_pixart_final_modulation_uses_embedded_timestep():
+    """The final norm's scale/shift is scale_shift_table + embedded
+    timestep (diffusers PixArtTransformer2DModel forward), so two
+    different timesteps must modulate the output differently even with
+    identical blocks (regression: the table alone was used before)."""
+    cfg = tiny_pixart_config(num_layers=0)
+    model = PixArtTransformer2D(cfg)
+    latents = jnp.ones((2, 8, 8, 4)) * 0.1
+    ctx = jnp.zeros((2, 6, 24))
+    params = model.init(jax.random.PRNGKey(0), latents,
+                        jnp.asarray([100, 100]), ctx)
+    out = model.apply(params, latents, jnp.asarray([100, 900]), ctx)
+    # with zero blocks the only timestep dependence is the final AdaLN
+    assert float(jnp.abs(out[0] - out[1]).max()) > 0
