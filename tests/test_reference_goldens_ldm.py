@@ -326,3 +326,37 @@ def test_pixart_matches_reference_converter():
     assert "pos_embed" in ref
     ref.pop("pos_embed")
     _assert_same(pixart_transformer_to_ckpt(sd), ref)
+
+
+def test_cascade_ckpt_to_diffusers_matches_reference():
+    """The reverse direction too: the reference's
+    convert_stable_cascade_ckpt_to_diffusers vs cascade_ckpt_to_prior on
+    a reference-converted checkpoint."""
+    import modules.util.convert.convert_stable_cascade_ckpt_to_diffusers \
+        as ref_mod
+    import modules.util.convert.convert_stable_cascade_diffusers_to_ckpt \
+        as fwd_mod
+
+    from onetrainer_tpu.io.single_file import cascade_ckpt_to_prior
+    from onetrainer_tpu.io.wuerstchen_checkpoints import (
+        prior_flax_to_state_dict,
+    )
+    from onetrainer_tpu.models.cascade import (
+        CascadePriorConfig, StableCascadePrior,
+    )
+
+    cfg = CascadePriorConfig(
+        c_in=16, c_hidden=(32, 48), nhead=(4, 4), blocks=(1, 1),
+        c_cond=32, clip_text_in=24, clip_text_pooled_in=24,
+        clip_image_in=16, dtype=jnp.float32)
+    prior = StableCascadePrior(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = prior.init(
+        rng, jnp.zeros((1, 8, 8, 16)), jnp.asarray([0.5]),
+        jnp.zeros((1, 6, 24)), jnp.zeros((1, 24)), None)["params"]
+    diff_sd = prior_flax_to_state_dict(jax.device_get(params))
+    ckpt = fwd_mod.convert_stable_cascade_diffusers_to_ckpt(_np(diff_sd))
+
+    ref_back = _back(ref_mod.convert_stable_cascade_ckpt_to_diffusers(ckpt))
+    mine_back = cascade_ckpt_to_prior(_back(ckpt))
+    _assert_same(mine_back, ref_back)

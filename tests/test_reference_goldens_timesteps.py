@@ -338,3 +338,28 @@ def test_add_noise_continuous_matches_reference():
                                 jnp.asarray(ac))
     np.testing.assert_allclose(np.asarray(mine), ref.numpy(),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_ztsnr_rescale_matches_reference():
+    """modules/util/convert/rescale_noise_scheduler_to_zero_terminal_snr.py
+    (arXiv 2305.08891) replayed against math/schedules.py
+    rescale_betas_zero_terminal_snr."""
+    from modules.util.convert.rescale_noise_scheduler_to_zero_terminal_snr \
+        import rescale_noise_scheduler_to_zero_terminal_snr
+
+    from onetrainer_tpu.math.schedules import (
+        make_betas, rescale_betas_zero_terminal_snr,
+    )
+
+    betas = np.asarray(make_betas("scaled_linear"), np.float32)
+    sched = types.SimpleNamespace(
+        alphas_cumprod=torch.cumprod(1.0 - torch.from_numpy(betas.copy()),
+                                     dim=0))
+    ref_betas = rescale_noise_scheduler_to_zero_terminal_snr(sched).numpy()
+    mine = np.asarray(rescale_betas_zero_terminal_snr(jnp.asarray(betas)))
+    # identical formula; slack is float32 cumprod accumulation order
+    np.testing.assert_allclose(mine, ref_betas, rtol=1e-4, atol=1e-6)
+    # the defining property, via the reference's own output: terminal
+    # alpha_bar is exactly zero
+    np.testing.assert_allclose(
+        float(np.cumprod(1.0 - mine)[-1]), 0.0, atol=1e-10)
