@@ -466,19 +466,32 @@ class GenericTrainer(BaseTrainer):
         finally:
             self.setup.state = self.setup.state.replace(params=real_params)
         if use_ema and config.non_ema_sampling and not custom:
-            self._sample_batch(config, samples, suffix="-non-ema")
+            self._sample_batch(config, samples, suffix=" - no-ema")
         return
 
     def _sample_batch(self, config, samples, suffix: str = "",
                       custom: bool = False):
+        from onetrainer_tpu.util.path_util import (
+            get_string_timestamp, safe_filename,
+        )
         self.callbacks.on_update_status("sampling")
-        sample_dir = os.path.join(config.workspace_dir, "samples",
-                                  *(["custom"] if custom else []))
-        os.makedirs(sample_dir, exist_ok=True)
         for i, sample_config in enumerate(samples):
             if not sample_config.enabled:
                 continue
             try:
+                # reference layout: samples/{i} - {safe_prompt}{postfix}/
+                # {prefix}{timestamp}-training-sample-{progress}{ext}
+                # (GenericTrainer.py:207-226); custom samples go flat into
+                # samples/custom/
+                if custom:
+                    sample_dir = os.path.join(
+                        config.workspace_dir, "samples", "custom")
+                else:
+                    safe_prompt = safe_filename(sample_config.prompt)
+                    sample_dir = os.path.join(
+                        config.workspace_dir, "samples",
+                        f"{i} - {safe_prompt}{suffix}")
+                os.makedirs(sample_dir, exist_ok=True)
                 if custom:
                     # custom configs carry only what the caller set; fill
                     # sampler defaults from the train config (reference:
@@ -491,7 +504,9 @@ class GenericTrainer(BaseTrainer):
                             f"sample_{i}", s, m)  # noqa: E731
                 out = self.family.sample(self.setup, sample_config, progress_cb)
                 from PIL import Image
-                name = (f"{self.train_progress.filename_string()}-sample-{i}{suffix}"
+                name = (f"{config.save_filename_prefix}"
+                        f"{get_string_timestamp()}-training-sample-"
+                        f"{self.train_progress.filename_string()}"
                         f"{config.sample_image_format.extension()}")
                 path = os.path.join(sample_dir, name)
                 Image.fromarray(out.image).save(path)
@@ -518,7 +533,8 @@ class GenericTrainer(BaseTrainer):
                 if self.tensorboard and config.samples_to_tensorboard \
                         and not custom:
                     self.tensorboard.add_image(
-                        f"sample_{i}", out.image.transpose(2, 0, 1),
+                        f"sample{i} - {safe_filename(sample_config.prompt)}",
+                        out.image.transpose(2, 0, 1),
                         self.train_progress.global_step)
                 if custom:
                     self.callbacks.on_sample_custom(out)
@@ -586,10 +602,14 @@ class GenericTrainer(BaseTrainer):
                             "save_skip_first", config.save_skip_first,
                             config.save_every_unit, progress) \
                         or self.commands.get_and_reset_save_command():
+                    from onetrainer_tpu.util.path_util import (
+                        get_string_timestamp,
+                    )
                     prefix = config.save_filename_prefix
                     dest = os.path.join(
                         config.workspace_dir, "save",
-                        f"{prefix}{progress.filename_string()}")
+                        f"{prefix}{get_string_timestamp()}-save-"
+                        f"{progress.filename_string()}")
                     os.makedirs(os.path.dirname(dest), exist_ok=True)
                     self.save(dest)
 
@@ -699,7 +719,20 @@ class GenericTrainer(BaseTrainer):
         try:
             if self.config.backup_before_save:
                 self.backup()
-            self.save()
+            dest = self.config.output_model_destination
+            if os.path.isdir(dest) and \
+                    self.config.output_model_format.is_single_file():
+                # the reference drops a timestamped file INTO an existing
+                # directory destination (GenericTrainer.py:780-784)
+                from onetrainer_tpu.util.path_util import (
+                    get_string_timestamp,
+                )
+                dest = os.path.join(
+                    dest,
+                    f"{self.config.save_filename_prefix}"
+                    f"{get_string_timestamp()}"
+                    f"{self.config.output_model_format.file_extension()}")
+            self.save(dest)
         finally:
             if self.tensorboard:
                 self.tensorboard.close()

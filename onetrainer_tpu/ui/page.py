@@ -190,11 +190,11 @@ async function poll(){try{const s=await api("/api/status");
  const sd=document.getElementById("samples");
  const want=(s.samples||[]).filter(n=>/\.(png|jpg|webp)$/.test(n));
  if(sd.dataset.keys!=want.join()){sd.dataset.keys=want.join();sd.innerHTML="";
-  want.forEach(n=>sd.append(el("img",{src:"/samples/"+n,title:n})))}
+  want.forEach(n=>sd.append(el("img",{src:"/samples/"+n.split("/").map(encodeURIComponent).join("/"),title:n})))}
  const cd=document.getElementById("customsamples");
  const cwant=(s.custom_samples||[]).filter(n=>/\.(png|jpg|webp)$/.test(n));
  if(cd.dataset.keys!=cwant.join()){cd.dataset.keys=cwant.join();cd.innerHTML="";
-  cwant.forEach(n=>cd.append(el("img",{src:"/samples/custom/"+n,title:n})))}
+  cwant.forEach(n=>cd.append(el("img",{src:"/samples/custom/"+encodeURIComponent(n),title:n})))}
  }catch(e){}setTimeout(poll,1500)}
 
 document.getElementById("customrun").onclick=()=>api("/api/train/sample_custom",

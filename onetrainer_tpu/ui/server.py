@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import urllib.parse
 import traceback
 from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -186,8 +187,20 @@ class TrainUIState:
             samples, custom = [], []
             sdir = self.sample_dir()
             if os.path.isdir(sdir):
-                samples = sorted(f for f in os.listdir(sdir)
-                                 if f != "custom")[-8:]
+                # samples live in per-prompt subfolders
+                # ("{i} - {safe_prompt}", reference GenericTrainer layout);
+                # list workspace-relative paths, newest last
+                found = []
+                for root, dirs, files in os.walk(sdir):
+                    if os.path.basename(root) == "custom":
+                        dirs[:] = []
+                        continue
+                    for f in files:
+                        fp = os.path.join(root, f)
+                        found.append((os.path.getmtime(fp),
+                                      os.path.relpath(fp, sdir)))
+                samples = [p.replace(os.sep, "/")
+                           for _, p in sorted(found)][-8:]
             cdir = os.path.join(sdir, "custom")
             if os.path.isdir(cdir):
                 custom = sorted(os.listdir(cdir))[-8:]
@@ -267,11 +280,15 @@ def _make_handler(ui: TrainUIState):
                                    if f.endswith(".json"))
                 self._json({"presets": names})
             elif path.startswith("/samples/"):
-                rel = path[len("/samples/"):]
-                sub = ["custom"] if rel.startswith("custom/") else []
+                rel = urllib.parse.unquote(path[len("/samples/"):])
+                sdir = os.path.realpath(ui.sample_dir())
+                fp = os.path.realpath(os.path.join(sdir, rel))
                 name = os.path.basename(rel)
-                fp = os.path.join(ui.sample_dir(), *sub, name)
-                if os.path.isfile(fp):
+                # nested per-prompt folders are fine; escaping sample_dir
+                # is not
+                if not fp.startswith(sdir + os.sep):
+                    self._json({"error": "not found"}, 404)
+                elif os.path.isfile(fp):
                     with open(fp, "rb") as f:
                         data = f.read()
                     ext = os.path.splitext(name)[1].lstrip(".") or "png"
