@@ -21,7 +21,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import numpy as np
-from PIL import Image
+from PIL import Image, ImageOps
 
 from onetrainer_tpu.config.train_config import TrainConfig
 from onetrainer_tpu.data.augments import augment_image, augment_text
@@ -38,7 +38,27 @@ from onetrainer_tpu.util.enums import ConceptType
 
 def load_image_rgb(path: str) -> np.ndarray:
     with Image.open(path) as img:
+        # honor EXIF orientation like the reference's load_image
+        # (modules/util/image_util.py:4-9 exif_transpose) -- phone/camera
+        # photos otherwise train sideways
+        img = ImageOps.exif_transpose(img)
         return np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+
+
+_EXIF_ORIENTATION = 0x0112
+_EXIF_SWAPS_WH = {5, 6, 7, 8}
+
+
+def probe_image_size(img: Image.Image) -> tuple[int, int]:
+    """(w, h) after EXIF orientation, without decoding pixels -- the
+    aspect-bucket probe must agree with load_image_rgb's transpose."""
+    w, h = img.size
+    try:
+        if img.getexif().get(_EXIF_ORIENTATION, 1) in _EXIF_SWAPS_WH:
+            w, h = h, w
+    except Exception:
+        pass
+    return w, h
 
 
 def load_video_frames(path: str, n_frames: int,
@@ -69,6 +89,7 @@ def load_video_frames(path: str, n_frames: int,
 
 def load_mask(path: str) -> np.ndarray:
     with Image.open(path) as img:
+        img = ImageOps.exif_transpose(img)
         return (np.asarray(img.convert("L"), dtype=np.float32) / 255.0)[..., None]
 
 
@@ -189,7 +210,7 @@ class Text2ImageDataLoader:
                         raise OSError(e.image_path)
                 else:
                     with Image.open(e.image_path) as img:
-                        w, h = img.size
+                        w, h = probe_image_size(img)
             except OSError:
                 w = h = max(self.resolutions[0]) if self.resolutions else 512
             self._sizes.append((h, w))

@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 from abc import ABC, abstractmethod
 
-from PIL import Image
+from PIL import Image, ImageOps
 
 from onetrainer_tpu.data.concepts import SUPPORTED_IMAGE_EXTENSIONS
 
@@ -47,7 +47,7 @@ class BaseImageCaptionModel(ABC):
             with open(caption_path, encoding="utf-8") as f:
                 if f.read().strip():
                     return
-        image = Image.open(filename).convert("RGB")
+        image = ImageOps.exif_transpose(Image.open(filename)).convert("RGB")
         caption = self.generate_caption(image, initial_caption,
                                         caption_prefix, caption_postfix)
         if mode == "add" and exists:

@@ -7,7 +7,7 @@ import os
 from abc import ABC, abstractmethod
 
 import numpy as np
-from PIL import Image
+from PIL import Image, ImageOps
 
 from onetrainer_tpu.tooling.caption_models import BaseImageCaptionModel
 
@@ -52,7 +52,7 @@ class BaseImageMaskModel(ABC):
                 mask_path = os.path.splitext(filename)[0] + "-masklabel.png"
                 if mode == "fill" and os.path.exists(mask_path):
                     continue
-                image = Image.open(filename).convert("RGB")
+                image = ImageOps.exif_transpose(Image.open(filename)).convert("RGB")
                 mask = self.mask_image(image, prompts, mode, threshold,
                                        smooth_pixels, expand_pixels)
                 if mode == "add" and os.path.exists(mask_path):

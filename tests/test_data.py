@@ -315,3 +315,31 @@ def test_loss_curve_artifact_reproducible():
                                rtol=1e-4, atol=1e-5)
     # and it actually learns
     assert want["mean_last_10"] < want["mean_first_10"]
+
+
+def test_exif_orientation_is_honored(tmp_path):
+    """A photo saved with EXIF orientation 6 (90-degree CW display
+    rotation) must load upright and the aspect-bucket size probe must
+    agree with the decoded pixels (reference: image_util.load_image
+    applies ImageOps.exif_transpose)."""
+    import numpy as np
+    from PIL import Image
+
+    from onetrainer_tpu.data.loader import load_image_rgb, probe_image_size
+
+    # 8 wide x 4 tall, left half black / right half white
+    arr = np.zeros((4, 8, 3), np.uint8)
+    arr[:, 4:] = 255
+    img = Image.fromarray(arr)
+    exif = img.getexif()
+    exif[0x0112] = 6  # Rotate 90 CW to display
+    p = str(tmp_path / "rot.jpg")
+    img.save(p, exif=exif)
+
+    loaded = load_image_rgb(p)
+    assert loaded.shape[:2] == (8, 4)      # tall after transpose
+    # orientation 6: the stored right (white) half displays at the BOTTOM
+    assert loaded[4:].mean() > 0.9 and loaded[:4].mean() < 0.1
+
+    with Image.open(p) as im:
+        assert probe_image_size(im) == (4, 8)  # (w, h) swapped
