@@ -21,6 +21,13 @@ import numpy as np
 from onetrainer_tpu.io.safetensors_io import load_safetensors, save_safetensors
 
 
+# bump whenever the decode/augment pipeline changes what cached tensors
+# contain for an UNCHANGED (path, mtime, config) tuple. v2: EXIF
+# orientation honored (load_image_rgb exif_transpose) — pre-fix caches
+# hold rotated/mirrored latents for orientations that keep w==h buckets.
+PIPELINE_VERSION = 2
+
+
 class DiskCache:
     def __init__(self, cache_dir: str, model_tag: str):
         self.cache_dir = cache_dir
@@ -33,6 +40,7 @@ class DiskCache:
         except OSError:
             mtime = 0.0
         payload = json.dumps({
+            "pipeline": PIPELINE_VERSION,
             "path": os.path.abspath(image_path),
             "mtime": mtime,
             "variation": variation,

@@ -284,13 +284,23 @@ def _to_numpy_tree(params, dtype=None):
     np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16,
                 np.float16: np.float16}.get(dtype, dtype)
 
+    from onetrainer_tpu.ops.quant import is_quantized, maybe_dequantize
+
     def conv(x):
+        if is_quantized(x):
+            # quantized frozen parts (setup/quantize.py) export at the
+            # save dtype (bf16 when unspecified, mirroring to_load_dtype)
+            # — np.asarray on the quantized container raises, which used
+            # to silently kill fine-tune/embedding saves
+            x = maybe_dequantize(
+                x, jnp.float32 if np_dtype is not None else jnp.bfloat16)
         arr = np.asarray(jax.device_get(x))
         if np.issubdtype(arr.dtype, np.floating) or arr.dtype == ml_dtypes.bfloat16:
             return np.ascontiguousarray(
                 arr if np_dtype is None else arr.astype(np_dtype))
         return arr
-    return jax.tree.map(conv, params)
+    return jax.tree.map(conv, params,
+                        is_leaf=lambda v: is_quantized(v))
 
 
 def save_sd_diffusers(

@@ -333,7 +333,8 @@ class GenericTrainer(BaseTrainer):
 
         return _ctx()
 
-    def save(self, destination: str | None = None):
+    def save(self, destination: str | None = None,
+             raise_on_error: bool = False):
         self.callbacks.on_update_status("saving")
         config = self.config
         destination = destination or config.output_model_destination
@@ -343,6 +344,11 @@ class GenericTrainer(BaseTrainer):
             with self._export_params():
                 self._save_output(destination)
         except Exception:
+            # mid-training saves are best-effort like the reference's,
+            # but the FINAL save must not fail silently (a run that
+            # "succeeds" without writing output_model_destination)
+            if raise_on_error:
+                raise
             traceback.print_exc()
 
     def _save_output(self, destination: str):
@@ -732,7 +738,7 @@ class GenericTrainer(BaseTrainer):
                     f"{self.config.save_filename_prefix}"
                     f"{get_string_timestamp()}"
                     f"{self.config.output_model_format.file_extension()}")
-            self.save(dest)
+            self.save(dest, raise_on_error=True)
         finally:
             if self.tensorboard:
                 self.tensorboard.close()

@@ -191,16 +191,22 @@ class TrainUIState:
                 # ("{i} - {safe_prompt}", reference GenericTrainer layout);
                 # list workspace-relative paths, newest last
                 found = []
-                for root, dirs, files in os.walk(sdir):
-                    if os.path.basename(root) == "custom":
-                        dirs[:] = []
+                for d in os.listdir(sdir):
+                    if d == "custom":
                         continue
-                    for f in files:
-                        fp = os.path.join(root, f)
-                        found.append((os.path.getmtime(fp),
-                                      os.path.relpath(fp, sdir)))
-                samples = [p.replace(os.sep, "/")
-                           for _, p in sorted(found)][-8:]
+                    pdir = os.path.join(sdir, d)
+                    if not os.path.isdir(pdir):
+                        continue
+                    # only the files directly inside each per-prompt
+                    # folder: video image-sequence FRAMES live one level
+                    # deeper ({stem}/00000.png) and would flood the
+                    # newest-8 gallery
+                    for f in os.listdir(pdir):
+                        fp = os.path.join(pdir, f)
+                        if os.path.isfile(fp):
+                            found.append((os.path.getmtime(fp),
+                                          f"{d}/{f}"))
+                samples = [p for _, p in sorted(found)][-8:]
             cdir = os.path.join(sdir, "custom")
             if os.path.isdir(cdir):
                 custom = sorted(os.listdir(cdir))[-8:]

@@ -457,3 +457,12 @@ def test_fine_tune_quantized_frozen_te(tmp_path):
     trainer.train()
     trainer.end()
     assert trainer.train_progress.global_step >= 2
+    # the save path must dequantize the frozen part — np.asarray on the
+    # quantized container used to raise inside a swallowed try/except,
+    # leaving no output model at all (the final save now also raises
+    # instead of swallowing)
+    out = config.output_model_destination + ".safetensors"
+    assert os.path.exists(out)
+    sd = load_safetensors(out)
+    assert any(k.startswith("model.diffusion_model.") for k in sd)
+    assert any(k.startswith("cond_stage_model.") for k in sd)
