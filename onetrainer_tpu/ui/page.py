@@ -3,8 +3,13 @@
 Layout mirrors the reference's TrainUI tabs (modules/ui/TrainUI.py:
 general/model/data/concepts/training/sampling/backup + toolbar), rendered
 as a dynamic form over the TrainConfig dict: scalar fields group into
-tabs by name, nested objects (optimizer, concepts, samples, embeddings)
-edit as JSON. No build step, no dependencies — one <script> tag.
+tabs by name; samples/embeddings edit as JSON. Concepts get a structured
+per-concept editor with folder stats and a live augmentation preview
+(reference: ConceptWindow), the optimizer gets a per-optimizer settings
+dialog over OPTIMIZER_DEFAULT_PARAMETERS (reference:
+OptimizerParamsWindow), and the dataset tab includes an interactive
+canvas mask painter that saves `-masklabel.png` (reference:
+CaptionUI.py:53-60). No build step, no dependencies — one <script> tag.
 """
 
 PAGE_HTML = r"""<!doctype html>
@@ -46,6 +51,8 @@ PAGE_HTML = r"""<!doctype html>
  <div id="form" class="grid"></div>
  <div id="jsonpane" style="display:none"><textarea id="jsontext"></textarea>
   <button id="jsonapply">apply</button> <span id="jsonerr" style="color:#e66"></span></div>
+ <div id="conceptpane" style="display:none"></div>
+ <div id="optpane" style="display:none"></div>
  <div id="monitor" style="display:none">
   <canvas id="loss" width="900" height="220"></canvas>
   <div id="samples"></div>
@@ -109,8 +116,10 @@ const TABS = {
  sampling: k=>/^(sample|non_ema_sampling|samples_to_tensor)/.test(k),
  backup: k=>/^(backup|rolling_backup|save_every|save_skip)/.test(k),
 };
-const JSON_TABS = {concepts:"concepts", samples:"samples",
- "embedding/additional":"additional_embeddings", optimizer:"optimizer"};
+const JSON_TABS = {samples:"samples",
+ "embedding/additional":"additional_embeddings"};
+const NAV = ["general","model","data","concepts","training","optimizer",
+ "sampling","backup",...Object.keys(JSON_TABS),"monitor","tools"];
 let config = {}, tab = "general";
 
 function el(t,attrs={},...kids){const e=document.createElement(t);
@@ -121,7 +130,7 @@ async function api(path,body){const r=await fetch(path,body?{method:"POST",
  body:JSON.stringify(body)}:{});return r.json()}
 
 function renderTabs(){const nav=document.getElementById("tabs");nav.innerHTML="";
- for(const name of [...Object.keys(TABS),...Object.keys(JSON_TABS),"monitor","tools"]){
+ for(const name of NAV){
   nav.append(el("button",{class:name==tab?"active":"",onclick:()=>{tab=name;render()}},name))}}
 
 function fieldInput(key,val){
@@ -136,10 +145,14 @@ function fieldInput(key,val){
 
 function render(){renderTabs();
  const form=document.getElementById("form"),jp=document.getElementById("jsonpane"),
-       mon=document.getElementById("monitor"),tl=document.getElementById("tools");
- form.style.display=jp.style.display=mon.style.display=tl.style.display="none";
+       mon=document.getElementById("monitor"),tl=document.getElementById("tools"),
+       cp=document.getElementById("conceptpane"),op=document.getElementById("optpane");
+ form.style.display=jp.style.display=mon.style.display=tl.style.display=
+  cp.style.display=op.style.display="none";
  if(tab=="monitor"){mon.style.display="block";return}
  if(tab=="tools"){tl.style.display="block";return}
+ if(tab=="concepts"){renderConcepts();return}
+ if(tab=="optimizer"){renderOptimizer();return}
  if(tab in JSON_TABS){jp.style.display="block";
   document.getElementById("jsontext").value=
    JSON.stringify(config[JSON_TABS[tab]],null,1);return}
@@ -153,6 +166,137 @@ function render(){renderTabs();
 
 async function push(patch){const r=await api("/api/config",patch);
  if(!r.ok)alert(JSON.stringify(r));config=await api("/api/config")}
+
+/* ---- structured concept editor (reference: ConceptWindow — per-concept
+   form + folder stats + live augmentation preview) ---- */
+let conceptIdx=0, previewImgIdx=0, previewSeed=0;
+function scalarField(obj,key,onset){const val=obj[key];
+ if(typeof val=="boolean"){const i=el("input",{type:"checkbox"});i.checked=val;
+  i.onchange=()=>{obj[key]=i.checked;onset()};return i}
+ const i=el("input",{type:"text",value:val===null?"":String(val)});
+ i.onchange=()=>{let v=i.value;
+  if(typeof val=="number"&&v!=="")v=Number(v);
+  if(val===null&&v==="")v=null;
+  obj[key]=v;onset()};
+ return i}
+function fieldGrid(obj,onset,skip){const g=el("div",{class:"grid"});
+ for(const[k,v]of Object.entries(obj)){
+  if((skip||[]).includes(k)||typeof v=="object"&&v!==null)continue;
+  g.append(el("div",{class:"field"},el("label",{},k),scalarField(obj,k,onset)))}
+ return g}
+async function renderConcepts(){
+ const pane=document.getElementById("conceptpane");
+ pane.style.display="block";pane.innerHTML="";
+ const list=config.concepts||[];
+ if(conceptIdx>=list.length)conceptIdx=Math.max(0,list.length-1);
+ const sel=el("select",{});
+ list.forEach((c,i)=>{const o=el("option",{value:i},
+  (i+1)+": "+(c.name||c.path||"concept"));if(i==conceptIdx)o.selected=true;
+  sel.append(o)});
+ sel.onchange=()=>{conceptIdx=Number(sel.value);render()};
+ const save=()=>push({concepts:list});
+ pane.append(el("div",{style:"display:flex;gap:8px;margin-bottom:8px;align-items:center"},
+  sel,
+  el("button",{class:"sec",onclick:async()=>{
+   await push({concepts:[...list,{}]});conceptIdx=list.length;render()}},"add"),
+  el("button",{class:"warn",onclick:async()=>{
+   list.splice(conceptIdx,1);await save();render()}},"remove"),
+  el("button",{class:"sec",onclick:async()=>{
+   const c=list[conceptIdx];if(!c)return;
+   const r=await api("/api/concept/stats?path="+encodeURIComponent(c.path||""));
+   const s=document.getElementById("cstats");s.innerHTML="";
+   for(const[k,v]of Object.entries(r))s.append(el("div",{},k+": "+JSON.stringify(v)))}},
+   "folder stats"),
+  el("button",{class:"sec",onclick:()=>conceptPreview(list[conceptIdx])},"preview augmentation"),
+  el("button",{class:"sec",onclick:()=>{previewImgIdx++;conceptPreview(list[conceptIdx])}},"next image")));
+ const c=list[conceptIdx];
+ if(c){
+  pane.append(fieldGrid(c,save));
+  for(const sub of["image","text"])if(c[sub]&&typeof c[sub]=="object"){
+   pane.append(el("h3",{style:"margin:10px 0 4px;font-size:13px;color:#9ad"},sub+" augmentation"));
+   pane.append(fieldGrid(c[sub],save))}}
+ pane.append(el("div",{id:"cstats",style:"font-size:12px;color:#9ad;margin-top:8px"}));
+ pane.append(el("div",{id:"cpreview",style:"display:flex;gap:10px;margin-top:8px;align-items:flex-start"}))}
+async function conceptPreview(c){if(!c)return;
+ previewSeed++;
+ const r=await api("/api/concept/preview",
+  {concept:c,seed:previewSeed,index:previewImgIdx});
+ const p=document.getElementById("cpreview");p.innerHTML="";
+ if(r.error){p.textContent=r.error;return}
+ p.append(el("img",{src:"data:image/png;base64,"+r.image,style:"max-width:260px;border:1px solid #3a404a"}));
+ if(r.mask)p.append(el("img",{src:"data:image/png;base64,"+r.mask,style:"max-width:260px;border:1px solid #3a404a"}));
+ p.append(el("div",{style:"font-size:12px;color:#9ad"},
+  r.name+" ("+(r.index+1)+"/"+r.count+")",el("br",{}),r.caption||""))}
+
+/* ---- optimizer settings dialog (reference: OptimizerParamsWindow over
+   OPTIMIZER_DEFAULT_PARAMETERS + change_optimizer persistence) ---- */
+async function renderOptimizer(){
+ const pane=document.getElementById("optpane");
+ pane.style.display="block";pane.innerHTML="";
+ const r=await api("/api/optimizer/params");
+ const sel=el("select",{});
+ for(const o of r.optimizers||[]){const opt=el("option",{value:o},o);
+  if(o==r.optimizer)opt.selected=true;sel.append(opt)}
+ sel.onchange=async()=>{await api("/api/optimizer/change",{optimizer:sel.value});
+  config=await api("/api/config");render()};
+ pane.append(el("div",{style:"display:flex;gap:8px;margin-bottom:8px;align-items:center"},
+  el("b",{style:"font-size:13px"},"optimizer"),sel,
+  el("span",{style:"font-size:12px;color:#9ad"},
+   "settings are remembered per optimizer")));
+ const g=el("div",{class:"grid"});
+ for(const k of r.keys||[]){const v=r.params[k];
+  const i=el("input",{type:"text",value:v===null||v===undefined?"":String(v)});
+  i.onchange=async()=>{let val=i.value;
+   if(val==="")val=null;
+   else if(val==="true"||val==="false")val=val==="true";
+   else if(!isNaN(Number(val)))val=Number(val);
+   await api("/api/optimizer/params",{[k]:val});
+   config=await api("/api/config")};
+  g.append(el("div",{class:"field"},el("label",{},k),i))}
+ pane.append(g)}
+
+/* ---- interactive mask painting (reference: CaptionUI.py:53-60 mask
+   paint/fill) — canvas brush over the image, saved as -masklabel.png ---- */
+function paintMask(d,row){
+ const img=new Image();
+ img.src="/dataset/image?dir="+encodeURIComponent(d)+"&name="+encodeURIComponent(row.name);
+ img.onload=()=>{
+  const W=img.naturalWidth,H=img.naturalHeight;
+  const disp=el("canvas",{width:W,height:H,
+   style:"max-width:75vw;max-height:70vh;border:1px solid #3a404a;cursor:crosshair"});
+  const mcan=document.createElement("canvas");mcan.width=W;mcan.height=H;
+  const mctx=mcan.getContext("2d");mctx.fillStyle="#000";mctx.fillRect(0,0,W,H);
+  const dctx=disp.getContext("2d");
+  let brush=Math.max(8,Math.round(W/24)),erase=false,drawing=false;
+  function redraw(){dctx.globalAlpha=1;dctx.drawImage(img,0,0);
+   dctx.globalAlpha=.45;dctx.drawImage(mcan,0,0);dctx.globalAlpha=1}
+  function dot(e){const r=disp.getBoundingClientRect();
+   const x=(e.clientX-r.left)*W/r.width,y=(e.clientY-r.top)*H/r.height;
+   mctx.fillStyle=erase?"#000":"#fff";
+   mctx.beginPath();mctx.arc(x,y,brush,0,7);mctx.fill();redraw()}
+  disp.onmousedown=e=>{drawing=true;dot(e)};
+  disp.onmousemove=e=>{if(drawing)dot(e)};
+  disp.onmouseup=disp.onmouseleave=()=>{drawing=false};
+  const size=el("input",{type:"range",min:2,max:Math.round(W/4),value:brush});
+  size.oninput=()=>brush=Number(size.value);
+  const mode=el("button",{class:"sec",onclick:()=>{erase=!erase;
+   mode.textContent=erase?"erasing":"painting"}},"painting");
+  const ov=el("div",{id:"maskov",style:"position:fixed;inset:0;background:#000d;z-index:10;display:flex;flex-direction:column;align-items:center;justify-content:center;gap:8px"},
+   el("div",{style:"display:flex;gap:8px;align-items:center;font-size:13px"},
+    el("b",{},row.name),"brush",size,mode,
+    el("button",{class:"sec",onclick:()=>{mctx.fillStyle="#fff";mctx.fillRect(0,0,W,H);redraw()}},"fill"),
+    el("button",{class:"sec",onclick:()=>{mctx.fillStyle="#000";mctx.fillRect(0,0,W,H);redraw()}},"clear"),
+    el("button",{onclick:async()=>{
+     await api("/api/dataset/mask",{dir:d,name:row.name,mask:mcan.toDataURL("image/png")});
+     ov.remove();loadDataset()}},"save mask"),
+    el("button",{class:"warn",onclick:()=>ov.remove()},"close")),
+   disp);
+  document.body.append(ov);
+  if(row.has_mask){const m=new Image();
+   m.src="/dataset/image?dir="+encodeURIComponent(d)+"&name="+
+    encodeURIComponent(row.name.replace(/\.[^.]+$/,"")+"-masklabel.png");
+   m.onload=()=>{mctx.drawImage(m,0,0,W,H);redraw()};m.onerror=()=>redraw()}
+  else redraw()}}
 
 document.getElementById("jsonapply").onclick=async()=>{
  try{const v=JSON.parse(document.getElementById("jsontext").value);
@@ -219,11 +363,13 @@ async function loadDataset(){const d=document.getElementById("dsdir").value;
   const ta=el("textarea",{style:"height:52px"});ta.value=row.caption;
   const save=el("button",{class:"sec",onclick:async()=>{
    await api("/api/dataset/caption",{dir:d,name:row.name,caption:ta.value})}},"save");
+  const paint=el("button",{class:"sec",onclick:()=>paintMask(d,row)},
+   row.has_mask?"edit mask":"paint mask");
   g.append(el("div",{},
    el("img",{src:"/dataset/image?dir="+encodeURIComponent(d)+"&name="+encodeURIComponent(row.name),
              style:"max-width:160px;display:block"}),
    el("div",{style:"font-size:11px;color:#9ad"},row.name+(row.has_mask?" [mask]":"")),
-   ta,save))}}
+   ta,save,paint))}}
 document.getElementById("dsload").onclick=loadDataset;
 document.getElementById("caprun").onclick=()=>api("/api/tools/caption",
  {dir:document.getElementById("dsdir").value,

@@ -32,6 +32,16 @@ Endpoints (JSON unless noted):
                               samples, custom_samples}
   GET  /samples/<name>        sample image from <workspace>/samples (binary;
                               also /samples/custom/<name>)
+  GET  /api/concept/stats     ?path= -> folder stats (ConceptWindow)
+  POST /api/concept/preview   {concept, seed, index} -> augmented
+                              image/mask/caption preview (ConceptWindow)
+  GET  /api/optimizer/params  current optimizer + applicable hyperparam keys
+  POST /api/optimizer/params  update current optimizer settings (persisted
+                              per-optimizer like the reference)
+  POST /api/optimizer/change  {"optimizer": name} -> switch with
+                              change_optimizer semantics
+  POST /api/dataset/mask      {dir, name, mask: dataURL-png} -> write
+                              <stem>-masklabel.png (CaptionUI mask paint)
 """
 
 from __future__ import annotations
@@ -65,6 +75,67 @@ def _mask_model(name: str, body: dict):
         return MaskByColor(tuple(body.get("color", (255, 255, 255))),
                            float(body.get("distance", 30.0)))
     return ClipSegModel()
+
+
+def _concept_preview(body: dict) -> dict:
+    """One-image augmentation preview for the concept editor: loads the
+    index-th image (+ mask + caption) of the concept folder, applies the
+    concept's image/text augmentations with a caller-chosen seed, and
+    returns the result as inline base64 PNGs (reference:
+    modules/ui/ConceptWindow.py augmentation preview over the same
+    pipeline the data loader uses — here data/augments.py, which IS the
+    loader's pipeline, so the preview cannot drift from training)."""
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from onetrainer_tpu.config.concept_config import ConceptConfig
+    from onetrainer_tpu.data.augments import augment_image, augment_text
+
+    concept = ConceptConfig.default_values().from_dict(body.get("concept", {}))
+    d = concept.path
+    if not d or not os.path.isdir(d):
+        return {"error": f"not a directory: {d}"}
+    files = sorted(
+        f for f in os.listdir(d)
+        if os.path.splitext(f)[1].lower() in _IMAGE_EXTS
+        and not os.path.splitext(f)[0].endswith(("-masklabel", "-condlabel")))
+    if not files:
+        return {"error": "no images in concept folder"}
+    idx = int(body.get("index", 0)) % len(files)
+    name = files[idx]
+    stem = os.path.splitext(name)[0]
+    image = np.asarray(
+        Image.open(os.path.join(d, name)).convert("RGB"), np.float32) / 255.0
+    mask = None
+    mask_path = os.path.join(d, stem + "-masklabel.png")
+    if os.path.isfile(mask_path):
+        mask = (np.asarray(Image.open(mask_path).convert("L"),
+                           np.float32) / 255.0)[..., None]
+    caption = ""
+    cap_path = os.path.join(d, stem + ".txt")
+    if os.path.isfile(cap_path):
+        with open(cap_path, encoding="utf-8") as f:
+            caption = f.read().strip()
+
+    rng = np.random.default_rng(int(body.get("seed", 0)))
+    image, mask = augment_image(image, concept, rng, mask)
+    caption = augment_text(caption, concept, rng)
+
+    def b64(arr):
+        buf = io.BytesIO()
+        Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(
+            buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    return {
+        "name": name, "index": idx, "count": len(files),
+        "caption": caption,
+        "image": b64(image),
+        "mask": b64(np.repeat(mask, 3, axis=-1)) if mask is not None else None,
+    }
 
 
 class TrainUIState:
@@ -335,6 +406,41 @@ def _make_handler(ui: TrainUIState):
                     self._send(200, data, f"image/{ext}")
                 else:
                     self._json({"error": "not found"}, 404)
+            elif path == "/api/concept/stats":
+                # the reference ConceptWindow's folder-stats pane
+                # (modules/ui/ConceptWindow.py concept_stats usage;
+                # modules/util/concept_stats.py:13-85)
+                from onetrainer_tpu.util.concept_stats import folder_scan
+                q = self._query()
+                p = q.get("path", "")
+                if not os.path.isdir(p):
+                    self._json({"error": f"not a directory: {p}"}, 400)
+                    return
+                try:
+                    res = int(str(q.get("resolution", "512")).split(",")[0])
+                except ValueError:
+                    res = 512
+                self._json(folder_scan(
+                    p,
+                    include_subdirectories=q.get(
+                        "include_subdirectories") in ("1", "true"),
+                    target_resolution=res))
+            elif path == "/api/optimizer/params":
+                # the reference OptimizerParamsWindow's form model: which
+                # hyperparameters apply to the current optimizer
+                # (modules/ui/OptimizerParamsWindow.py over
+                # OPTIMIZER_DEFAULT_PARAMETERS)
+                from onetrainer_tpu.util.enums import Optimizer
+                from onetrainer_tpu.util.optimizer_util import (
+                    OPTIMIZER_DEFAULT_PARAMETERS,
+                )
+                opt = ui.config.optimizer.optimizer
+                self._json({
+                    "optimizer": str(opt),
+                    "keys": sorted(OPTIMIZER_DEFAULT_PARAMETERS.get(opt, {})),
+                    "params": ui.config.optimizer.to_dict(),
+                    "optimizers": [str(o) for o in Optimizer],
+                })
             elif path == "/api/tools/status":
                 with ui.lock:
                     self._json(dict(ui.tools))
@@ -439,6 +545,74 @@ def _make_handler(ui: TrainUIState):
                               encoding="utf-8") as f:
                         f.write(b.get("caption", ""))
                     self._json({"ok": True})
+                elif path == "/api/dataset/mask":
+                    # canvas mask painting: the page POSTs the painted
+                    # mask as a data-URL PNG; stored as the reference's
+                    # `-masklabel.png` convention (reference:
+                    # modules/ui/CaptionUI.py:53-60 mask paint/fill)
+                    import base64
+                    import io
+
+                    from PIL import Image
+                    b = self._body()
+                    d = b["dir"]
+                    stem = os.path.splitext(os.path.basename(b["name"]))[0]
+                    if not os.path.isdir(d):
+                        self._json({"error": "not a directory"}, 400)
+                        return
+                    data = b.get("mask", "")
+                    if "," in data[:64]:   # strip data:image/png;base64,
+                        data = data.split(",", 1)[1]
+                    img = Image.open(io.BytesIO(base64.b64decode(data)))
+                    # binary-ish grayscale, like the reference's editor
+                    img.convert("L").save(
+                        os.path.join(d, stem + "-masklabel.png"))
+                    self._json({"ok": True})
+                elif path == "/api/concept/preview":
+                    # ConceptWindow's live augmentation preview: run the
+                    # real augmentation pipeline (data/augments.py) on one
+                    # image of the concept and return it inline
+                    # (reference: modules/ui/ConceptWindow.py preview)
+                    self._json(_concept_preview(self._body()))
+                elif path == "/api/optimizer/params":
+                    # update hyperparameters of the CURRENT optimizer and
+                    # remember them per-optimizer (reference:
+                    # optimizer_util.change_optimizer persistence)
+                    from onetrainer_tpu.util.optimizer_util import (
+                        save_optimizer_defaults,
+                    )
+                    patch = self._body()
+                    merged = ui.config.optimizer.to_dict()
+                    merged.update(patch)
+                    from onetrainer_tpu.config.train_config import (
+                        TrainOptimizerConfig,
+                    )
+                    ui.config.optimizer = (TrainOptimizerConfig
+                                           .default_values()
+                                           .from_dict(merged))
+                    save_optimizer_defaults(ui.config)
+                    self._json({"ok": True,
+                                "params": ui.config.optimizer.to_dict()})
+                elif path == "/api/optimizer/change":
+                    # switch optimizer: persist the old one's user values,
+                    # load the new one's saved-or-default values
+                    # (reference: OptimizerParamsWindow +
+                    # optimizer_util.change_optimizer)
+                    from onetrainer_tpu.util.enums import Optimizer
+                    from onetrainer_tpu.util.optimizer_util import (
+                        OPTIMIZER_DEFAULT_PARAMETERS, change_optimizer,
+                        save_optimizer_defaults,
+                    )
+                    new = Optimizer(self._body()["optimizer"])
+                    save_optimizer_defaults(ui.config)
+                    ui.config.optimizer.optimizer = new
+                    ui.config.optimizer = change_optimizer(ui.config)
+                    self._json({
+                        "ok": True, "optimizer": str(new),
+                        "keys": sorted(
+                            OPTIMIZER_DEFAULT_PARAMETERS.get(new, {})),
+                        "params": ui.config.optimizer.to_dict(),
+                    })
                 elif path == "/api/tools/caption":
                     b = self._body()
                     model = _caption_model(b.get("model", "blip"))
