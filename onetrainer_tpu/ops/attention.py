@@ -39,7 +39,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 # trace-time dispatch counters (tests assert the flash path is taken for the
 # SD hot shapes; incremented when the jitted program is built)
-STATS = {"flash": 0, "fallback": 0}
+STATS = {"flash": 0, "fallback": 0, "folded": 0}
 _WARNED = False
 
 _MAX_FLASH_HEAD_DIM = 256
@@ -109,12 +109,27 @@ def dot_product_attention(
     mask: optional boolean mask. A kv-only keep mask (shape [B,1,1,Skv],
     the text-padding form HunyuanVideo/Sana pass) rides the flash path
     as segment ids; arbitrary [B,H,Sq,Skv] masks fall back to XLA."""
+    global _WARNED
     b, sq, h, d = q.shape
     skv = k.shape[1]
     kv_keep = None
     if mask is not None and mask.ndim == 4 and mask.shape[1] == 1 \
             and mask.shape[2] == 1:
         kv_keep = mask[:, 0, 0, :].astype(bool)        # [B, Skv]
+    if (mask is None or kv_keep is not None) and _use_folded(sq, skv, d, h):
+        # fold back to packed [B, S, H*D]: when the caller produced q/k/v
+        # by reshaping a packed projection output (every DiT family), the
+        # reshape pairs cancel in XLA's algebraic simplifier and the
+        # 64-lane-minor 4-D tensors never exist in HBM
+        try:
+            out = _attention_folded(
+                q.reshape(b, sq, h * d), k.reshape(b, skv, h * d),
+                v.reshape(b, skv, h * d), h, kv_keep)
+            return out.reshape(b, sq, h, d)
+        except Exception as e:
+            if not _WARNED:
+                _WARNED = True
+                print(f"folded flash fell back: {type(e).__name__}: {e}")
     if (mask is None or kv_keep is not None) and _can_use_flash(sq, skv, d):
         try:
             # pad only to the next multiple of 64 (the kernel handles
@@ -165,13 +180,59 @@ def dot_product_attention(
             # NEVER silent: a trace-time failure here once disabled flash
             # for whole benchmark runs (jax.ad_checkpoint attr access,
             # r3) — warn once so dispatch regressions are visible
-            global _WARNED
             if not _WARNED:
                 _WARNED = True
                 print(f"flash attention fell back to XLA: "
                       f"{type(e).__name__}: {e}")
     STATS["fallback"] += 1
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
+
+
+def _use_folded(sq: int, skv: int, head_dim: int,
+                num_heads: int | None = None) -> bool:
+    """Folded-layout kernel dispatch (ops/flash_folded.py): keeps q/k/v/o
+    in [B, S, H*dp] HBM form so no 64-lane-minor tensor (2x tile padding
+    + XLA remat-compression copies, BASELINE.md 2026-08-18) ever
+    materializes. Opt-in while being A/B'd: OT_FLASH_FOLDED=1."""
+    if os.environ.get("OT_FLASH_FOLDED") != "1":
+        return False
+    if head_dim not in (64, 128) or 128 % head_dim:
+        return False
+    if num_heads is not None and num_heads % (128 // head_dim):
+        return False   # head groups must fill a 128-lane block
+    if not (os.environ.get("OT_FORCE_FLASH") == "1"
+            or jax.default_backend() == "tpu"):
+        return False
+    return sq >= 256 and skv >= 256
+
+
+def _attention_folded(q, k, v, num_heads, kv_keep):
+    """Pad folded tensors along S only (no tile padding) and run the
+    folded flash kernel. q pad rows are zeros and stay unmasked — see
+    ops/flash_folded.py docstring for why that is safe."""
+    from onetrainer_tpu.ops.flash_folded import flash_attention_folded
+
+    b, sq, inner = q.shape
+    skv = k.shape[1]
+    head_dim = inner // num_heads
+    sqp = _seq_pad(sq)
+    skvp = _seq_pad(skv)
+    qp = jnp.pad(q, ((0, 0), (0, sqp - sq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, skvp - skv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, skvp - skv), (0, 0)))
+    keep = None
+    if skvp != skv or kv_keep is not None:
+        keep = jnp.broadcast_to((jnp.arange(skvp) < skv)[None], (b, skvp))
+        if kv_keep is not None:
+            keep = keep & jnp.pad(kv_keep, ((0, 0), (0, skvp - skv)))
+    bq = next(x for x in (1024, 512, 256, 128) if sqp % x == 0)
+    bk = next(x for x in (512, 256, 128) if skvp % x == 0)
+    out = flash_attention_folded(
+        qp, kp, vp, num_heads, sm_scale=1.0 / (head_dim ** 0.5),
+        kv_keep=keep, block_q=bq, block_k=bk)
+    out = out[:, :sq, :]
+    STATS["folded"] += 1
+    return checkpoint_name(out, "attn_out")
 
 
 def attention(
@@ -181,9 +242,27 @@ def attention(
         num_heads: int,
         mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Packed multi-head attention: split heads, attend, merge heads."""
+    """Packed multi-head attention: split heads, attend, merge heads.
+
+    When the folded kernel applies (TPU, head_dim multiple of 64, long
+    self-attention, mask absent or kv-keep-shaped), the head split never
+    happens in HBM at all — the packed [B, S, H*D] tensors feed
+    ops/flash_folded.py directly."""
     b, sq, inner = q.shape
     head_dim = inner // num_heads
+    kv_keep = None
+    if mask is not None and mask.ndim == 4 and mask.shape[1] == 1 \
+            and mask.shape[2] == 1:
+        kv_keep = mask[:, 0, 0, :].astype(bool)
+    if (mask is None or kv_keep is not None) \
+            and _use_folded(sq, k.shape[1], head_dim, num_heads):
+        try:
+            return _attention_folded(q, k, v, num_heads, kv_keep)
+        except Exception as e:
+            global _WARNED
+            if not _WARNED:
+                _WARNED = True
+                print(f"folded flash fell back: {type(e).__name__}: {e}")
     q = q.reshape(b, sq, num_heads, head_dim)
     k = k.reshape(b, k.shape[1], num_heads, head_dim)
     v = v.reshape(b, v.shape[1], num_heads, head_dim)

@@ -1,0 +1,179 @@
+"""Parity tests for the folded-layout flash attention kernel
+(ops/flash_folded.py) against a plain fp32 softmax-attention reference,
+forward and backward, with and without kv-drop masking.
+
+Runs in Pallas interpret mode on the CPU farm; the same code path
+compiles via Mosaic on TPU (measured in experiments/exp_flash_folded.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onetrainer_tpu.ops.flash_folded import flash_attention_folded
+
+
+def _ref_attention(q, k, v, num_heads, sm_scale, kv_keep=None):
+    """fp32 reference over folded [B, S, H*dp] tensors."""
+    b, sq, inner = q.shape
+    skv = k.shape[1]
+    dp = inner // num_heads
+    qf = q.astype(jnp.float32).reshape(b, sq, num_heads, dp)
+    kf = k.astype(jnp.float32).reshape(b, skv, num_heads, dp)
+    vf = v.astype(jnp.float32).reshape(b, skv, num_heads, dp)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * sm_scale
+    if kv_keep is not None:
+        s = jnp.where(kv_keep[:, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, vf)
+    return o.reshape(b, sq, inner).astype(q.dtype)
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, jnp.float32).astype(jnp.bfloat16)
+
+
+@pytest.mark.parametrize("dp,num_heads", [(64, 4), (128, 2)])
+def test_forward_matches_reference(dp, num_heads):
+    b, sq, skv = 2, 256, 384
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = _rand(ks[0], (b, sq, num_heads * dp))
+    k = _rand(ks[1], (b, skv, num_heads * dp))
+    v = _rand(ks[2], (b, skv, num_heads * dp))
+    sm = 1.0 / np.sqrt(dp)
+    out = flash_attention_folded(q, k, v, num_heads, sm_scale=sm,
+                                 block_q=128, block_k=128)
+    ref = _ref_attention(q, k, v, num_heads, sm)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_forward_with_kv_keep():
+    b, sq, skv, nh, dp = 2, 128, 256, 4, 64
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = _rand(ks[0], (b, sq, nh * dp))
+    k = _rand(ks[1], (b, skv, nh * dp))
+    v = _rand(ks[2], (b, skv, nh * dp))
+    # drop a text-padding style tail + a hole in the middle
+    keep = jnp.ones((b, skv), bool)
+    keep = keep.at[:, 200:].set(False).at[0, 64:80].set(False)
+    sm = 1.0 / np.sqrt(dp)
+    out = flash_attention_folded(q, k, v, nh, sm_scale=sm, kv_keep=keep,
+                                 block_q=128, block_k=128)
+    ref = _ref_attention(q, k, v, nh, sm, kv_keep=keep)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_fully_masked_chunk_then_real_kv():
+    """A whole leading block_k chunk masked: fp32-absorption transient
+    must be wiped once real kv arrives (see module docstring)."""
+    b, sq, skv, nh, dp = 1, 128, 384, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = _rand(ks[0], (b, sq, nh * dp))
+    k = _rand(ks[1], (b, skv, nh * dp))
+    v = _rand(ks[2], (b, skv, nh * dp))
+    keep = jnp.ones((b, skv), bool).at[:, :128].set(False)
+    sm = 1.0 / np.sqrt(dp)
+    out = flash_attention_folded(q, k, v, nh, sm_scale=sm, kv_keep=keep,
+                                 block_q=128, block_k=128)
+    ref = _ref_attention(q, k, v, nh, sm, kv_keep=keep)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("use_keep", [False, True])
+def test_grads_match_reference(use_keep):
+    b, sq, skv, nh, dp = 2, 128, 256, 4, 64
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = _rand(ks[0], (b, sq, nh * dp))
+    k = _rand(ks[1], (b, skv, nh * dp))
+    v = _rand(ks[2], (b, skv, nh * dp))
+    keep = None
+    if use_keep:
+        keep = jnp.ones((b, skv), bool).at[:, 230:].set(False)
+    sm = 1.0 / np.sqrt(dp)
+    w = jax.random.normal(jax.random.PRNGKey(3), (b, sq, nh * dp),
+                          jnp.float32)
+
+    def loss_flash(q, k, v):
+        o = flash_attention_folded(q, k, v, nh, sm_scale=sm, kv_keep=keep,
+                                   block_q=128, block_k=128)
+        return jnp.sum(o.astype(jnp.float32) * w)
+
+    def loss_ref(q, k, v):
+        o = _ref_attention(q, k, v, nh, sm, kv_keep=keep)
+        return jnp.sum(o.astype(jnp.float32) * w)
+
+    g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   atol=6e-2, rtol=6e-2)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_dispatcher_folded_path_matches_fallback(monkeypatch, with_mask):
+    """attention() with OT_FLASH_FOLDED=1 (+FORCE on CPU) must route to
+    the folded kernel — including ragged S needing pad + kv-keep — and
+    agree with the XLA fallback."""
+    from onetrainer_tpu.ops import attention as attn_mod
+
+    b, sq, nh, dp = 2, 300, 4, 64     # ragged: pads to 384
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = _rand(ks[0], (b, sq, nh * dp))
+    k = _rand(ks[1], (b, sq, nh * dp))
+    v = _rand(ks[2], (b, sq, nh * dp))
+    mask = None
+    if with_mask:
+        keep = jnp.ones((b, sq), bool).at[:, 280:].set(False)
+        mask = keep[:, None, None, :]
+
+    monkeypatch.setenv("OT_FLASH_FOLDED", "1")
+    monkeypatch.setenv("OT_FORCE_FLASH", "1")
+    before = attn_mod.STATS["folded"]
+    out = attn_mod.attention(q, k, v, nh, mask=mask)
+    assert attn_mod.STATS["folded"] == before + 1
+
+    monkeypatch.delenv("OT_FLASH_FOLDED")
+    monkeypatch.delenv("OT_FORCE_FLASH")
+    ref = attn_mod.attention(q, k, v, nh, mask=mask)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_zero_padded_q_rows_grads_vanish():
+    """Padded q rows (zeros, unmasked) must contribute nothing to dk/dv
+    when their upstream gradient rows are zero — the dispatcher relies
+    on this instead of masking q rows."""
+    b, sq_real, sq, skv, nh, dp = 1, 96, 128, 128, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    q = _rand(ks[0], (b, sq_real, nh * dp))
+    qp = jnp.pad(q, ((0, 0), (0, sq - sq_real), (0, 0)))
+    k = _rand(ks[1], (b, skv, nh * dp))
+    v = _rand(ks[2], (b, skv, nh * dp))
+    sm = 1.0 / np.sqrt(dp)
+    w = jax.random.normal(jax.random.PRNGKey(3), (b, sq_real, nh * dp),
+                          jnp.float32)
+
+    def loss_pad(k, v):
+        o = flash_attention_folded(qp, k, v, nh, sm_scale=sm,
+                                   block_q=128, block_k=128)
+        return jnp.sum(o[:, :sq_real].astype(jnp.float32) * w)
+
+    def loss_ref(k, v):
+        o = _ref_attention(q, k, v, nh, sm)
+        return jnp.sum(o.astype(jnp.float32) * w)
+
+    g = jax.grad(loss_pad, argnums=(0, 1))(k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(k, v)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   atol=6e-2, rtol=6e-2)
