@@ -193,17 +193,33 @@ def _use_folded(sq: int, skv: int, head_dim: int,
     """Folded-layout kernel dispatch (ops/flash_folded.py): keeps q/k/v/o
     in [B, S, H*dp] HBM form so no 64-lane-minor tensor (2x tile padding
     + XLA remat-compression copies, BASELINE.md 2026-08-18) ever
-    materializes. Opt-in while being A/B'd: OT_FLASH_FOLDED=1."""
-    if os.environ.get("OT_FLASH_FOLDED") != "1":
+    materializes.
+
+    Measured r4 (experiments/exp_flash_folded.py + bench headline A/B):
+    d=64 wins everywhere — SDXL step 4.548 -> 5.008 imgs/sec (+10%,
+    -101 GB/step), SD3-shape grads -19% — so d=64 is the DEFAULT on TPU
+    (OT_NO_FLASH_FOLDED=1 opts out). d=128 stays opt-in
+    (OT_FLASH_FOLDED=1): fwd wins at the Hunyuan shape but the backward's
+    full-sequence resident k/v + q/do/o blocks exceed VMEM at s=9728
+    (remote-compile failure, r4) — hence also the seq guard: the dkv
+    kernel keeps 3 full-length 128-lane tensors resident
+    (3*s*128*2 B ~ 4.7 MB at s=6144)."""
+    if os.environ.get("OT_NO_FLASH") == "1" \
+            or os.environ.get("OT_NO_FLASH_FOLDED") == "1":
         return False
-    if head_dim not in (64, 128) or 128 % head_dim:
+    if head_dim == 64:
+        pass                                       # default on
+    elif head_dim == 128:
+        if os.environ.get("OT_FLASH_FOLDED") != "1":
+            return False
+    else:
         return False
     if num_heads is not None and num_heads % (128 // head_dim):
         return False   # head groups must fill a 128-lane block
     if not (os.environ.get("OT_FORCE_FLASH") == "1"
             or jax.default_backend() == "tpu"):
         return False
-    return sq >= 256 and skv >= 256
+    return 256 <= sq <= 6144 and 256 <= skv <= 6144
 
 
 def _attention_folded(q, k, v, num_heads, kv_keep):

@@ -134,13 +134,14 @@ def test_dispatcher_folded_path_matches_fallback(monkeypatch, with_mask):
         keep = jnp.ones((b, sq), bool).at[:, 280:].set(False)
         mask = keep[:, None, None, :]
 
-    monkeypatch.setenv("OT_FLASH_FOLDED", "1")
+    # d=64 routes folded BY DEFAULT (OT_FORCE_FLASH only lifts the
+    # TPU-backend gate for the CPU farm)
     monkeypatch.setenv("OT_FORCE_FLASH", "1")
     before = attn_mod.STATS["folded"]
     out = attn_mod.attention(q, k, v, nh, mask=mask)
     assert attn_mod.STATS["folded"] == before + 1
 
-    monkeypatch.delenv("OT_FLASH_FOLDED")
+    monkeypatch.setenv("OT_NO_FLASH_FOLDED", "1")
     monkeypatch.delenv("OT_FORCE_FLASH")
     ref = attn_mod.attention(q, k, v, nh, mask=mask)
     np.testing.assert_allclose(np.asarray(out, np.float32),
