@@ -253,7 +253,44 @@ async function renderOptimizer(){
    await api("/api/optimizer/params",{[k]:val});
    config=await api("/api/config")};
   g.append(el("div",{class:"field"},el("label",{},k),i))}
- pane.append(g)}
+ pane.append(g);
+ /* ---- LR scheduler settings (reference: SchedulerParamsWindow —
+    scheduler choice, CUSTOM class name, key/value params list with
+    %PLACEHOLDER% values) ---- */
+ const s=await api("/api/scheduler/params");
+ const ssel=el("select",{});
+ for(const o of s.schedulers||[]){const opt=el("option",{value:o},o);
+  if(o==s.scheduler)opt.selected=true;ssel.append(opt)}
+ const cls=el("input",{type:"text",value:s.custom_class||"",
+  placeholder:"<module>.<ClassName> (CUSTOM)"});
+ let params=s.params||[];
+ const plist=el("div",{});
+ async function saveSched(){
+  const r=await api("/api/scheduler/params",
+   {scheduler:ssel.value,custom_class:cls.value,params:params});
+  if(r.params)params=r.params;
+  config=await api("/api/config")}
+ function renderParams(){
+  plist.innerHTML="";
+  params.forEach((p,i)=>{
+   const k=el("input",{type:"text",value:p.key,placeholder:"key"});
+   const v=el("input",{type:"text",value:p.value,placeholder:"value"});
+   k.onchange=()=>{p.key=k.value;saveSched()};
+   v.onchange=()=>{p.value=v.value;saveSched()};
+   const x=el("button",{},"X");
+   x.onclick=()=>{params.splice(i,1);renderParams();saveSched()};
+   plist.append(el("div",{style:"display:flex;gap:4px;margin:2px 0"},x,k,v))})}
+ renderParams();
+ ssel.onchange=saveSched;cls.onchange=saveSched;
+ const add=el("button",{},"add parameter");
+ add.onclick=()=>{params.push({key:"",value:""});renderParams()};
+ pane.append(el("div",{style:"margin-top:14px"},
+  el("b",{style:"font-size:13px"},"LR scheduler"),
+  el("div",{style:"display:flex;gap:8px;margin:6px 0;align-items:center"},
+   ssel,el("span",{style:"font-size:12px;color:#9ad"},"CUSTOM class:"),cls),
+  el("div",{style:"font-size:11px;color:#889"},
+   "value placeholders: "+(s.placeholders||[]).map(x=>"%"+x+"%").join(" ")),
+  plist,add))}
 
 /* ---- interactive mask painting (reference: CaptionUI.py:53-60 mask
    paint/fill) — canvas brush over the image, saved as -masklabel.png ---- */

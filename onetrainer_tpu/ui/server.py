@@ -40,6 +40,9 @@ Endpoints (JSON unless noted):
                               per-optimizer like the reference)
   POST /api/optimizer/change  {"optimizer": name} -> switch with
                               change_optimizer semantics
+  GET  /api/scheduler/params  LR scheduler choice + CUSTOM class +
+                              key/value params (SchedulerParamsWindow)
+  POST /api/scheduler/params  update scheduler/custom_class/params
   POST /api/dataset/mask      {dir, name, mask: dataURL-png} -> write
                               <stem>-masklabel.png (CaptionUI mask paint)
 """
@@ -441,6 +444,22 @@ def _make_handler(ui: TrainUIState):
                     "params": ui.config.optimizer.to_dict(),
                     "optimizers": [str(o) for o in Optimizer],
                 })
+            elif path == "/api/scheduler/params":
+                # the reference SchedulerParamsWindow's form model: the LR
+                # scheduler choice, the CUSTOM class name, and the
+                # key/value scheduler_params list with its %PLACEHOLDER%
+                # vocabulary (modules/ui/SchedulerParamsWindow.py:109-116;
+                # placeholders per train/lr_schedules.py:178-190)
+                from onetrainer_tpu.util.enums import LearningRateScheduler
+                self._json({
+                    "scheduler": str(ui.config.learning_rate_scheduler),
+                    "schedulers": [str(s) for s in LearningRateScheduler],
+                    "custom_class":
+                        ui.config.custom_learning_rate_scheduler,
+                    "params": list(ui.config.scheduler_params or []),
+                    "placeholders": ["LR", "EPOCHS", "STEPS_PER_EPOCH",
+                                     "TOTAL_STEPS", "SCHEDULER_STEPS"],
+                })
             elif path == "/api/tools/status":
                 with ui.lock:
                     self._json(dict(ui.tools))
@@ -612,6 +631,41 @@ def _make_handler(ui: TrainUIState):
                         "keys": sorted(
                             OPTIMIZER_DEFAULT_PARAMETERS.get(new, {})),
                         "params": ui.config.optimizer.to_dict(),
+                    })
+                elif path == "/api/scheduler/params":
+                    # update LR-scheduler settings (reference:
+                    # SchedulerParamsWindow ok-button semantics — scheduler
+                    # choice, CUSTOM class name, key/value params)
+                    from onetrainer_tpu.util.enums import (
+                        LearningRateScheduler,
+                    )
+                    body = self._body()
+                    if "scheduler" in body:
+                        ui.config.learning_rate_scheduler = (
+                            LearningRateScheduler(body["scheduler"]))
+                    if "custom_class" in body:
+                        ui.config.custom_learning_rate_scheduler = (
+                            body["custom_class"] or None)
+                    if "params" in body:
+                        params = body["params"]
+                        if (not isinstance(params, list) or any(
+                                not isinstance(p, dict)
+                                or set(p) - {"key", "value"}
+                                or not all(isinstance(v, str)
+                                           for v in p.values())
+                                for p in params)):
+                            self._json({"error": "params must be a list "
+                                        "of {key, value} string pairs"},
+                                       code=400)
+                            return
+                        ui.config.scheduler_params = params
+                    self._json({
+                        "ok": True,
+                        "scheduler":
+                            str(ui.config.learning_rate_scheduler),
+                        "custom_class":
+                            ui.config.custom_learning_rate_scheduler,
+                        "params": list(ui.config.scheduler_params or []),
                     })
                 elif path == "/api/tools/caption":
                     b = self._body()

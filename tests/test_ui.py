@@ -469,5 +469,45 @@ def test_ui_page_references_only_live_routes():
     # and the page really wires the new editors
     for needle in ("/api/concept/stats", "/api/concept/preview",
                    "/api/optimizer/params", "/api/optimizer/change",
-                   "/api/dataset/mask"):
+                   "/api/dataset/mask", "/api/scheduler/params"):
         assert needle in PAGE_HTML, f"page lost its {needle} wiring"
+
+
+def test_ui_scheduler_params_dialog(server):
+    """SchedulerParamsWindow equivalent: LR-scheduler choice, CUSTOM
+    class name, and the key/value scheduler_params list with the
+    %PLACEHOLDER% vocabulary (reference:
+    modules/ui/SchedulerParamsWindow.py:109-116)."""
+    r = _req(server.port, "/api/scheduler/params")
+    assert r["scheduler"] == "CONSTANT"
+    assert "CUSTOM" in r["schedulers"] and "COSINE" in r["schedulers"]
+    assert "TOTAL_STEPS" in r["placeholders"]
+
+    # switch to CUSTOM with a class + params, as the dialog would
+    r = _req(server.port, "/api/scheduler/params", {
+        "scheduler": "CUSTOM",
+        "custom_class": "torch.optim.lr_scheduler.StepLR",
+        "params": [{"key": "step_size", "value": "%STEPS_PER_EPOCH%"},
+                   {"key": "gamma", "value": "0.5"}],
+    })
+    assert r["ok"] and r["scheduler"] == "CUSTOM"
+    assert r["custom_class"] == "torch.optim.lr_scheduler.StepLR"
+    assert r["params"][0]["value"] == "%STEPS_PER_EPOCH%"
+    cfg = _req(server.port, "/api/config")
+    assert cfg["learning_rate_scheduler"] == "CUSTOM"
+    assert cfg["scheduler_params"][1] == {"key": "gamma", "value": "0.5"}
+
+    # malformed params are rejected with 400, config untouched
+    import urllib.error
+    try:
+        _req(server.port, "/api/scheduler/params",
+             {"params": [{"key": "a", "value": 3}]})
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    cfg = _req(server.port, "/api/config")
+    assert cfg["scheduler_params"][1] == {"key": "gamma", "value": "0.5"}
+
+    # back to a stock scheduler
+    r = _req(server.port, "/api/scheduler/params", {"scheduler": "COSINE"})
+    assert r["ok"] and r["scheduler"] == "COSINE"
