@@ -52,6 +52,7 @@ PAGE_HTML = r"""<!doctype html>
  <div id="jsonpane" style="display:none"><textarea id="jsontext"></textarea>
   <button id="jsonapply">apply</button> <span id="jsonerr" style="color:#e66"></span></div>
  <div id="conceptpane" style="display:none"></div>
+ <div id="listpane" style="display:none"></div>
  <div id="optpane" style="display:none"></div>
  <div id="monitor" style="display:none">
   <canvas id="loss" width="900" height="220"></canvas>
@@ -131,7 +132,8 @@ async function api(path,body){const r=await fetch(path,body?{method:"POST",
 
 function renderTabs(){const nav=document.getElementById("tabs");nav.innerHTML="";
  for(const name of NAV){
-  nav.append(el("button",{class:name==tab?"active":"",onclick:()=>{tab=name;render()}},name))}}
+  nav.append(el("button",{class:name==tab?"active":"",
+   onclick:()=>{tab=name;rawMode=false;render()}},name))}}
 
 function fieldInput(key,val){
  if(typeof val=="boolean"){const i=el("input",{type:"checkbox"});i.checked=val;
@@ -146,14 +148,17 @@ function fieldInput(key,val){
 function render(){renderTabs();
  const form=document.getElementById("form"),jp=document.getElementById("jsonpane"),
        mon=document.getElementById("monitor"),tl=document.getElementById("tools"),
-       cp=document.getElementById("conceptpane"),op=document.getElementById("optpane");
+       cp=document.getElementById("conceptpane"),op=document.getElementById("optpane"),
+       lp=document.getElementById("listpane");
  form.style.display=jp.style.display=mon.style.display=tl.style.display=
-  cp.style.display=op.style.display="none";
+  cp.style.display=op.style.display=lp.style.display="none";
  if(tab=="monitor"){mon.style.display="block";return}
  if(tab=="tools"){tl.style.display="block";return}
  if(tab=="concepts"){renderConcepts();return}
  if(tab=="optimizer"){renderOptimizer();return}
- if(tab in JSON_TABS){jp.style.display="block";
+ if(tab in JSON_TABS){
+  if(!rawMode){renderList(tab);return}
+  jp.style.display="block";
   document.getElementById("jsontext").value=
    JSON.stringify(config[JSON_TABS[tab]],null,1);return}
  form.style.display="grid";form.innerHTML="";
@@ -166,6 +171,34 @@ function render(){renderTabs();
 
 async function push(patch){const r=await api("/api/config",patch);
  if(!r.ok)alert(JSON.stringify(r));config=await api("/api/config")}
+
+/* ---- structured list editors for samples / additional embeddings
+   (reference: SamplingTab + SampleParamsWindow, AdditionalEmbeddingsTab
+   — ConfigList forms; raw JSON stays available as a fallback) ---- */
+let rawMode=false, listIdx={};
+function renderList(t){
+ const key=JSON_TABS[t];
+ const pane=document.getElementById("listpane");
+ pane.style.display="block";pane.innerHTML="";
+ const list=config[key]||[];
+ let idx=listIdx[t]||0;
+ if(idx>=list.length)idx=Math.max(0,list.length-1);
+ listIdx[t]=idx;
+ const sel=el("select",{});
+ list.forEach((c,i)=>{const o=el("option",{value:i},
+  (i+1)+": "+(c.prompt||c.model_name||c.placeholder||key));
+  if(i==idx)o.selected=true;sel.append(o)});
+ sel.onchange=()=>{listIdx[t]=Number(sel.value);render()};
+ const save=()=>push({[key]:list});
+ pane.append(el("div",{style:"display:flex;gap:8px;margin-bottom:8px;align-items:center"},
+  sel,
+  el("button",{class:"sec",onclick:async()=>{
+   await push({[key]:[...list,{}]});listIdx[t]=list.length;render()}},"add"),
+  el("button",{class:"warn",onclick:async()=>{
+   list.splice(idx,1);await save();render()}},"remove"),
+  el("button",{class:"sec",onclick:()=>{rawMode=true;render()}},"edit raw JSON")));
+ const c=list[idx];
+ if(c)pane.append(fieldGrid(c,save))}
 
 /* ---- structured concept editor (reference: ConceptWindow — per-concept
    form + folder stats + live augmentation preview) ---- */

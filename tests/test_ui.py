@@ -44,6 +44,20 @@ def test_ui_page_and_config_roundtrip(server):
     cfg = _req(server.port, "/api/config")
     assert cfg["batch_size"] == 7 and cfg["epochs"] == 3
 
+    # the structured samples/embeddings list editors append partial
+    # dicts; from_dict must normalize them to full defaulted configs
+    # (reference: SamplingTab/AdditionalEmbeddingsTab ConfigLists)
+    r = _req(server.port, "/api/config",
+             {"samples": [{"prompt": "a cat"}, {}],
+              "additional_embeddings": [{}]})
+    assert r["ok"]
+    cfg = _req(server.port, "/api/config")
+    assert cfg["samples"][0]["prompt"] == "a cat"
+    assert cfg["samples"][0]["cfg_scale"] == 7.0       # defaulted
+    assert cfg["samples"][1]["diffusion_steps"] == 20  # fully defaulted
+    assert "token_count" in cfg["additional_embeddings"][0] or \
+        "placeholder" in cfg["additional_embeddings"][0]
+
 
 def test_ui_preset_listing(tmp_path):
     preset = {"__version": 6, "batch_size": 5}
@@ -469,7 +483,8 @@ def test_ui_page_references_only_live_routes():
     # and the page really wires the new editors
     for needle in ("/api/concept/stats", "/api/concept/preview",
                    "/api/optimizer/params", "/api/optimizer/change",
-                   "/api/dataset/mask", "/api/scheduler/params"):
+                   "/api/dataset/mask", "/api/scheduler/params",
+                   "renderList(", "edit raw JSON"):
         assert needle in PAGE_HTML, f"page lost its {needle} wiring"
 
 
