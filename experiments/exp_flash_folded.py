@@ -32,7 +32,8 @@ CASES = {
     "sdxl32": (4, 10, 4096, 64),
     "sdxl16": (4, 20, 1024, 64),
     "sd3": (2, 24, 4432, 64),      # 4096 img + 336 text -> padded 4432? use 4608 (512-mult)
-    "hunyuan": (1, 24, 9344, 128),
+    "hunyuan": (1, 24, 9344, 128),    # s>6144: streaming dkv (r4)
+    "flux": (1, 24, 4608, 128),       # 4096 img + 512 t5, resident dkv
 }
 
 

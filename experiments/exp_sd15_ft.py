@@ -5,6 +5,17 @@ reference's "SD 1.5 full fine-tune" workload
 EMAModuleWrapper + rescale_noise_scheduler_to_zero_terminal_snr.py).
 
 Usage: python experiments/exp_sd15_ft.py [bs] [remat: none|full|tx_only]
+                                         [mode: f32|bf16sr|bf16sr_int8opt]
+
+mode (r4, the byte-attribution lever for full-FT — the step measures 87%
+of the HBM roofline and the f32 master params + fp32 Adam m/v + fp32 EMA
+are ~45 GB of its ~148 GB/step):
+  f32            — fp32 master weights (r3 measured row, 19.31 imgs/sec)
+  bf16sr         — bf16 params + stochastic rounding + bf16 EMA: the
+                   reference's own train_dtype=bfloat16 mode
+                   (modules/util/create.py optimizer SR wiring)
+  bf16sr_int8opt — + block-wise int8 Adam m/v (ops/quant_opt.py), the
+                   reference's bnb 8-bit optimizer analog
 """
 
 from __future__ import annotations
@@ -17,6 +28,7 @@ import time
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     policy = sys.argv[2] if len(sys.argv) > 2 else "none"
+    mode = sys.argv[3] if len(sys.argv) > 3 else "f32"
 
     import os
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -57,7 +69,15 @@ def main():
         prediction_type="v_prediction",
         ema_decay=0.999,
         stochastic_rounding=True)
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-6))
+    if mode.startswith("bf16sr"):
+        unet_params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, unet_params)
+    adamw = optax.adamw(3e-6)
+    if mode.endswith("int8opt"):
+        from onetrainer_tpu.ops.quant_opt import int8_optimizer_state
+        adamw = int8_optimizer_state(adamw, min_size=256)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), adamw)
     state = create_train_state({"unet": unet_params}, tx, ema_enabled=True)
     step = make_sd_train_step(model, cfg, tx, peft_cfg=None)
     frozen = {"unet": None, "text_encoder": None}
@@ -71,13 +91,14 @@ def main():
         "text_encoder_hidden_state": jax.random.normal(
             jax.random.PRNGKey(3), (bs, 77, 768), jnp.bfloat16),
     }
-    flops = None
+    flops = hbm_bytes = None
     try:
         analysis = step.lower(state, frozen, batch,
                               jax.random.PRNGKey(4)).compile().cost_analysis()
         if isinstance(analysis, list):
             analysis = analysis[0]
         flops = float(analysis["flops"])
+        hbm_bytes = float(analysis.get("bytes accessed", 0)) or None
     except Exception:
         pass
     t0 = time.perf_counter()
@@ -91,12 +112,17 @@ def main():
     float(metrics["loss"])
     elapsed = time.perf_counter() - start
     ips = bs * n / elapsed
-    out = {"workload": f"sd15_ft_masked_ema_ztsnr_512_bs{bs}_{policy}",
+    out = {"workload": f"sd15_ft_masked_ema_ztsnr_512_bs{bs}_{policy}"
+                       f"_{mode}",
            "imgs_per_sec": round(ips, 3),
            "sec_per_step": round(elapsed / n, 3),
            "compile_s": round(compile_s, 1)}
     if flops:
         out["hw_util_v5e"] = round(ips * flops / bs / 197e12, 3)
+    if hbm_bytes:
+        out["xla_bytes_per_step_gb"] = round(hbm_bytes / 1e9, 2)
+        out["hbm_roofline_fraction"] = round(
+            (hbm_bytes / 819e9) / (elapsed / n), 3)
     print(json.dumps(out))
 
 

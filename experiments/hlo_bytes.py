@@ -28,29 +28,42 @@ _DTYPE_BYTES = {
     "token": 0, "opaque": 0,
 }
 
-_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\](\{[^}]*\})?")
 
 
 def shape_bytes(shape_str: str) -> int:
     """Bytes of an HLO shape string; tuples sum their elements."""
-    total = 0
-    for dtype, dims in _SHAPE_RE.findall(shape_str):
+    h, s = _shape_bytes_split(shape_str)
+    return h + s
+
+
+def _shape_bytes_split(shape_str: str) -> tuple[int, int]:
+    """(hbm_bytes, scoped_bytes) of a shape string."""
+    hbm = scoped = 0
+    for dtype, dims, layout in _SHAPE_RE.findall(shape_str):
         if dtype not in _DTYPE_BYTES:
             continue
         n = 1
         if dims:
             for d in dims.split(","):
                 n *= int(d)
-        total += n * _DTYPE_BYTES[dtype]
-    return total
+        b = n * _DTYPE_BYTES[dtype]
+        if layout and "S(" in layout:
+            scoped += b
+        else:
+            hbm += b
+    return hbm, scoped
 
 
 # instruction line inside a computation body:
 #   %name = <shape> opcode(...), attrs
+# The opcode must be LOWERCASE: TPU layouts embed uppercase tile/memory-space
+# annotations like `{1,0:T(8,128)(2,1)S(1)}` whose `S(`/`T(` a caseless
+# pattern mis-captures as the opcode on tuple-shaped lines (the r4 SD1.5
+# attribution surfaced 66 GB of phantom opcode-"S" traffic this way).
 _INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^=]*?\))|(?:[a-z0-9]+"
-    r"\[[0-9,]*\](?:\{[^}]*\})?))\s*"
-    r"([\w\-]+)\((.*)$"
+    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*?)\s*"
+    r"([a-z][a-z0-9\-]*)\((.*)$"
 )
 _OPERAND_RE = re.compile(r"%([\w.\-]+)")
 _METADATA_RE = re.compile(r'op_name="([^"]*)"')
@@ -88,7 +101,8 @@ def parse_entry_instructions(hlo_text: str):
         if not m:
             continue
         name, shape_str, opcode, rest = m.groups()
-        ob = shape_bytes(shape_str)
+        hbm_ob, scoped_ob = _shape_bytes_split(shape_str)
+        ob = hbm_ob + scoped_ob
         shapes[name] = ob
         if opcode in _FREE_OPS:
             continue
@@ -100,13 +114,36 @@ def parse_entry_instructions(hlo_text: str):
         for ref in _OPERAND_RE.findall(op_part):
             operand_bytes += shapes.get(ref, 0)
         meta = _METADATA_RE.search(rest)
+        op_name = meta.group(1) if meta else ""
+        if opcode.endswith("-start"):
+            if scoped_ob and opcode in ("copy-start", "slice-start",
+                                        "async-start"):
+                # HBM->scoped-memory prefetch (S(n) dest, typically the
+                # cross-program weight prefetcher): the HBM cost is the
+                # bytes READ = the scoped dest size; the pass-through
+                # alias tuple element is not a new HBM write, the
+                # matching *-done is free, and the consumer reads from
+                # scoped memory (shapes[done] is zeroed below so it is
+                # not re-charged). First-cut parsers that charged start
+                # AND done AND the consumer reported 2x XLA's number.
+                ob, operand_bytes = scoped_ob, 0
+                op_name = op_name or f"vmem-prefetch {opcode}"
+                shapes[name] = 0
+        elif opcode.endswith("-done"):
+            # the matching -start carried the charge; a prefetch dest
+            # (start registered as 0) stays free for consumers, an
+            # HBM->HBM async copy result costs its consumers normally.
+            shapes[name] = shapes.get(
+                _OPERAND_RE.search(op_part).group(1), ob) \
+                if _OPERAND_RE.search(op_part) else ob
+            continue
         out.append({
             "name": name,
             "opcode": opcode,
             "out_bytes": ob,
             "operand_bytes": operand_bytes,
             "total_bytes": ob + operand_bytes,
-            "op_name": meta.group(1) if meta else "",
+            "op_name": op_name,
         })
     return out
 
@@ -127,6 +164,7 @@ _BUCKETS = [
     ("norm", re.compile(r"norm|rms", re.I)),
     ("optimizer", re.compile(
         r"adam|opt_state|scale_by|clip_by|/update|ema|global_norm", re.I)),
+    ("vmem-prefetch", re.compile(r"vmem-prefetch")),
     ("skip/concat", re.compile(r"concatenate", re.I)),
     ("pad/slice", re.compile(r"/pad|dynamic.slice|dynamic.update", re.I)),
     ("transpose/copy", re.compile(r"transpose|copy|reshape", re.I)),

@@ -280,6 +280,70 @@ def _dkv_kernel(*refs, block_q: int, sm_scale: float, dp: int,
         [dv_accs[j].astype(dv_ref.dtype) for j in range(hpb)], axis=1)
 
 
+def _dkv_stream_kernel(*refs, sm_scale: float, dp: int, has_bias: bool):
+    """q-streaming dk/dv: the grid's innermost dimension walks q blocks
+    while the dk/dv output block (indexed by the kv block only) stays
+    VMEM-resident across the revisits and accumulates in fp32. Unlike
+    `_dkv_kernel`, nothing full-sequence is ever resident, so long
+    sequences (HunyuanVideo s=9728, d=128) fit VMEM — the resident
+    variant holds 3 full-length 128-lane tensors and fails to compile
+    there (BASELINE.md 2026-08-19). The price is re-reading q/do/o once
+    per kv block, the standard flash-backward tradeoff; below
+    `_DKV_RESIDENT_MAX_SEQ` the resident kernel avoids it and stays
+    preferred."""
+    if has_bias:
+        (q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, bias_ref,
+         dk_ref, dv_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref = refs
+        bias_ref = None
+    hpb = _heads_per_block(dp)
+
+    @pl.when(pl.program_id(3) == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+    kcb = k_ref[0]                                  # [bk, hpb*dp]
+    vcb = v_ref[0]
+    bk = kcb.shape[0]
+    qcb = q_ref[0]                                  # [bq, hpb*dp]
+    docb = do_ref[0]
+    ocb = o_ref[0]
+    bias_col = None
+    if bias_ref is not None:
+        bias_col = bias_ref[0].reshape(bk, 1)       # [bk, 1]
+    for j in range(hpb):
+        sl = slice(j * dp, (j + 1) * dp)
+        qc, doc, oc = qcb[:, sl], docb[:, sl], ocb[:, sl]
+        lse = lse_ref[0, 0, j][None, :]             # [1, bq]
+        delta = jnp.sum(doc.astype(jnp.float32)
+                        * oc.astype(jnp.float32), axis=1)[None, :]
+        st = jax.lax.dot_general(
+            kcb[:, sl], qc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale   # [bk, bq]
+        if bias_col is not None:
+            st = st + bias_col
+        pt = jnp.exp(st - lse)                               # [bk, bq]
+        dv_ref[0, :, sl] += jax.lax.dot_general(
+            pt.astype(doc.dtype), doc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dpt = jax.lax.dot_general(
+            vcb[:, sl], doc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [bk, bq]
+        dst = (pt * (dpt - delta) * sm_scale).astype(kcb.dtype)
+        dk_ref[0, :, sl] += jax.lax.dot_general(
+            dst, qc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+# above this many tokens the resident dkv kernel's 3 full-sequence
+# 128-lane VMEM tensors (3*s*128*2 B, plus k/v blocks and accumulators)
+# stop fitting and the streaming variant takes over (measured boundary:
+# s=6144 compiles, HunyuanVideo's s=9728 does not)
+_DKV_RESIDENT_MAX_SEQ = 6144
+
+
 def _bwd(num_heads, sm_scale, block_q, block_k, res, g):
     q, k, v, bias, o, lse = res
     b, sq, inner = q.shape
@@ -323,44 +387,91 @@ def _bwd(num_heads, sm_scale, block_q, block_k, res, g):
         interpret=_interpret(),
     )(*args)
 
-    # dk/dv: parallel over kv blocks
-    in_specs = [
-        pl.BlockSpec((1, sq, _LANES), lambda bi, h, ik: (bi, 0, h)),    # q
-        pl.BlockSpec((1, block_k, _LANES),
-                     lambda bi, h, ik: (bi, ik, h)),                    # k
-        pl.BlockSpec((1, block_k, _LANES),
-                     lambda bi, h, ik: (bi, ik, h)),                    # v
-        pl.BlockSpec((1, sq, _LANES), lambda bi, h, ik: (bi, 0, h)),    # do
-        pl.BlockSpec((1, sq, _LANES), lambda bi, h, ik: (bi, 0, h)),    # o
-        pl.BlockSpec((1, 1, hpb, sq), lambda bi, h, ik: (bi, h, 0, 0)),
-    ]
-    args = [q, k, v, g, o, lse4]
-    if has_bias:
-        in_specs.append(
-            pl.BlockSpec((1, block_k), lambda bi, h, ik: (bi, ik)))
-        args.append(bias)
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, block_q=block_q, sm_scale=sm_scale,
-                          dp=dp, has_bias=has_bias),
-        grid=(b, hg, skv // block_k),
-        in_specs=in_specs,
-        out_specs=[
+    # dk/dv: parallel over kv blocks; resident q/do/o up to the VMEM
+    # boundary, q-streaming (4-D grid + fp32 accumulation across output
+    # revisits) beyond it
+    if sq <= _DKV_RESIDENT_MAX_SEQ:
+        in_specs = [
+            pl.BlockSpec((1, sq, _LANES), lambda bi, h, ik: (bi, 0, h)),  # q
             pl.BlockSpec((1, block_k, _LANES),
-                         lambda bi, h, ik: (bi, ik, h)),
+                         lambda bi, h, ik: (bi, ik, h)),                  # k
             pl.BlockSpec((1, block_k, _LANES),
-                         lambda bi, h, ik: (bi, ik, h)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, skv, inner), k.dtype),
-            jax.ShapeDtypeStruct((b, skv, inner), v.dtype),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=8 * b * num_heads * sq * skv * dp,
-            bytes_accessed=2 * 5 * b * sq * inner,
-            transcendentals=b * num_heads * sq * skv,
-        ),
-        interpret=_interpret(),
-    )(*args)
+                         lambda bi, h, ik: (bi, ik, h)),                  # v
+            pl.BlockSpec((1, sq, _LANES), lambda bi, h, ik: (bi, 0, h)),  # do
+            pl.BlockSpec((1, sq, _LANES), lambda bi, h, ik: (bi, 0, h)),  # o
+            pl.BlockSpec((1, 1, hpb, sq), lambda bi, h, ik: (bi, h, 0, 0)),
+        ]
+        args = [q, k, v, g, o, lse4]
+        if has_bias:
+            in_specs.append(
+                pl.BlockSpec((1, block_k), lambda bi, h, ik: (bi, ik)))
+            args.append(bias)
+        dk, dv = pl.pallas_call(
+            functools.partial(_dkv_kernel, block_q=block_q,
+                              sm_scale=sm_scale,
+                              dp=dp, has_bias=has_bias),
+            grid=(b, hg, skv // block_k),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, block_k, _LANES),
+                             lambda bi, h, ik: (bi, ik, h)),
+                pl.BlockSpec((1, block_k, _LANES),
+                             lambda bi, h, ik: (bi, ik, h)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, skv, inner), k.dtype),
+                jax.ShapeDtypeStruct((b, skv, inner), v.dtype),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=8 * b * num_heads * sq * skv * dp,
+                bytes_accessed=2 * 5 * b * sq * inner,
+                transcendentals=b * num_heads * sq * skv,
+            ),
+            interpret=_interpret(),
+        )(*args)
+    else:
+        in_specs = [
+            pl.BlockSpec((1, block_q, _LANES),
+                         lambda bi, h, ik, iq: (bi, iq, h)),              # q
+            pl.BlockSpec((1, block_k, _LANES),
+                         lambda bi, h, ik, iq: (bi, ik, h)),              # k
+            pl.BlockSpec((1, block_k, _LANES),
+                         lambda bi, h, ik, iq: (bi, ik, h)),              # v
+            pl.BlockSpec((1, block_q, _LANES),
+                         lambda bi, h, ik, iq: (bi, iq, h)),              # do
+            pl.BlockSpec((1, block_q, _LANES),
+                         lambda bi, h, ik, iq: (bi, iq, h)),              # o
+            pl.BlockSpec((1, 1, hpb, block_q),
+                         lambda bi, h, ik, iq: (bi, h, 0, iq)),           # lse
+        ]
+        args = [q, k, v, g, o, lse4]
+        if has_bias:
+            in_specs.append(
+                pl.BlockSpec((1, block_k), lambda bi, h, ik, iq: (bi, ik)))
+            args.append(bias)
+        dk32, dv32 = pl.pallas_call(
+            functools.partial(_dkv_stream_kernel, sm_scale=sm_scale,
+                              dp=dp, has_bias=has_bias),
+            grid=(b, hg, skv // block_k, sq // block_q),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, block_k, _LANES),
+                             lambda bi, h, ik, iq: (bi, ik, h)),
+                pl.BlockSpec((1, block_k, _LANES),
+                             lambda bi, h, ik, iq: (bi, ik, h)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, skv, inner), jnp.float32),
+                jax.ShapeDtypeStruct((b, skv, inner), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=8 * b * num_heads * sq * skv * dp,
+                bytes_accessed=2 * (skv // block_k) * b * sq * inner * 3,
+                transcendentals=b * num_heads * sq * skv,
+            ),
+            interpret=_interpret(),
+        )(*args)
+        dk, dv = dk32.astype(k.dtype), dv32.astype(v.dtype)
     dbias = jnp.zeros_like(bias) if has_bias else None
     return dq, dk, dv, dbias
 

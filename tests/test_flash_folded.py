@@ -117,6 +117,52 @@ def test_grads_match_reference(use_keep):
                                    atol=6e-2, rtol=6e-2)
 
 
+@pytest.mark.parametrize("dp,num_heads,use_keep",
+                         [(64, 4, False), (64, 4, True), (128, 2, False)])
+def test_streaming_dkv_grads_match_reference(monkeypatch, dp, num_heads,
+                                             use_keep):
+    """Long sequences route dk/dv through the q-streaming 4-D-grid kernel
+    (`_dkv_stream_kernel`, fp32 accumulation across output revisits).
+    Force it by shrinking the residency threshold and check grads against
+    the fp32 reference AND against the resident kernel's grads."""
+    from onetrainer_tpu.ops import flash_folded as ff
+
+    b, sq, skv, nh = 2, 384, 256, num_heads
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = _rand(ks[0], (b, sq, nh * dp))
+    k = _rand(ks[1], (b, skv, nh * dp))
+    v = _rand(ks[2], (b, skv, nh * dp))
+    keep = None
+    if use_keep:
+        keep = jnp.ones((b, skv), bool).at[:, 230:].set(False)
+    sm = 1.0 / np.sqrt(dp)
+    w = jax.random.normal(jax.random.PRNGKey(3), (b, sq, nh * dp),
+                          jnp.float32)
+
+    def loss_flash(q, k, v):
+        o = flash_attention_folded(q, k, v, nh, sm_scale=sm, kv_keep=keep,
+                                   block_q=128, block_k=128)
+        return jnp.sum(o.astype(jnp.float32) * w)
+
+    def loss_ref(q, k, v):
+        o = _ref_attention(q, k, v, nh, sm, kv_keep=keep)
+        return jnp.sum(o.astype(jnp.float32) * w)
+
+    g_res = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setattr(ff, "_DKV_RESIDENT_MAX_SEQ", 128)
+    g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   atol=6e-2, rtol=6e-2)
+    # dk/dv from the two kernels agree tightly (same math, fp32 accum)
+    for a, b_ in zip(g[1:], g_res[1:]):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   atol=1e-2, rtol=1e-2)
+
+
 @pytest.mark.parametrize("with_mask", [False, True])
 def test_dispatcher_folded_path_matches_fallback(monkeypatch, with_mask):
     """attention() with OT_FLASH_FOLDED=1 (+FORCE on CPU) must route to
