@@ -19,9 +19,28 @@ else:
     jax.config.update("jax_platforms", "cpu")
 
 # persistent XLA compilation cache: tiny-model compiles dominate the suite
-# runtime on the single-core CI box; cache them across tests and runs
+# runtime on the single-core CI box; cache them across tests and runs.
+# XLA:CPU AOT entries embed the compiling host's CPU feature set, and
+# loading one on a different machine risks SIGILL (cpu_aot_loader:
+# "Machine type used for XLA:CPU compilation doesn't match"; observed as
+# a distributed-test failure when CI rotated hosts) — key the dir by the
+# host's feature flags so each machine gets its own entries.
+import hashlib
 import pathlib
-_cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache_tests"
+
+
+def _cpu_feature_tag():
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(line for line in f if line.startswith("flags"))
+    except (OSError, StopIteration):
+        import platform
+        flags = platform.processor()
+    return hashlib.sha1(flags.encode()).hexdigest()[:8]
+
+
+_cache_dir = (pathlib.Path(__file__).parent.parent
+              / f".jax_cache_tests-{_cpu_feature_tag()}")
 _cache_dir.mkdir(exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_cache_dir))
 jax.config.update("jax_compilation_cache_dir", str(_cache_dir))

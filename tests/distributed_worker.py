@@ -16,10 +16,15 @@ import sys
 
 # persistent compile cache: on the 1-core CI box both workers compile the
 # same program; cache hits keep their first-collective times within the
-# gloo context-init deadline
-os.makedirs("/tmp/ot_cpu_cache", exist_ok=True)
+# gloo context-init deadline. Keyed by host CPU features like
+# tests/conftest.py — a stale entry from a different CI host fails to
+# load (cpu_aot_loader machine-feature mismatch) and flaked this test.
+from tests.conftest import _cpu_feature_tag  # noqa: E402 (sets XLA_FLAGS too)
+
+_cache = f"/tmp/ot_cpu_cache-{_cpu_feature_tag()}"
+os.makedirs(_cache, exist_ok=True)
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/ot_cpu_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from onetrainer_tpu.parallel.distributed import maybe_initialize_distributed
