@@ -69,6 +69,24 @@ def _heads_per_block(dp: int) -> int:
     return _LANES // dp
 
 
+def _check_specs(in_specs, args, out_specs, out_shapes):
+    """Trace-time enforcement of Mosaic's tiling rule — the last two
+    block dims must be divisible by (8, 128) respectively or equal to
+    the array dims. CPU interpret mode doesn't check this, so a spec
+    that only a real-TPU compile rejects (the [B, Skv] bias regression,
+    bench r4 sd3) would otherwise sail through the whole CPU suite."""
+    for spec, arr in (list(zip(in_specs, args))
+                      + list(zip(out_specs, out_shapes))):
+        block, shape = spec.block_shape, arr.shape
+        if len(block) < 2:
+            continue
+        ok_minor = block[-1] % _LANES == 0 or block[-1] == shape[-1]
+        ok_sub = block[-2] % 8 == 0 or block[-2] == shape[-2]
+        assert ok_minor and ok_sub, (
+            f"Mosaic-illegal block {tuple(block)} for array "
+            f"{tuple(shape)} {arr.dtype}")
+
+
 # ---------------------------------------------------------------- forward
 
 
@@ -91,7 +109,7 @@ def _fwd_kernel(*refs, block_k: int, sm_scale: float, dp: int,
         vcb = v_ref[0, pl.ds(i * block_k, block_k), :]
         bias = None
         if bias_ref is not None:
-            bias = bias_ref[0, pl.ds(i * block_k, block_k)][None, :]
+            bias = bias_ref[0, 0, pl.ds(i * block_k, block_k)][None, :]
         new_ms, new_ls, new_accs = [], [], []
         for j in range(hpb):
             sl = slice(j * dp, (j + 1) * dp)
@@ -138,26 +156,30 @@ def _fwd(q, k, v, bias, num_heads: int, sm_scale: float,
     ]
     args = [q, k, v]
     if bias is not None:
-        in_specs.append(pl.BlockSpec((1, skv), lambda bi, h, iq: (bi, 0)))
+        in_specs.append(
+            pl.BlockSpec((1, 1, skv), lambda bi, h, iq: (bi, 0, 0)))
         args.append(bias)
 
     kern = functools.partial(_fwd_kernel, block_k=block_k,
                              sm_scale=sm_scale, dp=dp,
                              has_bias=bias is not None)
+    out_specs = [
+        pl.BlockSpec((1, block_q, _LANES),
+                     lambda bi, h, iq: (bi, iq, h)),
+        pl.BlockSpec((1, 1, hpb, block_q),
+                     lambda bi, h, iq: (bi, h, 0, iq)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, sq, inner), q.dtype),
+        jax.ShapeDtypeStruct((b, hg, hpb, sq), jnp.float32),
+    ]
+    _check_specs(in_specs, args, out_specs, out_shape)
     o, lse = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, block_q, _LANES),
-                         lambda bi, h, iq: (bi, iq, h)),
-            pl.BlockSpec((1, 1, hpb, block_q),
-                         lambda bi, h, iq: (bi, h, 0, iq)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, sq, inner), q.dtype),
-            jax.ShapeDtypeStruct((b, hg, hpb, sq), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * num_heads * sq * skv * dp,
             bytes_accessed=2 * (2 * b * sq * inner + 2 * b * skv * inner),
@@ -198,7 +220,7 @@ def _dq_kernel(*refs, block_k: int, sm_scale: float, dp: int,
         vcb = v_ref[0, pl.ds(i * block_k, block_k), :]
         bias = None
         if bias_ref is not None:
-            bias = bias_ref[0, pl.ds(i * block_k, block_k)][None, :]
+            bias = bias_ref[0, 0, pl.ds(i * block_k, block_k)][None, :]
         new = []
         for j in range(hpb):
             sl = slice(j * dp, (j + 1) * dp)
@@ -239,7 +261,7 @@ def _dkv_kernel(*refs, block_q: int, sm_scale: float, dp: int,
     nchunks = sq // block_q
     bias_col = None
     if bias_ref is not None:
-        bias_col = bias_ref[0].reshape(bk, 1)       # [bk, 1]
+        bias_col = bias_ref[0, 0].reshape(bk, 1)       # [bk, 1]
 
     def body(i, carry):
         dk_accs, dv_accs = carry
@@ -312,7 +334,7 @@ def _dkv_stream_kernel(*refs, sm_scale: float, dp: int, has_bias: bool):
     ocb = o_ref[0]
     bias_col = None
     if bias_ref is not None:
-        bias_col = bias_ref[0].reshape(bk, 1)       # [bk, 1]
+        bias_col = bias_ref[0, 0].reshape(bk, 1)       # [bk, 1]
     for j in range(hpb):
         sl = slice(j * dp, (j + 1) * dp)
         qc, doc, oc = qcb[:, sl], docb[:, sl], ocb[:, sl]
@@ -369,16 +391,20 @@ def _bwd(num_heads, sm_scale, block_q, block_k, res, g):
     ]
     args = [q, k, v, g, o, lse4]
     if has_bias:
-        in_specs.append(pl.BlockSpec((1, skv), lambda bi, h, iq: (bi, 0)))
+        in_specs.append(
+            pl.BlockSpec((1, 1, skv), lambda bi, h, iq: (bi, 0, 0)))
         args.append(bias)
+    dq_spec = pl.BlockSpec((1, block_q, _LANES),
+                           lambda bi, h, iq: (bi, iq, h))
+    dq_shape = jax.ShapeDtypeStruct((b, sq, inner), q.dtype)
+    _check_specs(in_specs, args, [dq_spec], [dq_shape])
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, block_k=block_k, sm_scale=sm_scale,
                           dp=dp, has_bias=has_bias),
         grid=(b, hg, sq // block_q),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, _LANES),
-                               lambda bi, h, iq: (bi, iq, h)),
-        out_shape=jax.ShapeDtypeStruct((b, sq, inner), q.dtype),
+        out_specs=dq_spec,
+        out_shape=dq_shape,
         cost_estimate=pl.CostEstimate(
             flops=6 * b * num_heads * sq * skv * dp,
             bytes_accessed=2 * 5 * b * sq * inner,
@@ -404,24 +430,28 @@ def _bwd(num_heads, sm_scale, block_q, block_k, res, g):
         args = [q, k, v, g, o, lse4]
         if has_bias:
             in_specs.append(
-                pl.BlockSpec((1, block_k), lambda bi, h, ik: (bi, ik)))
+                pl.BlockSpec((1, 1, block_k),
+                             lambda bi, h, ik: (bi, 0, ik)))
             args.append(bias)
+        out_specs = [
+            pl.BlockSpec((1, block_k, _LANES),
+                         lambda bi, h, ik: (bi, ik, h)),
+            pl.BlockSpec((1, block_k, _LANES),
+                         lambda bi, h, ik: (bi, ik, h)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, skv, inner), k.dtype),
+            jax.ShapeDtypeStruct((b, skv, inner), v.dtype),
+        ]
+        _check_specs(in_specs, args, out_specs, out_shape)
         dk, dv = pl.pallas_call(
             functools.partial(_dkv_kernel, block_q=block_q,
                               sm_scale=sm_scale,
                               dp=dp, has_bias=has_bias),
             grid=(b, hg, skv // block_k),
             in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((1, block_k, _LANES),
-                             lambda bi, h, ik: (bi, ik, h)),
-                pl.BlockSpec((1, block_k, _LANES),
-                             lambda bi, h, ik: (bi, ik, h)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((b, skv, inner), k.dtype),
-                jax.ShapeDtypeStruct((b, skv, inner), v.dtype),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             cost_estimate=pl.CostEstimate(
                 flops=8 * b * num_heads * sq * skv * dp,
                 bytes_accessed=2 * 5 * b * sq * inner,
@@ -447,23 +477,27 @@ def _bwd(num_heads, sm_scale, block_q, block_k, res, g):
         args = [q, k, v, g, o, lse4]
         if has_bias:
             in_specs.append(
-                pl.BlockSpec((1, block_k), lambda bi, h, ik, iq: (bi, ik)))
+                pl.BlockSpec((1, 1, block_k),
+                             lambda bi, h, ik, iq: (bi, 0, ik)))
             args.append(bias)
+        out_specs = [
+            pl.BlockSpec((1, block_k, _LANES),
+                         lambda bi, h, ik, iq: (bi, ik, h)),
+            pl.BlockSpec((1, block_k, _LANES),
+                         lambda bi, h, ik, iq: (bi, ik, h)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, skv, inner), jnp.float32),
+            jax.ShapeDtypeStruct((b, skv, inner), jnp.float32),
+        ]
+        _check_specs(in_specs, args, out_specs, out_shape)
         dk32, dv32 = pl.pallas_call(
             functools.partial(_dkv_stream_kernel, sm_scale=sm_scale,
                               dp=dp, has_bias=has_bias),
             grid=(b, hg, skv // block_k, sq // block_q),
             in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((1, block_k, _LANES),
-                             lambda bi, h, ik, iq: (bi, ik, h)),
-                pl.BlockSpec((1, block_k, _LANES),
-                             lambda bi, h, ik, iq: (bi, ik, h)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((b, skv, inner), jnp.float32),
-                jax.ShapeDtypeStruct((b, skv, inner), jnp.float32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             cost_estimate=pl.CostEstimate(
                 flops=8 * b * num_heads * sq * skv * dp,
                 bytes_accessed=2 * (skv // block_k) * b * sq * inner * 3,
@@ -516,6 +550,12 @@ def flash_attention_folded(
     """
     bias = None
     if kv_keep is not None:
-        bias = jnp.where(kv_keep, 0.0, _NEG_INF).astype(jnp.float32)
+        # carried as [B, 1, Skv]: a [B, Skv] array with block (1, skv)
+        # violates Mosaic's trailing-two-dims tiling rule whenever B > 1
+        # (second-to-last block dim 1 is neither 8-divisible nor equal to
+        # B) — it compiled only for B=1 and broke SD3's masked bs2 step
+        # on device (bench r4 sd3 rc=1; CPU interpret mode doesn't check)
+        bias = jnp.where(kv_keep, 0.0, _NEG_INF).astype(
+            jnp.float32)[:, None, :]
     return _flash_folded(q, k, v, bias, num_heads, sm_scale,
                          block_q, block_k)
