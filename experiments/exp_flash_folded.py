@@ -34,6 +34,10 @@ CASES = {
     "sd3": (2, 24, 4432, 64),      # 4096 img + 336 text -> padded 4432? use 4608 (512-mult)
     "hunyuan": (1, 24, 9344, 128),    # s>6144: streaming dkv (r4)
     "flux": (1, 24, 4608, 128),       # 4096 img + 512 t5, resident dkv
+    # off-slot head dims (zero-pad to the 64/128-lane slot inside the
+    # folded path, mirroring ops/attention.py OT_FLASH_FOLDED_PAD):
+    "sd15_64": (4, 8, 4096, 40),      # SD1.5 @512 64x64 self-attn level
+    "sd15_32": (4, 8, 1024, 80),      # SD1.5 @512 32x32 self-attn level
 }
 
 
@@ -62,8 +66,21 @@ def run_case(name):
     bq = next(x for x in (1024, 512, 256, 128) if s % x == 0)
     bk = next(x for x in (512, 256, 128) if s % x == 0)
 
+    dpad = dp if dp in (64, 128) else (64 if dp <= 64 else 128)
+
     @jax.jit
     def folded_fwd(q, k, v):
+        if dpad != dp:
+            pad4 = ((0, 0), (0, 0), (0, 0), (0, dpad - dp))
+            qp = jnp.pad(q.reshape(b, s, h, dp), pad4).reshape(b, s,
+                                                               h * dpad)
+            kp = jnp.pad(k.reshape(b, s, h, dp), pad4).reshape(b, s,
+                                                               h * dpad)
+            vp = jnp.pad(v.reshape(b, s, h, dp), pad4).reshape(b, s,
+                                                               h * dpad)
+            o = flash_attention_folded(qp, kp, vp, h, sm_scale=sm,
+                                       block_q=bq, block_k=bk)
+            return o.reshape(b, s, h, dpad)[..., :dp].reshape(b, s, h * dp)
         return flash_attention_folded(q, k, v, h, sm_scale=sm,
                                       block_q=bq, block_k=bk)
 

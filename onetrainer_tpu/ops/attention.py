@@ -116,12 +116,27 @@ def dot_product_attention(
     if mask is not None and mask.ndim == 4 and mask.shape[1] == 1 \
             and mask.shape[2] == 1:
         kv_keep = mask[:, 0, 0, :].astype(bool)        # [B, Skv]
-    if (mask is None or kv_keep is not None) and _use_folded(sq, skv, d, h):
+    dpad = _folded_pad_dim(d)
+    if (mask is None or kv_keep is not None) and dpad is not None \
+            and _use_folded(sq, skv, d, h, dpad):
         # fold back to packed [B, S, H*D]: when the caller produced q/k/v
         # by reshaping a packed projection output (every DiT family), the
         # reshape pairs cancel in XLA's algebraic simplifier and the
-        # 64-lane-minor 4-D tensors never exist in HBM
+        # 64-lane-minor 4-D tensors never exist in HBM. Off-slot head
+        # dims (SD1.5's 40/80) zero-pad each head to its 64/128 slot
+        # first — exact: pad lanes of q/k are zero so scores are
+        # unchanged, pad lanes of v/o are zero so the slice below drops
+        # only zeros, and every pad-lane gradient is zero because its
+        # dot partner (k, q, or the sliced-off do lanes) is zero.
         try:
+            if dpad != d:
+                pad4 = ((0, 0), (0, 0), (0, 0), (0, dpad - d))
+                out = _attention_folded(
+                    jnp.pad(q, pad4).reshape(b, sq, h * dpad),
+                    jnp.pad(k, pad4).reshape(b, skv, h * dpad),
+                    jnp.pad(v, pad4).reshape(b, skv, h * dpad),
+                    h, kv_keep, sm_scale=1.0 / (d ** 0.5))
+                return out.reshape(b, sq, h, dpad)[..., :d]
             out = _attention_folded(
                 q.reshape(b, sq, h * d), k.reshape(b, skv, h * d),
                 v.reshape(b, skv, h * d), h, kv_keep)
@@ -188,8 +203,24 @@ def dot_product_attention(
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
 
 
+def _folded_pad_dim(head_dim: int) -> int | None:
+    """The 64/128-lane slot a head dim folds into, or None if none fits.
+    Exact slots (64/128) fold for free; off-slot dims <= 128 (SD1.5's
+    40 and 80) zero-pad — the same MXU inflation the stock flash path
+    already pays via its pad-to-64, but without its [B,H,S,dp] HBM
+    layout."""
+    if head_dim in (64, 128):
+        return head_dim
+    if head_dim <= 64:
+        return 64
+    if head_dim <= 128:
+        return 128
+    return None
+
+
 def _use_folded(sq: int, skv: int, head_dim: int,
-                num_heads: int | None = None) -> bool:
+                num_heads: int | None = None,
+                pad_dim: int | None = None) -> bool:
     """Folded-layout kernel dispatch (ops/flash_folded.py): keeps q/k/v/o
     in [B, S, H*dp] HBM form so no 64-lane-minor tensor (2x tile padding
     + XLA remat-compression copies, BASELINE.md 2026-08-18) ever
@@ -207,14 +238,17 @@ def _use_folded(sq: int, skv: int, head_dim: int,
     if os.environ.get("OT_NO_FLASH") == "1" \
             or os.environ.get("OT_NO_FLASH_FOLDED") == "1":
         return False
-    if head_dim == 64:
+    slot = pad_dim if pad_dim is not None else head_dim
+    if slot != head_dim and os.environ.get("OT_FLASH_FOLDED_PAD") != "1":
+        return False   # off-slot (padded) head dims: opt-in until measured
+    if slot == 64:
         pass                                       # default on
-    elif head_dim == 128:
+    elif slot == 128:
         if os.environ.get("OT_FLASH_FOLDED") != "1":
             return False
     else:
         return False
-    if num_heads is not None and num_heads % (128 // head_dim):
+    if num_heads is not None and num_heads % (128 // slot):
         return False   # head groups must fill a 128-lane block
     if not (os.environ.get("OT_FORCE_FLASH") == "1"
             or jax.default_backend() == "tpu"):
@@ -222,10 +256,12 @@ def _use_folded(sq: int, skv: int, head_dim: int,
     return 256 <= sq <= 6144 and 256 <= skv <= 6144
 
 
-def _attention_folded(q, k, v, num_heads, kv_keep):
+def _attention_folded(q, k, v, num_heads, kv_keep, sm_scale=None):
     """Pad folded tensors along S only (no tile padding) and run the
     folded flash kernel. q pad rows are zeros and stay unmasked — see
-    ops/flash_folded.py docstring for why that is safe."""
+    ops/flash_folded.py docstring for why that is safe. sm_scale
+    defaults to 1/sqrt(inner/num_heads); padded-head callers pass the
+    REAL head dim's scale."""
     from onetrainer_tpu.ops.flash_folded import flash_attention_folded
 
     b, sq, inner = q.shape
@@ -244,7 +280,8 @@ def _attention_folded(q, k, v, num_heads, kv_keep):
     bq = next(x for x in (1024, 512, 256, 128) if sqp % x == 0)
     bk = next(x for x in (512, 256, 128) if skvp % x == 0)
     out = flash_attention_folded(
-        qp, kp, vp, num_heads, sm_scale=1.0 / (head_dim ** 0.5),
+        qp, kp, vp, num_heads,
+        sm_scale=(1.0 / (head_dim ** 0.5)) if sm_scale is None else sm_scale,
         kv_keep=keep, block_q=bq, block_k=bk)
     out = out[:, :sq, :]
     STATS["folded"] += 1

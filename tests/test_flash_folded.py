@@ -224,3 +224,56 @@ def test_zero_padded_q_rows_grads_vanish():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b_, np.float32),
                                    atol=6e-2, rtol=6e-2)
+
+
+@pytest.mark.parametrize("d,nh,with_mask", [
+    (40, 8, False),   # SD1.5 64x64 level: pads to the 64-lane slot
+    (40, 8, True),
+    (80, 8, False),   # SD1.5 32x32 level: pads to the 128-lane slot
+])
+def test_dispatcher_padded_head_dims_match_fallback(monkeypatch, d, nh,
+                                                    with_mask):
+    """Off-slot head dims (SD1.5's 40/80) must fold via zero-padding to
+    their 64/128 slot under OT_FLASH_FOLDED_PAD=1 and agree with the XLA
+    fallback — forward and input grads."""
+    from onetrainer_tpu.ops import attention as attn_mod
+
+    b, sq = 2, 300                    # ragged: pads to 384
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = _rand(ks[0], (b, sq, nh * d))
+    k = _rand(ks[1], (b, sq, nh * d))
+    v = _rand(ks[2], (b, sq, nh * d))
+    mask = None
+    if with_mask:
+        keep = jnp.ones((b, sq), bool).at[:, 280:].set(False)
+        mask = keep[:, None, None, :]
+    w = jax.random.normal(jax.random.PRNGKey(5), (b, sq, nh * d),
+                          jnp.float32)
+
+    def fwd_and_grads(q, k, v):
+        out = attn_mod.attention(q, k, v, nh, mask=mask)
+        grads = jax.grad(
+            lambda *a: jnp.sum(
+                attn_mod.attention(*a, nh, mask=mask).astype(jnp.float32)
+                * w),
+            argnums=(0, 1, 2))(q, k, v)
+        return out, grads
+
+    monkeypatch.setenv("OT_FORCE_FLASH", "1")
+    monkeypatch.setenv("OT_FLASH_FOLDED_PAD", "1")
+    if d > 64:
+        monkeypatch.setenv("OT_FLASH_FOLDED", "1")   # 128-lane slot
+    before = attn_mod.STATS["folded"]
+    out, grads = fwd_and_grads(q, k, v)
+    assert attn_mod.STATS["folded"] > before
+
+    monkeypatch.setenv("OT_NO_FLASH_FOLDED", "1")
+    monkeypatch.delenv("OT_FORCE_FLASH")
+    ref, ref_grads = fwd_and_grads(q, k, v)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
+    for a, b_ in zip(grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   atol=6e-2, rtol=6e-2)
