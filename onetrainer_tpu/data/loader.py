@@ -379,6 +379,26 @@ class Text2ImageDataLoader:
             self._blank_cond_latents[bucket] = blank
         return blank
 
+    def _safe_encode(self, images: np.ndarray) -> dict:
+        """encode_images with device-OOM fallback: halve the batch and
+        concatenate. The resolution-scaled chunk in ensure_cached usually
+        avoids this; the fallback keeps cache fill alive when the resident
+        train model leaves less HBM headroom than the scaled chunk assumes.
+        Per-image VAE encode has no cross-batch ops, so splitting is exact."""
+        try:
+            return self.encode_images(images)
+        except Exception as e:   # device OOM surfaces as JaxRuntimeError
+            msg = str(e)
+            oom = ("RESOURCE_EXHAUSTED" in msg or "ResourceExhausted" in msg
+                   or "Ran out of memory" in msg)
+            if images.shape[0] <= 1 or not oom:
+                raise
+        half = images.shape[0] // 2
+        a = self._safe_encode(images[:half])
+        b = self._safe_encode(images[half:])
+        return {k: np.concatenate([np.asarray(a[k]), np.asarray(b[k])])
+                for k in a}
+
     def ensure_cached(self, batches: list[list[PreparedSample]],
                       on_progress: Callable[[int, int], None] | None = None):
         """Cache-fill pass: encode any missing samples, bucket-batched."""
@@ -408,8 +428,16 @@ class Text2ImageDataLoader:
         total = len(missing)
         pool = ThreadPoolExecutor(self._threads) if self._threads > 1 else None
         for bucket, group in by_bucket.items():
-            for i in range(0, len(group), self.encode_batch_size):
-                chunk = group[i:i + self.encode_batch_size]
+            # encode_batch_size is a 512px-equivalent budget: VAE-encode
+            # activations grow with pixel count, and the full train model
+            # is already resident during cache fill, so a fixed chunk that
+            # fits @512 OOMs a 16 GB chip @1024 (4x the pixels). Scale per
+            # bucket; _safe_encode halves further on a real OOM.
+            (bh, bw), bframes = bucket
+            eff = max(1, (self.encode_batch_size * 512 * 512)
+                      // (bh * bw * max(bframes, 1)))
+            for i in range(0, len(group), eff):
+                chunk = group[i:i + eff]
                 # decode/augment in parallel (config.dataloader_threads);
                 # PIL decode releases the GIL so threads scale
                 if pool is not None:
@@ -422,10 +450,10 @@ class Text2ImageDataLoader:
                     masks.append(mask)
                     infos.append(info)
                     conds.append(self._conditioning_pixels(s, img, mask, info))
-                encoded = self.encode_images(np.stack(pixels))
+                encoded = self._safe_encode(np.stack(pixels))
                 encoded_cond = None
                 if self.conditioning_image:
-                    encoded_cond = self.encode_images(np.stack(conds))
+                    encoded_cond = self._safe_encode(np.stack(conds))
                 depth = None
                 if self.depth_fn is not None:
                     depth = self.depth_fn(np.stack(pixels))

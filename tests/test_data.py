@@ -343,3 +343,65 @@ def test_exif_orientation_is_honored(tmp_path):
 
     with Image.open(p) as im:
         assert probe_image_size(im) == (4, 8)  # (w, h) swapped
+
+
+def test_cache_fill_chunk_scales_with_resolution(tmp_path):
+    """encode_batch_size is a 512px-equivalent budget: @1024 (4x pixels)
+    the cache-fill encode chunks must shrink 4x so the VAE encode fits
+    next to the resident train model (loader.ensure_cached)."""
+    root = make_dataset(str(tmp_path / "ds"), n=6)
+    enc_i, enc_t = _fake_encoders()
+    seen = []
+
+    def logging_enc(images):
+        seen.append(images.shape[0])
+        return enc_i(images)
+
+    config = _config(root, str(tmp_path / "cache"))
+    config.resolution = "1024"
+    config.aspect_ratio_bucketing = False
+    loader = Text2ImageDataLoader(config, logging_enc, enc_t,
+                                  quantization=64)
+    list(loader.iter_epoch(0))
+    assert seen, "cache fill never encoded"
+    assert max(seen) <= 2   # 8 * 512^2 / 1024^2
+
+
+def test_cache_fill_halves_encode_batch_on_oom(tmp_path):
+    """A device OOM during cache fill retries with halved batches instead
+    of killing the run; per-image VAE encode makes the split exact."""
+    root = make_dataset(str(tmp_path / "ds"), n=6)
+    enc_i, enc_t = _fake_encoders()
+    calls = []
+
+    def ooming_enc(images):
+        calls.append(images.shape[0])
+        if images.shape[0] > 1:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)")
+        return enc_i(images)
+
+    config = _config(root, str(tmp_path / "cache"))
+    loader = Text2ImageDataLoader(config, ooming_enc, enc_t,
+                                  quantization=64)
+    batches = list(loader.iter_epoch(0))
+    assert batches and 1 in calls and max(calls) > 1
+    # results identical to a non-OOM loader on the same dataset
+    config2 = _config(root, str(tmp_path / "cache2"))
+    loader2 = Text2ImageDataLoader(config2, enc_i, enc_t, quantization=64)
+    batches2 = list(loader2.iter_epoch(0))
+    np.testing.assert_allclose(batches[0]["latent_image"],
+                               batches2[0]["latent_image"])
+
+
+def test_cache_fill_non_oom_error_propagates(tmp_path):
+    root = make_dataset(str(tmp_path / "ds"), n=6)
+    _, enc_t = _fake_encoders()
+
+    def broken_enc(images):
+        raise ValueError("bad weights")
+
+    config = _config(root, str(tmp_path / "cache"))
+    loader = Text2ImageDataLoader(config, broken_enc, enc_t, quantization=64)
+    with pytest.raises(ValueError, match="bad weights"):
+        list(loader.iter_epoch(0))
