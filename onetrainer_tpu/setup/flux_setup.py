@@ -196,7 +196,8 @@ def create_flux_setup(model: FluxModel, config: TrainConfig,
     from onetrainer_tpu.setup.quantize import quantize_frozen_parts
     quantize_frozen_parts(frozen, config.weight_dtypes(),
                           {"transformer": "prior", "text_encoder": "text_encoder",
-                           "text_encoder_2": "text_encoder_2"})
+                           "text_encoder_2": "text_encoder_2"},
+                          model=model)
 
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)

@@ -183,7 +183,8 @@ def create_hidream_setup(
                           {"transformer": "prior", "text_encoder": "text_encoder",
                            "text_encoder_2": "text_encoder_2",
                            "text_encoder_3": "text_encoder_3",
-                           "text_encoder_4": "text_encoder_4"})
+                           "text_encoder_4": "text_encoder_4"},
+                          model=model)
 
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)

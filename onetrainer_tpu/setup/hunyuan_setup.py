@@ -182,7 +182,8 @@ def create_hunyuan_setup(
     from onetrainer_tpu.setup.quantize import quantize_frozen_parts
     quantize_frozen_parts(frozen, config.weight_dtypes(),
                           {"transformer": "prior", "text_encoder": "text_encoder",
-                           "text_encoder_2": "text_encoder_2"})
+                           "text_encoder_2": "text_encoder_2"},
+                          model=model)
 
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)

@@ -138,7 +138,8 @@ def create_pixart_setup(model: PixArtAlphaModel, config: TrainConfig,
     # same parts post-load: modules/util/quantization_util.py:72-160)
     from onetrainer_tpu.setup.quantize import quantize_frozen_parts
     quantize_frozen_parts(frozen, config.weight_dtypes(),
-                          {"transformer": "prior", "text_encoder": "text_encoder"})
+                          {"transformer": "prior", "text_encoder": "text_encoder"},
+                          model=model)
 
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)

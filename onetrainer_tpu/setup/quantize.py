@@ -33,7 +33,8 @@ def quant_storage_dtype(dt: DataType):
     return jnp.float8_e4m3fn
 
 
-def quantize_frozen_parts(frozen: dict, weight_dtypes, part_map: dict) -> dict:
+def quantize_frozen_parts(frozen: dict, weight_dtypes, part_map: dict,
+                          model=None) -> dict:
     """Quantize (in place) the frozen parts whose configured weight dtype
     is a quantized type.
 
@@ -41,10 +42,36 @@ def quantize_frozen_parts(frozen: dict, weight_dtypes, part_map: dict) -> dict:
     {"unet": "unet", "text_encoder": "text_encoder"} for SD or
     {"transformer": "prior", "text_encoder_2": "text_encoder_2"} for FLUX.
     Keys absent from `frozen` (trainable in this run) are skipped.
+
+    When `model` is given, any model attribute holding the SAME tree
+    object is re-pointed at the quantized tree. Without this the
+    unquantized copy stays alive (device-resident once used) for the
+    whole run — an SDXL fp8 base wastes 5.2 GB that way, which is what
+    OOMed the first e2e scripts/train.py run on a 16 GB v5e. Aliasing is
+    behavior-preserving: every consumer (samplers, savers, encode fns)
+    reads setup.frozen or dequantizes in-layer (peft/layers._get_kernel),
+    exactly like the train step.
     """
-    from onetrainer_tpu.ops.quant import quantize_tree
+    import jax
+
+    from onetrainer_tpu.ops.quant import is_quantized, quantize_tree
+
+    def already_quantized(tree) -> bool:
+        # idempotence: create_setup runs twice (the second pass rebuilds
+        # schedules with the real epoch length) and, with model aliasing,
+        # hands the quantized tree back in — re-quantizing fp8 leaves
+        # would TypePromotionError (and double-quantize int8)
+        return any(is_quantized(leaf) for leaf in
+                   jax.tree.leaves(tree, is_leaf=is_quantized))
+
     for key, attr in part_map.items():
         dt = getattr(weight_dtypes, attr)
-        if dt.is_quantized() and frozen.get(key) is not None:
-            frozen[key] = quantize_tree(frozen[key], quant_storage_dtype(dt))
+        if dt.is_quantized() and frozen.get(key) is not None \
+                and not already_quantized(frozen[key]):
+            original = frozen[key]
+            frozen[key] = quantize_tree(original, quant_storage_dtype(dt))
+            if model is not None:
+                for name, val in list(vars(model).items()):
+                    if val is original:
+                        setattr(model, name, frozen[key])
     return frozen

@@ -154,7 +154,8 @@ def create_sana_setup(
     # same parts post-load: modules/util/quantization_util.py:72-160)
     from onetrainer_tpu.setup.quantize import quantize_frozen_parts
     quantize_frozen_parts(frozen, config.weight_dtypes(),
-                          {"transformer": "prior", "text_encoder": "text_encoder"})
+                          {"transformer": "prior", "text_encoder": "text_encoder"},
+                          model=model)
 
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)

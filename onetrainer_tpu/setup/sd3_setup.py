@@ -206,7 +206,8 @@ def create_sd3_setup(model: StableDiffusion3Model, config: TrainConfig,
     quantize_frozen_parts(frozen, config.weight_dtypes(),
                           {"transformer": "prior", "text_encoder": "text_encoder",
                            "text_encoder_2": "text_encoder_2",
-                           "text_encoder_3": "text_encoder_3"})
+                           "text_encoder_3": "text_encoder_3"},
+                          model=model)
 
     tx = create_group_optimizer(
         group_schedules, config.optimizer.optimizer, config.optimizer, labels)

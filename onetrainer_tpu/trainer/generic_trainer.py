@@ -84,6 +84,24 @@ class GenericTrainer(BaseTrainer):
 
     def start(self):
         config = self.config
+        if os.environ.get("OT_MEM_DEBUG") == "1":
+            # print HBM in-use/peak at every status transition — the tool
+            # for attributing device memory across load/quantize/cache/
+            # train phases when a workload OOMs (CLAUDE.md: OOM triage)
+            from onetrainer_tpu.util.profiling import device_memory_stats
+            _orig_status = self.callbacks.on_update_status
+
+            def _status_with_mem(status: str):
+                _orig_status(status)
+                try:
+                    parts = [f"{k.rsplit('/', 2)[-2]}={v:.2f}GiB"
+                             for k, v in device_memory_stats().items()]
+                    print(f"[mem] {status}: {', '.join(parts) or 'n/a'}",
+                          flush=True)
+                except Exception:
+                    pass
+
+            self.callbacks.on_update_status = _status_with_mem
         self.callbacks.on_update_status("loading the model")
 
         base_model_name = config.base_model_name

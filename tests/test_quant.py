@@ -317,3 +317,38 @@ def test_quantize_frozen_parts_and_load_dtype():
     assert DataType.FLOAT_32.to_load_dtype() == jnp.float32
     # trainable part absent from frozen -> skipped, no KeyError
     quantize_frozen_parts({}, wd(unet=DataType.FLOAT_8), {"unet": "unet"})
+
+
+def test_quantize_frozen_parts_drops_model_reference():
+    """With model= given, any model attribute holding the identical tree
+    is re-pointed at the quantized tree — otherwise the unquantized copy
+    stays device-resident for the whole run (5.2 GB for an SDXL fp8
+    base; OOMed the first e2e scripts/train.py run on a 16 GB v5e)."""
+    import jax.numpy as jnp
+
+    from onetrainer_tpu.ops.quant import QuantizedArray
+    from onetrainer_tpu.setup.quantize import quantize_frozen_parts
+    from onetrainer_tpu.util.enums import DataType
+    from onetrainer_tpu.util.model_names import ModelWeightDtypes
+
+    wd = ModelWeightDtypes(
+        DataType.BFLOAT_16, DataType.BFLOAT_16, DataType.FLOAT_8,
+        DataType.NONE, *([DataType.NONE] * 11))
+    unet_tree = {"layer": {"kernel": jnp.ones((64, 128), jnp.bfloat16)}}
+    te_tree = {"layer": {"kernel": jnp.ones((8, 8), jnp.bfloat16)}}
+
+    class _Model:
+        pass
+
+    model = _Model()
+    model.unet_params = unet_tree
+    model.te_params = te_tree
+    frozen = {"unet": unet_tree, "text_encoder": te_tree}
+    quantize_frozen_parts(frozen, wd,
+                          {"unet": "unet", "text_encoder": "text_encoder"},
+                          model=model)
+    # quantized part: the model attr now aliases the quantized tree
+    assert model.unet_params is frozen["unet"]
+    assert isinstance(model.unet_params["layer"]["kernel"], QuantizedArray)
+    # non-quantized part: untouched
+    assert model.te_params is te_tree
