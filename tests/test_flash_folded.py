@@ -233,9 +233,10 @@ def test_zero_padded_q_rows_grads_vanish():
 ])
 def test_dispatcher_padded_head_dims_match_fallback(monkeypatch, d, nh,
                                                     with_mask):
-    """Off-slot head dims (SD1.5's 40/80) must fold via zero-padding to
-    their 64/128 slot under OT_FLASH_FOLDED_PAD=1 and agree with the XLA
-    fallback — forward and input grads."""
+    """Off-slot head dims (SD1.5's 40/80) fold via zero-padding to their
+    64/128 slot by default (device A/B: +7.2% on the SD1.5 LoRA stage;
+    OT_NO_FLASH_FOLDED_PAD=1 opts out) and agree with the XLA fallback —
+    forward and input grads."""
     from onetrainer_tpu.ops import attention as attn_mod
 
     b, sq = 2, 300                    # ragged: pads to 384
@@ -260,7 +261,6 @@ def test_dispatcher_padded_head_dims_match_fallback(monkeypatch, d, nh,
         return out, grads
 
     monkeypatch.setenv("OT_FORCE_FLASH", "1")
-    monkeypatch.setenv("OT_FLASH_FOLDED_PAD", "1")
     if d > 64:
         monkeypatch.setenv("OT_FLASH_FOLDED", "1")   # 128-lane slot
     before = attn_mod.STATS["folded"]
@@ -277,3 +277,15 @@ def test_dispatcher_padded_head_dims_match_fallback(monkeypatch, d, nh,
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b_, np.float32),
                                    atol=6e-2, rtol=6e-2)
+
+
+def test_padded_fold_opt_out(monkeypatch):
+    """OT_NO_FLASH_FOLDED_PAD=1 disables padded (off-slot) folding while
+    exact-slot dims keep folding."""
+    from onetrainer_tpu.ops.attention import _folded_pad_dim, _use_folded
+
+    monkeypatch.setenv("OT_FORCE_FLASH", "1")
+    assert _use_folded(512, 512, 40, 8, _folded_pad_dim(40))
+    monkeypatch.setenv("OT_NO_FLASH_FOLDED_PAD", "1")
+    assert not _use_folded(512, 512, 40, 8, _folded_pad_dim(40))
+    assert _use_folded(512, 512, 64, 8, _folded_pad_dim(64))
