@@ -151,10 +151,20 @@ def main():
         "compile_s": round(compile_s, 1),
     }
     sec_per_step = elapsed / n
+    # analytic FLOPs: xla cost_analysis counts a lax.scan BODY once (not
+    # x n_layers) and skips Pallas custom calls, so under scan it
+    # understates by ~50x. Standard training-step estimate instead:
+    # fwd 2PT + bwd-dX 2PT (LoRA: no weight grads through the frozen
+    # base) + remat re-forward 2PT = 6PT, P = 12B transformer params,
+    # T = tokens/img (packed latents + t5).
+    tokens = (128 // 2) * (128 // 2) + t5_len
+    p_active = 12e9
+    analytic_flops_img = 6 * p_active * tokens
+    out["analytic_tflops_per_img"] = round(analytic_flops_img / 1e12, 1)
+    out["analytic_hw_flop_util_v5e"] = round(
+        analytic_flops_img * (bs * n / elapsed) / 197e12, 3)
     if flops:
-        out["xla_tflops_per_img"] = round(flops / bs / 1e12, 1)
-        out["hw_flop_util_v5e"] = round(
-            (flops / bs) * (bs * n / elapsed) / 197e12, 3)
+        out["xla_tflops_per_img_scanbody_once"] = round(flops / bs / 1e12, 1)
     if hbm_bytes:
         out["xla_bytes_per_step_gb"] = round(hbm_bytes / 1e9, 1)
         out["hbm_roofline_fraction"] = round(

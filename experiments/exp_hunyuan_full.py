@@ -162,10 +162,18 @@ def main():
         "sec_per_step": round(elapsed / n, 3),
         "compile_s": round(compile_s, 1),
     }
+    # analytic FLOPs (xla cost_analysis counts a lax.scan body once and
+    # skips Pallas custom calls): fwd 2PT + bwd-dX 2PT + remat
+    # re-forward 2PT = 6PT over the joint video+text stream.
+    p_active = 12.7e9
+    seq = tokens + 77
+    analytic_flops = 6 * p_active * seq
+    out["analytic_tflops_per_sample"] = round(analytic_flops / 1e12, 1)
+    out["analytic_hw_flop_util_v5e"] = round(
+        analytic_flops * (bs * n / elapsed) / 197e12, 3)
     if flops:
-        out["xla_tflops_per_sample"] = round(flops / bs / 1e12, 1)
-        out["hw_flop_util_v5e"] = round(
-            (flops / bs) * (bs * n / elapsed) / 197e12, 3)
+        out["xla_tflops_per_sample_scanbody_once"] = round(
+            flops / bs / 1e12, 1)
     if hbm_bytes:
         out["xla_bytes_per_step_gb"] = round(hbm_bytes / 1e9, 1)
         out["hbm_roofline_fraction"] = round(
