@@ -67,11 +67,25 @@ def _spawn_pair():
 def test_two_process_distributed_matches_single_process():
     # under 1-core CI contention the gloo context init can miss its 30 s
     # deadline while one worker is still compiling; retry up to 3 times
-    # (the worker's compile cache makes retries fast)
+    # (the worker's compile cache makes retries fast). One retryable
+    # failure the cache itself causes: a stale entry written by a
+    # different jax/XLA generation dies at AOT load with a
+    # cpu_aot_loader machine-feature mismatch — the entry bakes LLVM
+    # tuning flags (+prefer-no-scatter/+prefer-no-gather) that pure-
+    # CPUID host detection never reports, so it can never load again.
+    # Host-feature-keyed dirs (conftest._cpu_feature_tag) can't catch
+    # that; wipe the pair cache and recompile fresh instead.
     for attempt in range(3):
         ok, raw, errs = _spawn_pair()
         if ok:
             break
+        if any("cpu_aot_loader" in e or "machine feature" in e.lower()
+               for e in errs):
+            import shutil
+
+            from tests.conftest import _cpu_feature_tag
+            shutil.rmtree(f"/tmp/ot_cpu_cache-{_cpu_feature_tag()}",
+                          ignore_errors=True)
     assert ok, f"workers failed after retries:\n{raw}\n{errs}"
     outs = [json.loads(r.strip().splitlines()[-1]) for r in raw]
 
