@@ -18,8 +18,11 @@ faulthandler.enable()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from onetrainer_tpu.util.platform import maybe_force_platform
+from onetrainer_tpu.util.platform import (
+    enable_compile_cache, maybe_force_platform,
+)
 maybe_force_platform()
+enable_compile_cache()
 
 # multi-host: initialize the JAX distributed runtime before any device
 # access (no-op single-host; OT_COORDINATOR/OT_MULTIHOST env opt in —

@@ -16,8 +16,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from onetrainer_tpu.util.platform import maybe_force_platform
+from onetrainer_tpu.util.platform import (
+    enable_compile_cache, maybe_force_platform,
+)
 maybe_force_platform()
+enable_compile_cache()
 
 
 def main():

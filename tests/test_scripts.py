@@ -268,3 +268,35 @@ def test_train_script_command_and_callback_paths(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     lines = [json.loads(l) for l in open(events).read().splitlines() if l.strip()]
     assert any(e["event"] == "on_update_status" for e in lines)
+
+
+def test_enable_compile_cache_env_contract(tmp_path, monkeypatch):
+    """CLI entry points persist XLA compiles (a cold SDXL compile is
+    10-20 min on TPU; without this every scripts/train.py run repays it).
+    OT_COMPILE_CACHE wins, =0 disables, JAX_COMPILATION_CACHE_DIR and the
+    default are fallbacks."""
+    import jax
+
+    from onetrainer_tpu.util.platform import enable_compile_cache
+
+    d1 = tmp_path / "c1"
+    monkeypatch.setenv("OT_COMPILE_CACHE", str(d1))
+    enable_compile_cache()
+    assert jax.config.jax_compilation_cache_dir == str(d1)
+    assert d1.is_dir()
+
+    monkeypatch.setenv("OT_COMPILE_CACHE", "0")
+    jax.config.update("jax_compilation_cache_dir", None)
+    enable_compile_cache()
+    assert jax.config.jax_compilation_cache_dir is None
+
+    monkeypatch.delenv("OT_COMPILE_CACHE")
+    d2 = tmp_path / "c2"
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(d2))
+    enable_compile_cache()
+    assert jax.config.jax_compilation_cache_dir == str(d2)
+
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+    d3 = tmp_path / "c3"
+    enable_compile_cache(default_dir=str(d3))
+    assert jax.config.jax_compilation_cache_dir == str(d3)
