@@ -44,7 +44,10 @@ def main():
     from onetrainer_tpu.train.train_state import create_train_state
     from onetrainer_tpu.util.enums import TrainingMethod
 
-    L_DOUBLE, L_SINGLE = 19, 38
+    # OT_EXP_LD/OT_EXP_LS override the block counts for the int8
+    # compile-failure depth bisect (full scale: 19 double + 38 single).
+    L_DOUBLE = int(os.environ.get("OT_EXP_LD", 19))
+    L_SINGLE = int(os.environ.get("OT_EXP_LS", 38))
     base_kwargs = dict(gradient_checkpointing=True, dtype=jnp.bfloat16)
 
     # one layer of each kind -> quantize -> replicate along the layer axis
