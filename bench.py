@@ -475,12 +475,21 @@ def main():
             **extras,
         }), flush=True)
 
+    # per-stage wall seconds: when a driver window times out, the last
+    # emitted line says exactly which stage ate the budget (r3's rc=124
+    # was undiagnosable without this)
+    extras["stage_seconds"] = {"probe+sdxl_fp8": round(
+        time.monotonic() - (deadline
+                            - float(os.environ.get("OT_BENCH_BUDGET",
+                                                   "1500"))), 1)}
     _emit()  # the headline line lands before any extra runs
     for key, stage, min_budget in extra_plan:
         if _remaining() < min_budget + 30:
             continue  # stays "skipped_budget"
+        _t0 = time.monotonic()
         res = _run_isolated(stage,
                             timeout=min(1800, max(60, _remaining() - 30)))
+        extras["stage_seconds"][stage] = round(time.monotonic() - _t0, 1)
         if stage == "sd15":
             sd15_ips, sd15_flops_per_img = \
                 res if isinstance(res, list) else (res, None)
