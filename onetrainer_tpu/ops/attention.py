@@ -218,6 +218,16 @@ def _folded_pad_dim(head_dim: int) -> int | None:
     return None
 
 
+# Folded sequence cap: the forward and dq kernels keep the FULL kv
+# sequence resident in VMEM (k + v blocks: 2 * skv * 128 lanes * 2 B =
+# skv * 512 B -> 8.4 MB at 16384 tokens, plus q/acc blocks), so beyond
+# ~16k tokens they would need a kv-streaming forward that does not exist
+# yet. The dk/dv backward auto-switches to the q-streaming kernel above
+# _DKV_RESIDENT_MAX_SEQ (flash_folded.py), which removed the old 6144
+# cap (r4's resident-dkv VMEM limit).
+_FOLDED_MAX_SEQ = 16384
+
+
 def _use_folded(sq: int, skv: int, head_dim: int,
                 num_heads: int | None = None,
                 pad_dim: int | None = None) -> bool:
@@ -229,35 +239,35 @@ def _use_folded(sq: int, skv: int, head_dim: int,
     Measured r4 (experiments/exp_flash_folded.py + bench headline A/B):
     d=64 wins everywhere — SDXL step 4.548 -> 5.008 imgs/sec (+10%,
     -101 GB/step), SD3-shape grads -19% — so d=64 is the DEFAULT on TPU
-    (OT_NO_FLASH_FOLDED=1 opts out). d=128 stays opt-in
-    (OT_FLASH_FOLDED=1): fwd wins at the Hunyuan shape but the backward's
-    full-sequence resident k/v + q/do/o blocks exceed VMEM at s=9728
-    (remote-compile failure, r4) — hence also the seq guard: the dkv
-    kernel keeps 3 full-length 128-lane tensors resident
-    (3*s*128*2 B ~ 4.7 MB at s=6144)."""
+    (OT_NO_FLASH_FOLDED=1 opts out). r5 flips exact d=128 to default ON
+    too, on the late-r4 device micro A/Bs vs the stock per-head path
+    (experiments/exp_flash_folded.py, 2026-08-20): HunyuanVideo shape
+    b1 h24 s9728 d128 — folded grad 37.6 vs 41.8 ms (-10%), fwd 10.59
+    vs 11.26, via the q-streaming dkv kernel that lifted the old
+    s<=6144 resident-VMEM cap; FLUX shape b1 h24 s4608 d128 — grad
+    10.80 vs 12.16 (-11%), fwd 3.51 vs 3.60. Off-slot dims padded to
+    the 128 slot (d=80) remain opt-in (OT_FLASH_FOLDED=1) — the 60%
+    MXU pad inflation there is unmeasured."""
     if os.environ.get("OT_NO_FLASH") == "1" \
             or os.environ.get("OT_NO_FLASH_FOLDED") == "1":
         return False
     slot = pad_dim if pad_dim is not None else head_dim
-    if slot != head_dim and os.environ.get("OT_NO_FLASH_FOLDED_PAD") == "1":
-        return False   # opt-out for padded head dims (default ON for the
-        # 64 slot after the device A/B: SD1.5 LoRA stage 32.25 -> 34.58
-        # imgs/sec (+7.2%) — the pad's extra MXU FLOPs cost less than the
-        # stock path's [B,H,S,dp] HBM layout. The 128 slot stays behind
-        # OT_FLASH_FOLDED below either way.
-    if slot == 64:
-        pass                                       # default on
-    elif slot == 128:
-        if os.environ.get("OT_FLASH_FOLDED") != "1":
-            return False
-    else:
+    if slot != head_dim:
+        if os.environ.get("OT_NO_FLASH_FOLDED_PAD") == "1":
+            return False   # opt-out for padded head dims (default ON for
+            # the 64 slot after the device A/B: SD1.5 LoRA stage 32.25 ->
+            # 34.58 imgs/sec (+7.2%) — the pad's extra MXU FLOPs cost
+            # less than the stock path's [B,H,S,dp] HBM layout.
+        if slot == 128 and os.environ.get("OT_FLASH_FOLDED") != "1":
+            return False   # padded-to-128 (d=80): unmeasured, opt-in
+    if slot not in (64, 128):
         return False
     if num_heads is not None and num_heads % (128 // slot):
         return False   # head groups must fill a 128-lane block
     if not (os.environ.get("OT_FORCE_FLASH") == "1"
             or jax.default_backend() == "tpu"):
         return False
-    return 256 <= sq <= 6144 and 256 <= skv <= 6144
+    return 256 <= sq <= _FOLDED_MAX_SEQ and 256 <= skv <= _FOLDED_MAX_SEQ
 
 
 def _attention_folded(q, k, v, num_heads, kv_keep, sm_scale=None):

@@ -289,3 +289,29 @@ def test_padded_fold_opt_out(monkeypatch):
     monkeypatch.setenv("OT_NO_FLASH_FOLDED_PAD", "1")
     assert not _use_folded(512, 512, 40, 8, _folded_pad_dim(40))
     assert _use_folded(512, 512, 64, 8, _folded_pad_dim(64))
+
+
+def test_d128_default_and_long_seq_dispatch(monkeypatch):
+    """r5 defaults: exact d=128 folds by default (late-r4 device A/B:
+    Hunyuan s9728 grad 37.6 vs 41.8 ms, FLUX s4608 10.8 vs 12.2);
+    sequences past the old 6144 resident-dkv cap dispatch folded (the
+    q-streaming dkv kernel handles them) up to the fwd-kernel's
+    resident-kv VMEM cap; padded-to-128 (d=80) stays opt-in."""
+    from onetrainer_tpu.ops.attention import (
+        _FOLDED_MAX_SEQ, _folded_pad_dim, _use_folded,
+    )
+
+    monkeypatch.setenv("OT_FORCE_FLASH", "1")
+    monkeypatch.delenv("OT_FLASH_FOLDED", raising=False)
+    assert _use_folded(512, 512, 128, 2, _folded_pad_dim(128))
+    # HunyuanVideo bench shape: s=9728 d=128 — the raise that wires the
+    # streaming dkv into production
+    assert _use_folded(9728, 9728, 128, 24, _folded_pad_dim(128))
+    assert _use_folded(9728, 9728, 64, 8, _folded_pad_dim(64))
+    # beyond the fwd kernel's resident-kv VMEM budget: no fold
+    assert not _use_folded(_FOLDED_MAX_SEQ + 512, _FOLDED_MAX_SEQ + 512,
+                           128, 24, _folded_pad_dim(128))
+    # padded-to-128 still opt-in
+    assert not _use_folded(512, 512, 80, 8, _folded_pad_dim(80))
+    monkeypatch.setenv("OT_FLASH_FOLDED", "1")
+    assert _use_folded(512, 512, 80, 8, _folded_pad_dim(80))
