@@ -19,7 +19,11 @@ import sys
 BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
 
 FAKE = {
-    "sdxl_fp8": [4.551, 17.67e12, 0.8789, 4.9e11],
+    "sdxl_fp8": {"imgs_per_sec": 4.551,
+                 "imgs_per_sec_mean_of_chunks": 4.49,
+                 "flops_per_img": 17.67e12, "sec_per_step": 0.8789,
+                 "hbm_bytes": 4.9e11, "setup_seconds": 12.3,
+                 "chunk_spread_pct": 1.4},
     "sdxl_bf16": 4.215,
     "sd15": [32.028, 3.02e12],
     "vae": 144.653,
@@ -66,7 +70,9 @@ def test_bench_last_line_is_fullest():
     assert out["sdxl_bf16_base_imgs_per_sec"] == 4.215
     assert out["sd3_lora_1024_bs2_imgs_per_sec"] == 2.358
     assert out["hunyuan_half_512_f9_samples_per_sec"] == 0.729
-    assert out["sd15_hw_flop_utilization_v5e"] > 0
+    assert out["sd15_hw_flop_utilization_v5e_padded"] > 0
+    assert out["sdxl_setup_seconds"] == 12.3
+    assert out["sdxl_chunk_spread_pct"] == 1.4
 
 
 def test_bench_failed_stage_degrades_to_error_field():
@@ -79,7 +85,8 @@ def test_bench_failed_stage_degrades_to_error_field():
 
 
 def test_bench_survives_missing_cost_analysis():
-    fake = dict(FAKE, sdxl_fp8=[4.551, None, 0.8789, None], sd15=[32.0, None])
+    fake = dict(FAKE, sdxl_fp8=dict(FAKE["sdxl_fp8"], flops_per_img=None,
+                                hbm_bytes=None), sd15=[32.0, None])
     out = _run(fake)[-1]
     # falls back to the pinned analytic anchor
     assert 0 < out["vs_baseline"] < 10
