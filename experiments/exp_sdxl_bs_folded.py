@@ -18,8 +18,10 @@ def main():
     import bench
 
     jax, jnp, optax = bench._jax_modules()
-    ips, flops_per_img, sec_per_step, hbm_bytes = bench._bench_sdxl(
-        jax, jnp, optax, base_quant=jnp.float8_e4m3fn, bs=bs)
+    res = bench._bench_sdxl(jax, jnp, optax,
+                            base_quant=jnp.float8_e4m3fn, bs=bs)
+    ips, flops_per_img = res["imgs_per_sec"], res["flops_per_img"]
+    sec_per_step, hbm_bytes = res["sec_per_step"], res["hbm_bytes"]
     print(json.dumps({
         "exp": "sdxl_bs_folded", "bs": bs,
         "imgs_per_sec": round(ips, 3),
