@@ -17,6 +17,7 @@ TFLOPs — real-world SDXL LoRA training on A100 typically lands below that.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -119,6 +120,18 @@ def _bench_sdxl(jax, jnp, optax, base_quant=None, bs=2):
         float(metrics["loss"])
         times.append(time.perf_counter() - start)
     best, mean = min(times), sum(times) / len(times)
+    prof_dir = os.environ.get("OT_PROFILE_DIR")
+    if prof_dir:
+        # post-measurement profiler bracket (VERDICT r4 next #1): rides
+        # the EXACT headline step/graph (the standalone profile script's
+        # inline re-setup missed the compile cache and timed out), after
+        # the timed chunks so the numbers above stay untouched
+        jax.profiler.start_trace(prof_dir)
+        for _ in range(4):
+            state, metrics = step(state, frozen, batch,
+                                  jax.random.PRNGKey(6))
+        float(metrics["loss"])
+        jax.profiler.stop_trace()
     return {
         "imgs_per_sec": bs * n / best,
         "imgs_per_sec_mean_of_chunks": round(bs * n * chunks
