@@ -185,6 +185,167 @@ def bucket_of(instr) -> str:
     return "other"
 
 
+_COMP_HDR_RE = re.compile(r"^(ENTRY\s+)?%?([\w.\-]+)\s*\([^)]*\)\s*->")
+_CALLS_RE = re.compile(r"calls=%?([\w.\-]+)")
+_LHS_CONTRACT_RE = re.compile(r"lhs_contracting_dims=\{([0-9,]*)\}")
+_DIM_LABELS_RE = re.compile(r"dim_labels=([a-z0-9?]+)_([a-z0-9?]+)->")
+
+
+def _dims_of(shape_str: str) -> list[int]:
+    """Dims of the FIRST array shape in an HLO shape string."""
+    for _dtype, dims, _layout in _SHAPE_RE.findall(shape_str):
+        return [int(d) for d in dims.split(",")] if dims else []
+    return []
+
+
+def estimate_flops(hlo_text: str) -> dict[str, float]:
+    """ENTRY-instruction-name -> estimated MXU FLOPs.
+
+    Walks every computation: `dot` FLOPs = 2 * prod(out) * contraction
+    (contraction dims read off the lhs operand's shape), `convolution`
+    FLOPs = 2 * prod(out) * prod(kernel spatial) * kernel-input-feature
+    (the kernel's i dim is already per-group for grouped convs), then
+    charges each ENTRY `fusion` with its called computation's total and
+    each flash-attention `custom-call` with the analytic matmul count:
+    fwd = 4*B*Sq*Skv*(H*d) (QK^T + PV), dq backward = 6*..., dk/dv
+    backward = 8*... (score recompute + dP + the two grad dots) —
+    approximate (the kernel split is inferred from op_name / output
+    arity) but good enough for a roofline floor, and marked as such in
+    the caller's output. Elementwise/reduce fusions are VPU work and
+    get 0 MXU FLOPs — their floor is their byte time."""
+    comp_of_line: dict[str, list] = {}
+    cur = None
+    # pass 1: record (name, shape_str, opcode, rest) per computation
+    for line in hlo_text.splitlines():
+        stripped = line.strip()
+        hdr = _COMP_HDR_RE.match(stripped)
+        if hdr and stripped.endswith("{"):
+            cur = hdr.group(2)
+            comp_of_line[cur] = []
+            continue
+        if cur is None:
+            continue
+        m = _INSTR_RE.match(line)
+        if m:
+            comp_of_line[cur].append(m.groups())
+        if stripped == "}":
+            cur = None
+    # pass 2: per-computation dot/conv flops
+    comp_flops: dict[str, float] = {}
+    entry_name = None
+    for comp, instrs in comp_of_line.items():
+        shapes = {n: s for n, s, _o, _r in instrs}
+        fl = 0.0
+        for name, shape_str, opcode, rest in instrs:
+            out_dims = _dims_of(shape_str)
+            if opcode == "dot":
+                refs = _OPERAND_RE.findall(rest.split("), ", 1)[0])
+                if not refs:
+                    continue
+                lhs_dims = _dims_of(shapes.get(refs[0], ""))
+                mc = _LHS_CONTRACT_RE.search(rest)
+                contract = 1
+                if mc and mc.group(1):
+                    for d in mc.group(1).split(","):
+                        if int(d) < len(lhs_dims):
+                            contract *= lhs_dims[int(d)]
+                out = 1
+                for d in out_dims:
+                    out *= d
+                fl += 2.0 * out * contract
+            elif opcode == "convolution":
+                refs = _OPERAND_RE.findall(rest.split("), ", 1)[0])
+                if len(refs) < 2:
+                    continue
+                ker_dims = _dims_of(shapes.get(refs[1], ""))
+                ml = _DIM_LABELS_RE.search(rest)
+                if not ml or not ker_dims:
+                    continue
+                ker_spec = ml.group(2)
+                k_mult = 1
+                for ch, dim in zip(ker_spec, ker_dims):
+                    if ch != "o":          # spatial dims and 'i' both
+                        k_mult *= dim      # multiply into per-output MACs
+                out = 1
+                for d in out_dims:
+                    out *= d
+                fl += 2.0 * out * k_mult
+        comp_flops[comp] = fl
+    # find the entry computation (the one declared with ENTRY)
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        if s.startswith("ENTRY "):
+            h = _COMP_HDR_RE.match(s)
+            if h:
+                entry_name = h.group(2)
+            break
+    out: dict[str, float] = {}
+    if entry_name is None:
+        return out
+    shapes = {n: s for n, s, _o, _r in comp_of_line.get(entry_name, [])}
+    for name, shape_str, opcode, rest in comp_of_line.get(entry_name, []):
+        if opcode == "fusion":
+            mc = _CALLS_RE.search(rest)
+            if mc:
+                out[name] = comp_flops.get(mc.group(1), 0.0)
+        elif opcode in ("dot", "convolution"):
+            out_dims = _dims_of(shape_str)
+            o = 1
+            for d in out_dims:
+                o *= d
+            if opcode == "dot":
+                refs = _OPERAND_RE.findall(rest.split("), ", 1)[0])
+                lhs_dims = _dims_of(shapes.get(refs[0], "")) if refs else []
+                m2 = _LHS_CONTRACT_RE.search(rest)
+                contract = 1
+                if m2 and m2.group(1):
+                    for d in m2.group(1).split(","):
+                        if int(d) < len(lhs_dims):
+                            contract *= lhs_dims[int(d)]
+                out[name] = 2.0 * o * contract
+            else:
+                refs = _OPERAND_RE.findall(rest.split("), ", 1)[0])
+                ker_dims = _dims_of(shapes.get(refs[1], "")) \
+                    if len(refs) > 1 else []
+                ml = _DIM_LABELS_RE.search(rest)
+                k_mult = 1
+                if ml and ker_dims:
+                    for ch, dim in zip(ml.group(2), ker_dims):
+                        if ch != "o":
+                            k_mult *= dim
+                out[name] = 2.0 * o * k_mult
+        elif opcode == "custom-call":
+            meta = _METADATA_RE.search(rest)
+            label = (meta.group(1) if meta else "") + rest[:80]
+            if "flash" not in label and "tpu_custom_call" not in rest:
+                continue
+            refs = _OPERAND_RE.findall(rest.split("), ", 1)[0])
+            if len(refs) < 3:
+                continue
+            q_dims = _dims_of(shapes.get(refs[0], ""))
+            k_dims = _dims_of(shapes.get(refs[1], ""))
+            if len(q_dims) == 3:            # folded [B, S, H*d]
+                b, sq, inner = q_dims
+                skv = k_dims[1] if len(k_dims) == 3 else sq
+            elif len(q_dims) == 4:          # per-head [B, H, S, d]
+                b, h, sq, d = q_dims
+                inner = h * d
+                skv = k_dims[2] if len(k_dims) == 4 else sq
+            else:
+                continue
+            base = 2.0 * b * sq * skv * inner   # one S x S matmul pair
+            lab = label.lower()
+            if "dkv" in lab or "dk_dv" in lab:
+                out[name] = 4.0 * base          # recompute+dP+dK+dV
+            elif "dq" in lab or "vjp" in lab or "transpose" in lab:
+                out[name] = 3.0 * base          # recompute+dP+dQ
+            elif len(_SHAPE_RE.findall(shape_str)) > 2:
+                out[name] = 5.0 * base          # fused backward tuple
+            else:
+                out[name] = 2.0 * base          # forward: QK^T + PV
+    return out
+
+
 def summarize(instrs, top_n: int = 40):
     total = sum(i["total_bytes"] for i in instrs)
     buckets = defaultdict(int)
