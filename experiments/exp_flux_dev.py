@@ -138,7 +138,7 @@ def main():
     except Exception as e:
         print(json.dumps({
             "workload": f"flux_dev_lora_1024px_bs{bs}_{quant}_t5{t5_len}",
-            "oom_or_error": str(e)[:500]}))
+            "oom_or_error": f"{type(e).__name__}: {e}"[:500]}))
         return
     compile_s = time.perf_counter() - t0
     n = 5

@@ -97,6 +97,7 @@ def main():
 
     trainer.start()
     canceled = False
+    crashed = False
     try:
         trainer.train()
     except KeyboardInterrupt:
@@ -104,9 +105,15 @@ def main():
     except Exception:
         traceback.print_exc()
         canceled = True
+        crashed = True
 
     if not canceled or config.backup_before_save:
         trainer.end()
+    if crashed:
+        # a crashed run must not exit 0 (the r5 e2e measurement "passed"
+        # rc=0 after a remote-compile network failure and the harness
+        # moved on none the wiser)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
