@@ -30,4 +30,10 @@ run sd15_32_micro 1200 python experiments/exp_flash_folded.py sd15_32
 #    64 MiB vs the default — cold compile, so budgeted generously
 run sdxl_vmem64 2400 env LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=65536 XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 python experiments/exp_sdxl_bs_folded.py 4
 
+# 5. e2e shipped-trainer throughput, retry (the 11:28 attempt died on a
+#    remote-compile broken pipe during the lazy TE compile; VAE compile
+#    is now cached, train.py now exits nonzero on crash)
+run e2e_train 3600 python scripts/train.py --config-path /root/e2e_sdxl/config.json
+run e2e_parse 300 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python experiments/exp_e2e_train.py parse
+
 say "QUEUE4 DONE"
