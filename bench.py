@@ -463,12 +463,15 @@ def main():
     # cold estimate is used whenever the headline stage itself ran cold
     # (the best available signal for the driver's cache state).
     extra_plan = [
-        ("sd15_lora_512_bs4_imgs_per_sec", "sd15", 90, 360),
-        ("vae_latent_cache_512_bs8_imgs_per_sec", "vae", 60, 130),
+        # cold estimates = MEASURED fully-cold stage times from the r5
+        # fresh-VM bench run (sweep_log 2026-08-20: sd15 553, vae 135,
+        # sd3 552, hunyuan 352, sdxl_bf16 728 s) + ~10% headroom
+        ("sd15_lora_512_bs4_imgs_per_sec", "sd15", 90, 610),
+        ("vae_latent_cache_512_bs8_imgs_per_sec", "vae", 60, 150),
         # per-family DiT datapoints (BASELINE configs 4/5)
         ("sd3_lora_1024_bs2_imgs_per_sec", "sd3", 150, 620),
-        ("hunyuan_half_512_f9_samples_per_sec", "hunyuan", 180, 620),
-        ("sdxl_bf16_base_imgs_per_sec", "sdxl_bf16", 150, 500),
+        ("hunyuan_half_512_f9_samples_per_sec", "hunyuan", 180, 420),
+        ("sdxl_bf16_base_imgs_per_sec", "sdxl_bf16", 150, 800),
     ]
     # headline warm wall ~210 s (probe ~30 + warm sdxl_fp8 ~180);
     # BENCH_r04 measured 648 s driver-side with a cold-ish cache
