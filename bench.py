@@ -509,6 +509,19 @@ def main():
             min(bw_scaled, flop_cap), 3)
         extras["v5p_projection_bw_vs_a100"] = round(
             min(bw_scaled, flop_cap) / a100_imgs_per_sec, 3)
+        # r5 trace-backed projection (the evidence-based middle): the
+        # per-kernel floor decomposition of this exact step
+        # (experiments/exp_roofline_floor.py + on-device profiler trace,
+        # BASELINE 2026-08-20) splits the no-overlap serial floor into
+        # 60.7% MXU-bound / 39.3% BW-bound kernel time with 98.4% device
+        # occupancy (no dispatch slack to reclaim), so v5p scaling mixes
+        # the FLOP ratio (459/197 = 2.33x) and the HBM ratio (2765/819 =
+        # 3.38x) by binding share: 1/(0.607/2.33 + 0.393/3.38) = 2.65x
+        mix = 1.0 / (0.607 / 2.33 + 0.393 / 3.38)
+        extras["v5p_projection_mix_imgs_per_sec"] = round(
+            sdxl_ips * mix, 3)
+        extras["v5p_projection_mix_vs_a100"] = round(
+            sdxl_ips * mix / a100_imgs_per_sec, 3)
         # note: with the flash kernel, XLA's FLOP count excludes the
         # attention custom calls, so mfu/v5p numbers understate true MXU
         # work; vs_baseline stays honest via the pinned A100 anchor

@@ -35,18 +35,27 @@ def main():
     measured_s = float(sys.argv[3]) if len(sys.argv) > 3 else None
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from exp_byte_attr import build_step
     from hlo_bytes import (bucket_of, estimate_flops,
                            parse_entry_instructions)
 
-    step, state, frozen, batch, rng = build_step(policy, bs, "fp8")
-    compiled = step.lower(state, frozen, batch, rng).compile()
-    hlo = compiled.as_text()
-    with open(f"/tmp/sdxl_step_hlo_bs{bs}.txt", "w") as f:
-        f.write(hlo)
-    analysis = compiled.cost_analysis()
-    if isinstance(analysis, list):
-        analysis = analysis[0]
+    hlo_file = os.environ.get("OT_HLO_FILE")
+    if hlo_file:
+        # offline mode: re-analyze a saved `compiled.as_text()` dump (the
+        # device run writes /tmp/sdxl_step_hlo_bs{bs}.txt) without
+        # rebuilding/compiling the step
+        with open(hlo_file) as f:
+            hlo = f.read()
+        analysis = {}
+    else:
+        from exp_byte_attr import build_step
+        step, state, frozen, batch, rng = build_step(policy, bs, "fp8")
+        compiled = step.lower(state, frozen, batch, rng).compile()
+        hlo = compiled.as_text()
+        with open(f"/tmp/sdxl_step_hlo_bs{bs}.txt", "w") as f:
+            f.write(hlo)
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
 
     instrs = parse_entry_instructions(hlo)
     flops = estimate_flops(hlo)

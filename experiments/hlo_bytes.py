@@ -186,6 +186,10 @@ def bucket_of(instr) -> str:
 
 
 _COMP_HDR_RE = re.compile(r"^(ENTRY\s+)?%?([\w.\-]+)\s*\([^)]*\)\s*->")
+# ENTRY param lists can nest parens (tuple args like
+# `(arg_tuple.1: (s32[], f32[...], ...))`), which breaks the
+# `\([^)]*\)` in _COMP_HDR_RE — name-only match for those lines.
+_ENTRY_NAME_RE = re.compile(r"^ENTRY\s+%?([\w.\-]+)")
 _CALLS_RE = re.compile(r"calls=%?([\w.\-]+)")
 _LHS_CONTRACT_RE = re.compile(r"lhs_contracting_dims=\{([0-9,]*)\}")
 _DIM_LABELS_RE = re.compile(r"dim_labels=([a-z0-9?]+)_([a-z0-9?]+)->")
@@ -218,6 +222,12 @@ def estimate_flops(hlo_text: str) -> dict[str, float]:
     # pass 1: record (name, shape_str, opcode, rest) per computation
     for line in hlo_text.splitlines():
         stripped = line.strip()
+        if stripped.startswith("ENTRY ") and stripped.endswith("{"):
+            me = _ENTRY_NAME_RE.match(stripped)
+            if me:
+                cur = me.group(1)
+                comp_of_line[cur] = []
+                continue
         hdr = _COMP_HDR_RE.match(stripped)
         if hdr and stripped.endswith("{"):
             cur = hdr.group(2)
@@ -275,9 +285,9 @@ def estimate_flops(hlo_text: str) -> dict[str, float]:
     for line in hlo_text.splitlines():
         s = line.strip()
         if s.startswith("ENTRY "):
-            h = _COMP_HDR_RE.match(s)
+            h = _ENTRY_NAME_RE.match(s)
             if h:
-                entry_name = h.group(2)
+                entry_name = h.group(1)
             break
     out: dict[str, float] = {}
     if entry_name is None:
