@@ -90,7 +90,8 @@ def main():
     peft_cfg = PeftConfig(rank=16, alpha=16.0)
     adapters = init_peft_params(jax.random.PRNGKey(1), shape_tree, peft_cfg)
 
-    cfgm = FluxConfig(scan_layers=True, **base_kwargs)
+    cfgm = FluxConfig(scan_layers=True, num_layers=L_DOUBLE,
+                      num_single_layers=L_SINGLE, **base_kwargs)
 
     class _Model:
         pass

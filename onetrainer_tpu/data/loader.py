@@ -12,9 +12,11 @@ Replaces the mgds graph + TrainDataLoader
 
 from __future__ import annotations
 
+import functools
 import os
 import queue
 import threading
+import time
 import zlib
 from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
@@ -43,6 +45,37 @@ def load_image_rgb(path: str) -> np.ndarray:
         # photos otherwise train sideways
         img = ImageOps.exif_transpose(img)
         return np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+
+
+def retry_transport(fn: Callable, attempts: int = 4,
+                    base_delay: float = 5.0) -> Callable:
+    """Retry a device call on transient remote-transport failures.
+
+    Long cache-fill passes make thousands of small device calls; a single
+    dropped connection to the remote execution service (surfacing as
+    UNAVAILABLE / "Broken pipe" / network errors) would otherwise kill the
+    whole training run at a point where a retry is cheap — the compile
+    cache makes re-dispatch nearly free. Real device OOMs
+    (RESOURCE_EXHAUSTED) are NOT retried; `_safe_encode` handles those by
+    splitting the batch. The reference's torch loaders run the encoders
+    in-process and have no equivalent failure mode."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        delay = base_delay
+        for attempt in range(attempts):
+            try:
+                return fn(*args, **kwargs)
+            except Exception as e:  # noqa: BLE001 — filtered by message below
+                msg = str(e)
+                transient = ("UNAVAILABLE" in msg or "Broken pipe" in msg
+                             or "Network Error" in msg
+                             or "Connection reset" in msg)
+                if not transient or attempt == attempts - 1:
+                    raise
+                time.sleep(delay)
+                delay *= 2
+        raise AssertionError("unreachable")
+    return wrapped
 
 
 _EXIF_ORIENTATION = 0x0112
@@ -165,8 +198,8 @@ class Text2ImageDataLoader:
         # (reference: StableDiffusionBaseDataLoader.py:74-106; data/depth.py)
         self.depth_fn = depth_fn
         self.config = config
-        self.encode_images = encode_images
-        self.encode_text = encode_text
+        self.encode_images = retry_transport(encode_images)
+        self.encode_text = retry_transport(encode_text)
         self.encode_batch_size = encode_batch_size
 
         concepts = config.concepts or []

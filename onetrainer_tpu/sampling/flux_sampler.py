@@ -85,7 +85,7 @@ def sample_flux(
         ], axis=-1)
 
     @jax.jit
-    def velocity(packed, t):
+    def velocity(transformer_params, packed, t):
         if extra_packed is not None:
             packed = jnp.concatenate([packed, extra_packed], axis=-1)
         return model.transformer.apply(
@@ -96,7 +96,7 @@ def sample_flux(
     packed = pack_latents(latents)
     for i in range(steps):
         sigma, sigma_next = float(sigmas[i]), float(sigmas[i + 1])
-        v = velocity(packed.astype(jnp.float32), sigma)
+        v = velocity(transformer_params, packed.astype(jnp.float32), sigma)
         packed = packed + (sigma_next - sigma) * v
         if on_update_progress:
             on_update_progress(i + 1, steps)

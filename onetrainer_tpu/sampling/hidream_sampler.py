@@ -58,7 +58,7 @@ def sample_hidream(
     img_ids = prepare_latent_image_ids(lh, lw)
 
     @jax.jit
-    def velocity(latents, t):
+    def velocity(transformer_params, latents, t):
         both = jnp.concatenate([latents, latents], axis=0)
         packed = pack_latents(both)
         out = model.transformer.apply(
@@ -70,7 +70,7 @@ def sample_hidream(
 
     sigmas = np.linspace(1.0, 0.0, steps + 1)
     for i in range(steps):
-        v = velocity(latents, sigmas[i] * 1000.0)
+        v = velocity(transformer_params, latents, sigmas[i] * 1000.0)
         latents = latents - (sigmas[i] - sigmas[i + 1]) * v
         if on_update_progress:
             on_update_progress(i + 1, steps)

@@ -55,14 +55,14 @@ def sample_hunyuan_video(
     guidance = jnp.asarray([sample_config.cfg_scale * 1000.0], jnp.float32)
 
     @jax.jit
-    def velocity(latents, t):
+    def velocity(transformer_params, latents, t):
         return model.transformer.apply(
             as_variables(transformer_params), latents,
             jnp.full((1,), t, jnp.float32), states, mask_c, pooled, guidance)
 
     sigmas = np.linspace(1.0, 0.0, steps + 1)
     for i in range(steps):
-        v = velocity(latents, sigmas[i] * 1000.0)
+        v = velocity(transformer_params, latents, sigmas[i] * 1000.0)
         latents = latents - (sigmas[i] - sigmas[i + 1]) * v
         if on_update_progress:
             on_update_progress(i + 1, steps)

@@ -50,7 +50,7 @@ def sample_pixart(
     latent_ch = model.vae_config.latent_channels
 
     @jax.jit
-    def dit_step(latents, t):
+    def dit_step(transformer_params, latents, t):
         both = jnp.concatenate([latents, latents], axis=0)
         ts = jnp.full((2,), t, jnp.int32)
         lh, lw = both.shape[1], both.shape[2]
@@ -68,7 +68,8 @@ def sample_pixart(
     for i in range(steps):
         t = int(state.timesteps[i])
         model_in = sched.scale_model_input(state, latents, i)
-        noise_pred = dit_step(model_in.astype(jnp.float32), t)
+        noise_pred = dit_step(transformer_params,
+                              model_in.astype(jnp.float32), t)
         rng, step_rng = jax.random.split(rng)
         latents = sched.step(state, noise_pred.astype(jnp.float32), i, latents,
                              rng=step_rng, history=history)

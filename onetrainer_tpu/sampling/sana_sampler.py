@@ -46,7 +46,7 @@ def sample_sana(
     mask_j = jnp.asarray(mask)
 
     @jax.jit
-    def dit_step(latents, t):
+    def dit_step(transformer_params, latents, t):
         both = jnp.concatenate([latents, latents], axis=0)
         ts = jnp.full((2,), t, jnp.float32)
         flow = model.transformer.apply(
@@ -58,7 +58,7 @@ def sample_sana(
     sigmas = np.linspace(1.0, 0.0, steps + 1)
     for i in range(steps):
         t = sigmas[i] * 1000.0
-        flow = dit_step(latents, t)
+        flow = dit_step(transformer_params, latents, t)
         latents = latents - (sigmas[i] - sigmas[i + 1]) * flow
         if on_update_progress:
             on_update_progress(i + 1, steps)

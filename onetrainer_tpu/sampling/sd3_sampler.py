@@ -70,7 +70,7 @@ def sample_sd3(
               model.vae_config.latent_channels), jnp.float32)
 
     @jax.jit
-    def velocity(latents, t):
+    def velocity(transformer_params, latents, t):
         both = jnp.concatenate([latents, latents], axis=0)
         ts = jnp.full((2,), t * 1000.0, jnp.float32)
         out = model.transformer.apply(
@@ -80,7 +80,7 @@ def sample_sd3(
 
     for i in range(steps):
         sigma, sigma_next = float(sigmas[i]), float(sigmas[i + 1])
-        v = velocity(latents.astype(jnp.float32), sigma)
+        v = velocity(transformer_params, latents.astype(jnp.float32), sigma)
         latents = latents + (sigma_next - sigma) * v
         if on_update_progress:
             on_update_progress(i + 1, steps)

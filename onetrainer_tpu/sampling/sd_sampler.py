@@ -97,8 +97,10 @@ def sample_stable_diffusion(
         extra_channels = jnp.concatenate(
             [latent_mask, cond_latent.astype(jnp.float32)], axis=-1)
 
+    # unet params are a jit argument, not a closure capture (captured
+    # arrays inline into the HLO as literals — see make_sdxl_encode_fns)
     @jax.jit
-    def unet_step(latents, t, context):
+    def unet_step(unet_params, latents, t, context):
         if extra_channels is not None:
             latents = jnp.concatenate([latents, extra_channels], axis=-1)
         both = jnp.concatenate([latents, latents], axis=0)
@@ -111,7 +113,8 @@ def sample_stable_diffusion(
     for i in range(steps):
         t = int(state.timesteps[i])
         model_in = sched.scale_model_input(state, latents, i)
-        noise_pred = unet_step(model_in.astype(jnp.float32), t, context)
+        noise_pred = unet_step(unet_params, model_in.astype(jnp.float32),
+                               t, context)
         rng, step_rng = jax.random.split(rng)
         latents = sched.step(state, noise_pred.astype(jnp.float32), i, latents,
                              rng=step_rng, history=history)

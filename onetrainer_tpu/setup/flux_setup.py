@@ -236,13 +236,15 @@ def make_flux_encode_fns(setup: FluxSetup):
     model = setup.model
     vae_params = model.vae_params
 
+    # params are jit arguments, not closure captures (captured arrays
+    # inline into the HLO as literals — see make_sdxl_encode_fns)
     @jax.jit
-    def _vae_encode(pixels):
+    def _vae_encode(vae_params, pixels):
         return model.vae.apply({"params": vae_params}, pixels,
                                method=model.vae.encode)
 
     def encode_images(images: np.ndarray) -> dict:
-        mean, logvar = _vae_encode(jnp.asarray(images))
+        mean, logvar = _vae_encode(vae_params, jnp.asarray(images))
         return {"latent_image": np.asarray(mean, np.float32),
                 "latent_logvar": np.asarray(logvar, np.float32)}
 
@@ -252,7 +254,7 @@ def make_flux_encode_fns(setup: FluxSetup):
         te_params, te2_params = model.te_params, model.te2_params
 
         @jax.jit
-        def _te_encode(tokens, tokens_2):
+        def _te_encode(te_params, te2_params, tokens, tokens_2):
             out_clip = model.text_encoder.apply({"params": te_params}, tokens[None])
             t5 = model.text_encoder_2.apply(
                 {"params": te2_params}, tokens_2[None],
@@ -262,7 +264,8 @@ def make_flux_encode_fns(setup: FluxSetup):
         def encode_text(prompt: str) -> dict:
             tokens = setup.tokenizer(prompt)
             tokens_2 = setup.tokenizer_2(prompt)
-            pooled, t5 = _te_encode(jnp.asarray(tokens), jnp.asarray(tokens_2))
+            pooled, t5 = _te_encode(te_params, te2_params,
+                                    jnp.asarray(tokens), jnp.asarray(tokens_2))
             return {
                 "tokens": tokens, "tokens_2": tokens_2,
                 "clip_pooled_state": np.asarray(pooled, np.float32),

@@ -225,14 +225,16 @@ def make_hidream_encode_fns(setup: HiDreamSetup):
     model = setup.model
     vae_params = model.vae_params
 
+    # params are jit arguments, not closure captures (captured arrays
+    # inline into the HLO as literals — see make_sdxl_encode_fns)
     @jax.jit
-    def _vae_encode(pixels):
+    def _vae_encode(vae_params, pixels):
         mean, logvar = model.vae.apply({"params": vae_params}, pixels,
                                        method=model.vae.encode)
         return mean, logvar
 
     def encode_images(images: np.ndarray) -> dict:
-        mean, logvar = _vae_encode(jnp.asarray(images))
+        mean, logvar = _vae_encode(vae_params, jnp.asarray(images))
         return {"latent_image": np.asarray(mean, np.float32),
                 "latent_logvar": np.asarray(logvar, np.float32)}
 
@@ -255,7 +257,7 @@ def make_hidream_encode_fns(setup: HiDreamSetup):
     te4 = model.te4_params
 
     @jax.jit
-    def _te_encode(t1, t2, t3, t4, m4):
+    def _te_encode(te, te2, te3, te4, t1, t2, t3, t4, m4):
         out1 = model.text_encoder.apply({"params": te}, t1[None])
         out2 = model.text_encoder_2.apply({"params": te2}, t2[None])
         t5 = model.text_encoder_3.apply(
@@ -277,6 +279,7 @@ def make_hidream_encode_fns(setup: HiDreamSetup):
         t4 = setup.tokenizer_4(prompt)
         m4 = setup.tokenizer_4.mask(t4)
         p1, p2, t5s, llama = _te_encode(
+            te, te2, te3, te4,
             jnp.asarray(t1), jnp.asarray(t2), jnp.asarray(t3),
             jnp.asarray(t4), jnp.asarray(m4))
         return {

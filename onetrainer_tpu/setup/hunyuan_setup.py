@@ -226,8 +226,10 @@ def make_hunyuan_encode_fns(setup: HunyuanSetup):
     model = setup.model
     vae_params = model.vae_params
 
+    # params are jit arguments, not closure captures (captured arrays
+    # inline into the HLO as literals — see make_sdxl_encode_fns)
     @jax.jit
-    def _vae_encode(pixels):
+    def _vae_encode(vae_params, pixels):
         mean, logvar = model.vae.apply({"params": vae_params}, pixels,
                                        method=model.vae.encode)
         return mean, logvar
@@ -236,7 +238,7 @@ def make_hunyuan_encode_fns(setup: HunyuanSetup):
         x = jnp.asarray(images)
         if x.ndim == 4:            # image rows -> 1-frame clips
             x = x[:, None]
-        mean, logvar = _vae_encode(x)
+        mean, logvar = _vae_encode(vae_params, x)
         return {"latent_image": np.asarray(mean, np.float32),
                 "latent_logvar": np.asarray(logvar, np.float32)}
 
@@ -247,7 +249,7 @@ def make_hunyuan_encode_fns(setup: HunyuanSetup):
         te2_params = model.te2_params
 
         @jax.jit
-        def _te_encode(tokens, mask, tokens2):
+        def _te_encode(te_params, te2_params, tokens, mask, tokens2):
             out = model.text_encoder.apply(
                 {"params": te_params}, tokens[None], mask[None])
             states = encode_llama_text(
@@ -262,6 +264,7 @@ def make_hunyuan_encode_fns(setup: HunyuanSetup):
             mask = setup.tokenizer.mask(tokens)
             tokens2 = setup.tokenizer_2(prompt)
             states, pooled = _te_encode(
+                te_params, te2_params,
                 jnp.asarray(tokens), jnp.asarray(mask), jnp.asarray(tokens2))
             return {
                 "tokens_1": tokens, "tokens_mask_1": mask[PROMPT_TEMPLATE_CROP_START:],

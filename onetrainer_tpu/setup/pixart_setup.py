@@ -174,27 +174,29 @@ def make_pixart_encode_fns(setup: PixArtSetup):
     model = setup.model
     vae_params = model.vae_params
 
+    # params are jit arguments, not closure captures (captured arrays
+    # inline into the HLO as literals — see make_sdxl_encode_fns)
     @jax.jit
-    def _vae_encode(pixels):
+    def _vae_encode(vae_params, pixels):
         return model.vae.apply({"params": vae_params}, pixels,
                                method=model.vae.encode)
 
     def encode_images(images: np.ndarray) -> dict:
-        mean, logvar = _vae_encode(jnp.asarray(images))
+        mean, logvar = _vae_encode(vae_params, jnp.asarray(images))
         return {"latent_image": np.asarray(mean, np.float32),
                 "latent_logvar": np.asarray(logvar, np.float32)}
 
     te_params = model.te_params
 
     @jax.jit
-    def _te_encode(tokens):
+    def _te_encode(te_params, tokens):
         return model.text_encoder.apply(
             {"params": te_params}, tokens[None],
             layer_skip=setup.step_cfg.text_encoder_layer_skip)[0]
 
     def encode_text(prompt: str) -> dict:
         tokens = setup.tokenizer(prompt)
-        t5 = _te_encode(jnp.asarray(tokens))
+        t5 = _te_encode(te_params, jnp.asarray(tokens))
         return {"tokens_2": tokens,
                 "t5_hidden_state": np.asarray(t5, np.float32)}
 

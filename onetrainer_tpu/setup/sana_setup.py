@@ -196,13 +196,15 @@ def make_sana_encode_fns(setup: SanaSetup):
     model = setup.model
     vae_params = model.vae_params
 
+    # params are jit arguments, not closure captures (captured arrays
+    # inline into the HLO as literals — see make_sdxl_encode_fns)
     @jax.jit
-    def _vae_encode(pixels):
+    def _vae_encode(vae_params, pixels):
         return model.vae.apply({"params": vae_params}, pixels,
                                method=model.vae.encode)
 
     def encode_images(images: np.ndarray) -> dict:
-        latent = _vae_encode(jnp.asarray(images))
+        latent = _vae_encode(vae_params, jnp.asarray(images))
         return {"latent_image": np.asarray(latent, np.float32)}
 
     cache_te = not setup.step_cfg.train_text_encoder and model.te_params is not None
@@ -211,7 +213,7 @@ def make_sana_encode_fns(setup: SanaSetup):
         te_params = model.te_params
 
         @jax.jit
-        def _te_encode(tokens, mask):
+        def _te_encode(te_params, tokens, mask):
             out = model.text_encoder.apply(
                 {"params": te_params}, tokens[None], mask[None])
             hidden = encode_gemma_text(
@@ -223,7 +225,8 @@ def make_sana_encode_fns(setup: SanaSetup):
         def encode_text(prompt: str) -> dict:
             tokens = setup.tokenizer(prompt)
             mask = setup.tokenizer.mask(tokens)
-            hidden = _te_encode(jnp.asarray(tokens), jnp.asarray(mask))
+            hidden = _te_encode(te_params, jnp.asarray(tokens),
+                                jnp.asarray(mask))
             return {"tokens": tokens, "tokens_mask": mask,
                     "text_encoder_hidden_state": np.asarray(hidden, np.float32)}
     else:

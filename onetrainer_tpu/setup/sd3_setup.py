@@ -250,13 +250,15 @@ def make_sd3_encode_fns(setup: SD3Setup):
     model = setup.model
     vae_params = model.vae_params
 
+    # params are jit arguments, not closure captures (captured arrays
+    # inline into the HLO as literals — see make_sdxl_encode_fns)
     @jax.jit
-    def _vae_encode(pixels):
+    def _vae_encode(vae_params, pixels):
         return model.vae.apply({"params": vae_params}, pixels,
                                method=model.vae.encode)
 
     def encode_images(images: np.ndarray) -> dict:
-        mean, logvar = _vae_encode(jnp.asarray(images))
+        mean, logvar = _vae_encode(vae_params, jnp.asarray(images))
         return {"latent_image": np.asarray(mean, np.float32),
                 "latent_logvar": np.asarray(logvar, np.float32)}
 
@@ -266,7 +268,7 @@ def make_sd3_encode_fns(setup: SD3Setup):
         te, te2, te3 = model.te_params, model.te2_params, model.te3_params
 
         @jax.jit
-        def _encode(t1, t2, t3):
+        def _encode(te, te2, te3, t1, t2, t3):
             out_l = model.text_encoder.apply({"params": te}, t1[None])
             out_g = model.text_encoder_2.apply({"params": te2}, t2[None])
             t5 = model.text_encoder_3.apply(
@@ -282,8 +284,8 @@ def make_sd3_encode_fns(setup: SD3Setup):
             t1 = setup.tokenizer(prompt)
             t2 = setup.tokenizer_2(prompt)
             t3 = setup.tokenizer_3(prompt)
-            context, pooled = _encode(jnp.asarray(t1), jnp.asarray(t2),
-                                      jnp.asarray(t3))
+            context, pooled = _encode(te, te2, te3, jnp.asarray(t1),
+                                      jnp.asarray(t2), jnp.asarray(t3))
             return {"tokens": t1, "tokens_2": t2, "tokens_3": t3,
                     "sd3_context": np.asarray(context, np.float32),
                     "sd3_pooled": np.asarray(pooled, np.float32)}

@@ -456,14 +456,16 @@ def make_encode_fns(setup: SDSetup):
     config = setup.config
     vae_params = model.vae_params
 
+    # params are jit arguments, not closure captures (captured arrays
+    # inline into the HLO as literals — see make_sdxl_encode_fns)
     @jax.jit
-    def _vae_encode(pixels):
+    def _vae_encode(vae_params, pixels):
         mean, logvar = model.vae.apply(
             {"params": vae_params}, pixels, method=model.vae.encode)
         return mean, logvar
 
     def encode_images(images: np.ndarray) -> dict:
-        mean, logvar = _vae_encode(jnp.asarray(images))
+        mean, logvar = _vae_encode(vae_params, jnp.asarray(images))
         return {"latent_image": np.asarray(mean, np.float32),
                 "latent_logvar": np.asarray(logvar, np.float32)}
 
@@ -473,13 +475,13 @@ def make_encode_fns(setup: SDSetup):
         te_params = model.te_params
 
         @jax.jit
-        def _te_encode(tokens):
+        def _te_encode(te_params, tokens):
             out = model.text_encoder.apply({"params": te_params}, tokens[None])
             return encode_clip_text(out, setup.step_cfg.text_encoder_layer_skip)[0]
 
         def encode_text(prompt: str) -> dict:
             tokens = setup.tokenizer(prompt)
-            hidden = _te_encode(jnp.asarray(tokens))
+            hidden = _te_encode(te_params, jnp.asarray(tokens))
             return {"tokens": tokens,
                     "text_encoder_hidden_state": np.asarray(hidden, np.float32)}
     else:

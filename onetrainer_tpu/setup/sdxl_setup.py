@@ -238,13 +238,18 @@ def make_sdxl_encode_fns(setup: SDXLSetup):
     model = setup.model
     vae_params = model.vae_params
 
+    # Encoder params are jit ARGUMENTS, never closure captures: a
+    # closed-over array is inlined into the HLO as a literal, bloating the
+    # serialized graph by the full encoder size (CLIP-G alone ~1.4 GB) —
+    # pathologically slow constant-folding locally, and an oversized
+    # request through a remote-compile service.
     @jax.jit
-    def _vae_encode(pixels):
+    def _vae_encode(vae_params, pixels):
         return model.vae.apply({"params": vae_params}, pixels,
                                method=model.vae.encode)
 
     def encode_images(images: np.ndarray) -> dict:
-        mean, logvar = _vae_encode(jnp.asarray(images))
+        mean, logvar = _vae_encode(vae_params, jnp.asarray(images))
         return {"latent_image": np.asarray(mean, np.float32),
                 "latent_logvar": np.asarray(logvar, np.float32)}
 
@@ -254,7 +259,7 @@ def make_sdxl_encode_fns(setup: SDXLSetup):
         te_params, te2_params = model.te_params, model.te2_params
 
         @jax.jit
-        def _te_encode(tokens, tokens_2):
+        def _te_encode(te_params, te2_params, tokens, tokens_2):
             out1 = model.text_encoder.apply({"params": te_params}, tokens[None])
             out2 = model.text_encoder_2.apply({"params": te2_params}, tokens_2[None])
             h1 = encode_clip_text(out1, setup.step_cfg.text_encoder_layer_skip)[0]
@@ -264,7 +269,9 @@ def make_sdxl_encode_fns(setup: SDXLSetup):
         def encode_text(prompt: str) -> dict:
             tokens = setup.tokenizer(prompt)
             tokens_2 = setup.tokenizer_2(prompt)
-            h1, h2, pooled = _te_encode(jnp.asarray(tokens), jnp.asarray(tokens_2))
+            h1, h2, pooled = _te_encode(te_params, te2_params,
+                                        jnp.asarray(tokens),
+                                        jnp.asarray(tokens_2))
             return {
                 "tokens": tokens, "tokens_2": tokens_2,
                 "text_encoder_hidden_state": np.asarray(h1, np.float32),

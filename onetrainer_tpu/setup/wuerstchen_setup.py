@@ -201,8 +201,10 @@ def make_wuerstchen_encode_fns(setup: WuerstchenSetup):
     model = setup.model
     effnet_params = model.effnet_params
 
+    # params are jit arguments, not closure captures (captured arrays
+    # inline into the HLO as literals — see make_sdxl_encode_fns)
     @jax.jit
-    def _effnet_encode(pixels01):
+    def _effnet_encode(effnet_params, pixels01):
         x = (pixels01 - _IMAGENET_MEAN) / _IMAGENET_STD
         return model.effnet.apply({"params": effnet_params}, x)
 
@@ -212,7 +214,7 @@ def make_wuerstchen_encode_fns(setup: WuerstchenSetup):
         x01 = (jnp.asarray(images) + 1.0) * 0.5
         target = (int(round(h * 0.75)), int(round(w * 0.75)))
         x01 = jax.image.resize(x01, (b,) + target + (c,), "bilinear")
-        latent = _effnet_encode(x01)
+        latent = _effnet_encode(effnet_params, x01)
         return {"latent_image": np.asarray(latent, np.float32)}
 
     cache_te = not setup.step_cfg.train_text_encoder and model.te_params is not None
@@ -223,7 +225,7 @@ def make_wuerstchen_encode_fns(setup: WuerstchenSetup):
         is_cascade = model.model_type.is_stable_cascade()
 
         @jax.jit
-        def _te_encode(tokens):
+        def _te_encode(te_params, tokens):
             out = model.text_encoder.apply({"params": te_params}, tokens[None])
             hidden = encode_clip_text(out, setup.step_cfg.text_encoder_layer_skip)
             if is_cascade:
@@ -234,7 +236,7 @@ def make_wuerstchen_encode_fns(setup: WuerstchenSetup):
 
         def encode_text(prompt: str) -> dict:
             tokens = setup.tokenizer(prompt)
-            hidden, pooled = _te_encode(jnp.asarray(tokens))
+            hidden, pooled = _te_encode(te_params, jnp.asarray(tokens))
             row = {"tokens": tokens,
                    "text_encoder_hidden_state": np.asarray(hidden, np.float32)}
             if pooled is not None:

@@ -575,6 +575,11 @@ class GenericTrainer(BaseTrainer):
         rng = jax.random.PRNGKey(42)
         from onetrainer_tpu.util.profiling import StepProfiler
         profiler = StepProfiler(os.path.join(config.workspace_dir, "profile"))
+        # survive transient remote-transport hiccups (dropped helper
+        # connection) instead of losing a multi-hour run; the functional
+        # state makes a re-dispatch with identical inputs exact
+        from onetrainer_tpu.data.loader import retry_transport
+        train_step = retry_transport(self.setup.train_step)
 
         for epoch in range(progress.epoch, config.epochs):
             self.callbacks.on_update_status(f"epoch {epoch}: caching")
@@ -649,7 +654,7 @@ class GenericTrainer(BaseTrainer):
                     batch = shard_batch(batch_np, self.mesh)
                 else:
                     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-                self.setup.state, metrics = self.setup.train_step(
+                self.setup.state, metrics = train_step(
                     self.setup.state, self.setup.frozen, batch, rng)
 
                 if config.debug_mode:

@@ -405,3 +405,55 @@ def test_cache_fill_non_oom_error_propagates(tmp_path):
     loader = Text2ImageDataLoader(config, broken_enc, enc_t, quantization=64)
     with pytest.raises(ValueError, match="bad weights"):
         list(loader.iter_epoch(0))
+
+
+def test_retry_transport_retries_transient_then_succeeds(monkeypatch):
+    from onetrainer_tpu.data.loader import retry_transport
+
+    sleeps = []
+    monkeypatch.setattr("onetrainer_tpu.data.loader.time.sleep",
+                        sleeps.append)
+    calls = {"n": 0}
+
+    def flaky(x):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError(
+                "UNAVAILABLE: transport: Broken pipe (os error 32)")
+        return x * 2
+
+    assert retry_transport(flaky)(21) == 42
+    assert calls["n"] == 3
+    assert sleeps == [5.0, 10.0]          # exponential backoff
+
+
+def test_retry_transport_raises_non_transient_immediately(monkeypatch):
+    from onetrainer_tpu.data.loader import retry_transport
+
+    monkeypatch.setattr("onetrainer_tpu.data.loader.time.sleep",
+                        lambda s: (_ for _ in ()).throw(AssertionError(s)))
+    calls = {"n": 0}
+
+    def oom(_):
+        calls["n"] += 1
+        raise RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory")
+
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        retry_transport(oom)(1)
+    assert calls["n"] == 1                # no retry on a real OOM
+
+
+def test_retry_transport_gives_up_after_attempts(monkeypatch):
+    from onetrainer_tpu.data.loader import retry_transport
+
+    monkeypatch.setattr("onetrainer_tpu.data.loader.time.sleep",
+                        lambda s: None)
+    calls = {"n": 0}
+
+    def always_down(_):
+        calls["n"] += 1
+        raise RuntimeError("Network Error: Broken pipe")
+
+    with pytest.raises(RuntimeError, match="Broken pipe"):
+        retry_transport(always_down, attempts=3)(1)
+    assert calls["n"] == 3
