@@ -26,6 +26,22 @@ def is_quantized(x) -> bool:
     return isinstance(x, (QuantizedArray, NF4Array))
 
 
+def logical_shape(x) -> tuple:
+    """The unquantized tensor shape of a (possibly quantized) leaf.
+
+    QuantizedArray storage keeps the original shape; NF4Array packs codes
+    flat, so the shape lives in its aux data — for the scan-stacked form
+    (vmap'd quantize_nf4: q [L, packed], per-slice aux shape) the leading
+    layer axis is prepended."""
+    if isinstance(x, NF4Array):
+        if x.q.ndim == 2:
+            return (x.q.shape[0],) + tuple(x.shape)
+        return tuple(x.shape)
+    if isinstance(x, QuantizedArray):
+        return tuple(x.q.shape)
+    return tuple(x.shape)
+
+
 _FP8_MAX = 448.0   # e4m3 max normal
 _INT8_MAX = 127.0
 

@@ -74,19 +74,30 @@ def _flatten(tree: dict, prefix: tuple[str, ...] = ()):
 
 
 def _kernel_paths(params: dict, layer_filter: tuple[str, ...]):
-    """All (module path, kernel) pairs eligible for adaptation."""
+    """All (module path, kernel) pairs eligible for adaptation.
+
+    Quantized kernels (QuantizedArray/NF4Array frozen base — the QLoRA
+    configuration, and the trainer's second create_setup pass after
+    quantize_frozen_parts re-pointed the model tree) are selected by
+    their LOGICAL shape; a quantized leaf has no `.ndim` of its own, and
+    silently skipping it would initialize an empty adapter tree — the
+    forward then never consumes the adapters and XLA prunes the entire
+    backward (observed as a forward-only 'training' run, r5)."""
+    from onetrainer_tpu.ops.quant import is_quantized, logical_shape
     for path, value in _flatten(params):
         if path[-1] != "kernel":
+            continue
+        shape = tuple(logical_shape(value)) if is_quantized(value) else (
+            tuple(value.shape) if hasattr(value, "shape") else None)
+        if shape is None or len(shape) not in (2, 3, 4):
             continue
         # ndim 3 = scan-stacked Dense [L, in, out] (models/flux.py
         # scan_layers); the leading layer axis carries through the
         # adapter tensors and nn.scan's variable_axes={"lora": 0}
-        if not hasattr(value, "ndim") or value.ndim not in (2, 3, 4):
-            continue
-        if value.ndim == 3 and "block" not in path:
+        if len(shape) == 3 and "block" not in path:
             continue  # a genuine 3-D kernel, not a scan stack
-        if value.ndim == 4 and value.shape[2] == 1 and value.shape[3] > 1 \
-                and value.shape[0] * value.shape[1] > 1:
+        if len(shape) == 4 and shape[2] == 1 and shape[3] > 1 \
+                and shape[0] * shape[1] > 1:
             # grouped/depthwise conv (in-per-group == 1): rank-r adaptation
             # is degenerate there; skip (e.g. Würstchen prior depthwise)
             continue
@@ -121,7 +132,19 @@ def init_peft_params(
     adapters: dict[str, dict[str, jnp.ndarray]] = {}
     keys = list(_kernel_paths(base_params, cfg.layer_filter))
     rngs = jax.random.split(rng, max(len(keys), 1))
+    from onetrainer_tpu.ops.quant import (
+        is_quantized, logical_shape, maybe_dequantize,
+    )
     for (module_path, kernel), krng in zip(keys, rngs):
+        if is_quantized(kernel):
+            # QLoRA over a quantized frozen base: shapes suffice for the
+            # LoRA/LoHa tensors; DoRA's magnitude column needs the actual
+            # weights, so dequantize transiently only in that case
+            if cfg.decompose:
+                kernel = maybe_dequantize(kernel, jnp.bfloat16)
+            else:
+                kernel = jax.ShapeDtypeStruct(
+                    logical_shape(kernel), jnp.bfloat16)
         fan_in, fan_out, spatial = _fans(kernel)
         r = cfg.rank
         dt = cfg.weight_dtype

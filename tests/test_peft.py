@@ -241,3 +241,62 @@ def test_lora_layers_identical_without_collection():
     got = net.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_init_on_quantized_base_matches_unquantized():
+    """QLoRA: adapter init over a quantized frozen base must select the
+    SAME modules with the SAME shapes as over the bf16 base. Regression:
+    the trainer's second create_setup pass hands back the tree that
+    quantize_frozen_parts re-pointed (setup/quantize.py model aliasing);
+    quantized leaves have no `.ndim`, were silently skipped, and the
+    resulting empty adapter tree turned the train step forward-only
+    (XLA pruned the whole backward — caught on-device, BASELINE r5)."""
+    from onetrainer_tpu.ops.quant import quantize_tree
+
+    cfg = PeftConfig(rank=4)
+    base = _base_params()
+    want = init_peft_params(jax.random.PRNGKey(0), base, cfg)
+    for qdtype in (jnp.float8_e4m3fn, jnp.int8, "nf4"):
+        qtree = quantize_tree(base, qdtype, min_size=1)
+        got = init_peft_params(jax.random.PRNGKey(0), qtree, cfg)
+        assert set(got) == set(want), qdtype
+        for mod in want:
+            for name in want[mod]:
+                assert got[mod][name].shape == want[mod][name].shape, \
+                    (qdtype, mod, name)
+
+
+def test_init_on_quantized_scan_stacked_base():
+    """Stacked ([L, in, out]) quantized kernels keep the leading layer
+    axis in the adapter tensors (nf4 packs codes flat, so the logical
+    shape must be reconstructed from the aux data)."""
+    from onetrainer_tpu.ops.quant import quantize_tree
+
+    rng = np.random.default_rng(1)
+    base = {"blocks": {"block": {
+        "lin": {"kernel": jnp.asarray(
+            rng.normal(size=(3, 8, 16)).astype(np.float32))}}}}
+    cfg = PeftConfig(rank=2)
+    want = init_peft_params(jax.random.PRNGKey(0), base, cfg)
+    for qdtype in (jnp.float8_e4m3fn, "nf4"):
+        qtree = quantize_tree(base, qdtype, min_size=1)
+        got = init_peft_params(jax.random.PRNGKey(0), qtree, cfg)
+        assert set(got) == set(want)
+        assert got["blocks/block/lin"]["lora_down"].shape == (3, 2, 8)
+        assert got["blocks/block/lin"]["lora_up"].shape == (3, 16, 2)
+
+
+def test_init_dora_on_quantized_base_dequantizes_norms():
+    """DoRA needs the actual weight norms; over an int8 base the scale
+    column must come from the dequantized kernel (≈ the bf16 norms)."""
+    from onetrainer_tpu.ops.quant import quantize_tree
+
+    cfg = PeftConfig(rank=4, decompose=True)
+    base = _base_params()
+    want = init_peft_params(jax.random.PRNGKey(0), base, cfg)
+    qtree = quantize_tree(base, jnp.int8, min_size=1)
+    got = init_peft_params(jax.random.PRNGKey(0), qtree, cfg)
+    np.testing.assert_allclose(
+        np.asarray(got["block/attn/to_q"]["dora_scale"], np.float32),
+        np.asarray(want["block/attn/to_q"]["dora_scale"], np.float32),
+        rtol=0.05)

@@ -112,6 +112,81 @@ def test_sdxl_e2e_lora(tmp_path):
     assert any(k.startswith("lora_unet_") for k in sd)
     assert any(k.startswith("lora_te1_") for k in sd)
     assert any(k.startswith("lora_te2_") for k in sd)
+    # gradient-flow canary: lora_up starts at zero, so a nonzero up matrix
+    # proves grads reached the adapters (a disconnected adapter tree lets
+    # XLA prune the whole backward and the run silently trains nothing)
+    up_max = max(float(np.abs(v).max()) for k, v in sd.items()
+                 if k.endswith("lora_up.weight"))
+    assert up_max > 0.0
+
+
+def test_sdxl_e2e_lora_fp8_base(tmp_path):
+    """The bench-headline configuration through the SHIPPED trainer:
+    LoRA over an fp8-quantized frozen UNet. Regression for the r5
+    forward-only bug: quantize_frozen_parts re-points model.unet_params
+    at the quantized tree (to free the bf16 copy), the trainer's second
+    create_setup then initialized adapters from quantized leaves that
+    _kernel_paths silently skipped → empty adapter tree → XLA pruned the
+    backward; 224 'training' steps updated nothing (caught on-device via
+    the step's XLA cost analysis, BASELINE 2026-08-21)."""
+    base = str(tmp_path / "ckpt")
+    ds = make_dataset(str(tmp_path / "ds"), n=4)
+    model = tiny_sdxl_model()
+    write_tiny_sdxl_checkpoint(base, model)
+
+    from onetrainer_tpu.util.enums import DataType
+    config = TrainConfig.default_values()
+    config.model_type = ModelType.STABLE_DIFFUSION_XL_10_BASE
+    config.training_method = TrainingMethod.LORA
+    config.base_model_name = base
+    config.workspace_dir = str(tmp_path / "ws")
+    config.cache_dir = str(tmp_path / "cache")
+    config.epochs = 1
+    config.batch_size = 2
+    config.resolution = "32"
+    config.aspect_ratio_bucketing = False
+    config.lora_rank = 4
+    config.learning_rate = 1e-3
+    config.learning_rate_warmup_steps = 0.0
+    config.tensorboard = False
+    config.sample_after_unit = TimeUnit.NEVER
+    config.backup_after_unit = TimeUnit.NEVER
+    config.save_every_unit = TimeUnit.NEVER
+    config.ema = EMAMode.OFF
+    config.optimizer.stochastic_rounding = False
+    config.unet.train = True
+    config.unet.weight_dtype = DataType.FLOAT_8
+    config.text_encoder.train = False
+    config.text_encoder_2.train = False
+    config.samples = []
+    concept = ConceptConfig.default_values()
+    concept.path = ds
+    concept.seed = 3
+    config.concepts = [concept]
+    config.output_model_destination = str(tmp_path / "out_xl_fp8.safetensors")
+    config.backup_before_save = False
+
+    trainer = GenericTrainer(config)
+    trainer.start()
+    # the second create_setup pass must see the full adapter set even
+    # though model.unet_params now holds QuantizedArray leaves
+    from onetrainer_tpu.peft.lora import PeftConfig, peft_module_keys
+    n_modules = len(peft_module_keys(
+        model.unet.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4, 4, 4)), jnp.asarray([1]),
+                        jnp.zeros((1, 8, 80)), jnp.zeros((1, 48)),
+                        jnp.zeros((1, 6)))["params"],
+        PeftConfig(rank=4)))
+    lora_tree = trainer.setup.state.params["unet_lora"]
+    assert len(lora_tree) == n_modules and n_modules > 0
+    trainer.train()
+    trainer.end()
+
+    sd = load_safetensors(config.output_model_destination)
+    assert any(k.startswith("lora_unet_") for k in sd)
+    up_max = max(float(np.abs(v).max()) for k, v in sd.items()
+                 if k.endswith("lora_up.weight"))
+    assert up_max > 0.0
 
 
 def test_sdxl_embedding_e2e(tmp_path):
