@@ -327,16 +327,22 @@ def _bench_vae_cache(jax, jnp):
         jax.random.PRNGKey(1), (bs, res, res, 3), jnp.bfloat16, -1.0, 1.0)
     params = jax.jit(vae.init)(rng, pixels, jax.random.PRNGKey(2))["params"]
 
+    # params as a jit ARGUMENT (closure captures inline into the HLO as
+    # literals); per-iteration distinct pixel batches because the remote
+    # execution service dedupes identical (executable, args) dispatches
+    # (observed 2026-08-21) — repeat-encoding one batch reads fake speed
     @jax.jit
-    def encode(pixels):
+    def encode(params, pixels):
         return vae.apply({"params": params}, pixels, method=vae.encode)
 
-    mean, logvar = encode(pixels)
+    mean, logvar = encode(params, pixels)
     mean.block_until_ready()
     n = 20
+    batches = [pixels * (1.0 + 1e-3 * (i + 1)) for i in range(n)]
+    jax.block_until_ready(batches)
     start = time.perf_counter()
-    for _ in range(n):
-        mean, logvar = encode(pixels)
+    for i in range(n):
+        mean, logvar = encode(params, batches[i])
     mean.block_until_ready()
     return bs * n / (time.perf_counter() - start)
 

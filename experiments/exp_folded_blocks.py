@@ -46,11 +46,18 @@ COMBOS = [
 
 
 def _timeit(fn, *args, n=20):
+    """Per-iteration input perturbation is REQUIRED: the axon remote
+    execution service dedupes identical (executable, args) requests
+    (observed 2026-08-21: 20 repeat dispatches of a ~1 ms kernel read
+    0.02 ms/iter), so repeat-timing must make every dispatch unique.
+    The perturbed operands are materialized before the timed loop."""
     r = fn(*args)
     jax.block_until_ready(r)
+    firsts = [args[0] * (1.0 + 1e-6 * (i + 1)) for i in range(n)]
+    jax.block_until_ready(firsts)
     t0 = time.perf_counter()
-    for _ in range(n):
-        r = fn(*args)
+    for i in range(n):
+        r = fn(firsts[i], *args[1:])
     jax.block_until_ready(r)
     return (time.perf_counter() - t0) / n * 1e3  # ms
 
