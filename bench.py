@@ -386,7 +386,10 @@ def _run_isolated(name, timeout=1800):
         r = subprocess.run([sys.executable, __file__, "--extra", name],
                            capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
-        return "error: timeout"
+        # a budget-bounded kill, not a stage failure: report it as a skip
+        # with the burn visible in stage_seconds (VERDICT r4 next #4:
+        # no "error:" strings in the driver artifact for budget outcomes)
+        return "skipped_budget_timeout"
     for line in reversed(r.stdout.strip().splitlines()):
         try:
             return json.loads(line)
@@ -482,6 +485,13 @@ def main():
     # headline warm wall ~210 s (probe ~30 + warm sdxl_fp8 ~180);
     # BENCH_r04 measured 648 s driver-side with a cold-ish cache
     cache_is_cold = headline_wall > 1.5 * 210
+    # adaptive pool-speed factor: the per-dispatch latency of the remote
+    # stack varies by deploy/day (2026-08-21: a warm headline stage took
+    # 574 s vs the ~210 s estimate and warm sd15 ran 825 s vs 90 —
+    # static estimates then start stages that cannot finish). Scale every
+    # remaining estimate by the worst observed overrun so far.
+    expected_headline = 900.0 if cache_is_cold else 210.0
+    slowdown = max(1.0, headline_wall / expected_headline)
     extras = {key: "skipped_budget" for key, _, _, _ in extra_plan}
     extras["sdxl_setup_seconds"] = sdxl.get("setup_seconds")
     extras["sdxl_imgs_per_sec_mean_of_chunks"] = sdxl.get(
@@ -559,7 +569,7 @@ def main():
                                                    "1500"))), 1)}
     _emit()  # the headline line lands before any extra runs
     for key, stage, warm_est, cold_est in extra_plan:
-        est = cold_est if cache_is_cold else warm_est
+        est = (cold_est if cache_is_cold else warm_est) * slowdown
         if _remaining() < est + 30:
             continue  # stays "skipped_budget" — never START a stage
             # whose realistic cost exceeds the remaining budget: an
@@ -567,7 +577,11 @@ def main():
         _t0 = time.monotonic()
         res = _run_isolated(stage,
                             timeout=min(1800, max(60, _remaining() - 30)))
-        extras["stage_seconds"][stage] = round(time.monotonic() - _t0, 1)
+        stage_wall = time.monotonic() - _t0
+        extras["stage_seconds"][stage] = round(stage_wall, 1)
+        slowdown = max(slowdown,
+                       stage_wall / max(cold_est if cache_is_cold
+                                        else warm_est, 1.0))
         if stage == "sd15":
             sd15_ips, sd15_flops_per_img = \
                 res if isinstance(res, list) else (res, None)
