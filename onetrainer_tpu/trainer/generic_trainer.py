@@ -78,7 +78,15 @@ class GenericTrainer(BaseTrainer):
         self.data_loader: Text2ImageDataLoader | None = None
         self.train_progress = TrainProgress()
         self._loss_ema = None
-        self._pending_metrics = None   # (metrics, global_step), read 1 step late
+        # pipelined metrics queue: step N's loss is fetched OT_METRICS_LAG
+        # steps later. Depth 1 (default) never blocks dispatch on fetch;
+        # deeper lags amortize the per-step scalar round trip when the
+        # device sits behind a high-latency transport (the axon tunnel
+        # adds ~0.1 s/step of fetch RTT — measured e2e 4.24 vs synthetic
+        # 4.98 imgs/sec; on a local TPU host the fetch is microseconds
+        # and lag 1 is right)
+        self._metrics_lag = max(1, int(os.environ.get("OT_METRICS_LAG", "1")))
+        self._pending_metrics: list = []   # [(metrics, global_step), ...]
 
     # -- lifecycle ----------------------------------------------------------------
 
@@ -661,12 +669,13 @@ class GenericTrainer(BaseTrainer):
                     self._debug_dump(batch)
 
                 profiler.maybe_start(progress.global_step)
-                # pipelined metrics: step N's loss is read here on the
-                # N+1 iteration, after step N+1 is already dispatched —
-                # the host never blocks between fetch and dispatch
-                self._flush_pending_metrics()
+                # pipelined metrics: step N's loss is read here on a
+                # later iteration, after the next step is already
+                # dispatched — the host never blocks between fetch and
+                # dispatch
+                self._pending_metrics.append((metrics, progress.global_step))
+                self._flush_pending_metrics(keep=self._metrics_lag)
                 profiler.maybe_stop(progress.global_step)
-                self._pending_metrics = (metrics, progress.global_step)
                 progress.next_step(config.batch_size)
                 self.callbacks.on_update_train_progress(
                     progress, len(self.data_loader), config.epochs)
@@ -695,16 +704,14 @@ class GenericTrainer(BaseTrainer):
         except Exception:
             traceback.print_exc()
 
-    def _flush_pending_metrics(self):
-        """Materialize + log the previous step's metrics (pipelined loop:
-        the host reads step N's loss only after dispatching step N+1, so
-        H2D transfer and dispatch overlap device compute instead of
-        serializing behind a per-step float() sync)."""
-        if self._pending_metrics is None:
-            return
-        metrics, step = self._pending_metrics
-        self._pending_metrics = None
-        self._log_metrics(float(metrics["loss"]), metrics, step=step)
+    def _flush_pending_metrics(self, keep: int = 0):
+        """Materialize + log queued step metrics down to `keep` pending
+        (pipelined loop: the host reads step N's loss only after later
+        steps are dispatched, so H2D transfer and dispatch overlap device
+        compute instead of serializing behind a per-step float() sync)."""
+        while len(self._pending_metrics) > keep:
+            metrics, step = self._pending_metrics.pop(0)
+            self._log_metrics(float(metrics["loss"]), metrics, step=step)
 
     def _log_metrics(self, loss: float, metrics: dict, step: int | None = None):
         progress = self.train_progress
