@@ -328,22 +328,28 @@ def _bench_vae_cache(jax, jnp):
     params = jax.jit(vae.init)(rng, pixels, jax.random.PRNGKey(2))["params"]
 
     # params as a jit ARGUMENT (closure captures inline into the HLO as
-    # literals); per-iteration distinct pixel batches because the remote
-    # execution service dedupes identical (executable, args) dispatches
-    # (observed 2026-08-21) — repeat-encoding one batch reads fake speed
+    # literals). Chained-scalar timing: the remote execution service
+    # resolves block_until_ready without guaranteeing execution
+    # (2026-08-21 relay — the old blocked loop over ONE batch read a fake
+    # 27,457 imgs/sec vs the real ~146), so each encode perturbs its
+    # input, depends on the previous result, and the loop synchronizes
+    # via a value fetch at the end.
     @jax.jit
-    def encode(params, pixels):
-        return vae.apply({"params": params}, pixels, method=vae.encode)
+    def encode_step(params, pixels, carry):
+        mean, logvar = vae.apply({"params": params},
+                                 pixels + (carry * 0).astype(pixels.dtype),
+                                 method=vae.encode)
+        return jnp.sum(mean.astype(jnp.float32) ** 2)
 
-    mean, logvar = encode(params, pixels)
-    mean.block_until_ready()
+    carry = encode_step(params, pixels, jnp.float32(0.0))
+    float(carry)
     n = 20
     batches = [pixels * (1.0 + 1e-3 * (i + 1)) for i in range(n)]
-    jax.block_until_ready(batches)
     start = time.perf_counter()
+    carry = jnp.float32(0.0)
     for i in range(n):
-        mean, logvar = encode(params, batches[i])
-    mean.block_until_ready()
+        carry = encode_step(params, batches[i], carry)
+    float(carry)
     return bs * n / (time.perf_counter() - start)
 
 

@@ -46,19 +46,27 @@ COMBOS = [
 
 
 def _timeit(fn, *args, n=20):
-    """Per-iteration input perturbation is REQUIRED: the axon remote
-    execution service dedupes identical (executable, args) requests
-    (observed 2026-08-21: 20 repeat dispatches of a ~1 ms kernel read
-    0.02 ms/iter), so repeat-timing must make every dispatch unique.
-    The perturbed operands are materialized before the timed loop."""
-    r = fn(*args)
-    jax.block_until_ready(r)
+    """Chained-scalar timing. The remote execution service resolves
+    block_until_ready without guaranteeing execution (2026-08-21 relay:
+    ~0.02 ms readings for ~1 ms kernels, distinct or identical inputs
+    alike — experiments/exp_dedupe_probe.py), so every iteration must
+    data-depend on the previous one and the loop must synchronize via a
+    VALUE fetch at the end. The added reduction/perturbation work is
+    negligible next to the kernels under test."""
+    @jax.jit
+    def step(carry, first, *rest):
+        out = fn(first + (carry * 0).astype(first.dtype), *rest)
+        return sum(jnp.sum(leaf.astype(jnp.float32) ** 2)
+                   for leaf in jax.tree_util.tree_leaves(out))
+
     firsts = [args[0] * (1.0 + 1e-6 * (i + 1)) for i in range(n)]
-    jax.block_until_ready(firsts)
+    carry = step(jnp.float32(0.0), args[0], *args[1:])
+    float(carry)   # real compile + one synchronized execution
     t0 = time.perf_counter()
+    carry = jnp.float32(0.0)
     for i in range(n):
-        r = fn(firsts[i], *args[1:])
-    jax.block_until_ready(r)
+        carry = step(carry, firsts[i], *args[1:])
+    float(carry)
     return (time.perf_counter() - t0) / n * 1e3  # ms
 
 
