@@ -291,8 +291,20 @@ def _attention_folded(q, k, v, num_heads, kv_keep, sm_scale=None):
         keep = jnp.broadcast_to((jnp.arange(skvp) < skv)[None], (b, skvp))
         if kv_keep is not None:
             keep = keep & jnp.pad(kv_keep, ((0, 0), (0, skvp - skv)))
-    bq = next(x for x in (1024, 512, 256, 128) if sqp % x == 0)
-    bk = next(x for x in (512, 256, 128) if skvp % x == 0)
+    # r5 corrected-timer block sweep (exp_folded_blocks.py, sweep_log
+    # 2026-08-21, 64-lane shapes): block_k=1024 wins at both measured
+    # shapes (s=4096 grad 10.96 vs 11.52 ms, fwd 3.94 vs 4.52; s=1024
+    # grad 2.53 vs 2.79) and block_q=512 wins for long sequences while
+    # short ones keep the whole row in one block; 2048-wide q blocks
+    # exceed VMEM. d=128 slots keep the conservative blocks (unswept —
+    # the streaming-dkv VMEM budget is tighter).
+    lanes = 64 if head_dim <= 64 else 128
+    if lanes == 64 and sqp > 2048:
+        bq = 512
+    else:
+        bq = next(x for x in (1024, 512, 256, 128) if sqp % x == 0)
+    bk_pref = (1024, 512, 256, 128) if lanes == 64 else (512, 256, 128)
+    bk = next(x for x in bk_pref if skvp % x == 0)
     out = flash_attention_folded(
         qp, kp, vp, num_heads,
         sm_scale=(1.0 / (head_dim ** 0.5)) if sm_scale is None else sm_scale,
